@@ -1,0 +1,152 @@
+"""CDC primitives expressed over the driver's generic ``events`` table.
+
+The engine's signature operators (LSN-ordered last-writer-wins, salted
+two-stage dedup, at-least-once idempotency, batch ledger) demonstrated on
+the driver-provided event stream so the DuckDB oracle can check them.
+The real engine applies the same plans to the (repo, path)-keyed change
+log (see ``cdc.apply`` / ``cdc.runner``).
+
+``event_id`` plays the LSN role (strictly increasing), ``user_id`` the
+key role.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sha256_arrow
+from ..registry import query
+from ..sources import load_table
+
+_LWW_ORACLE = """
+SELECT user_id,
+       event_id AS last_event_id,
+       epoch_us(ts) AS last_ts_us,
+       event_type AS last_event_type,
+       round(value, 2) AS last_value,
+       sha256(props) AS props_sha
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def _present(df: DataFrame) -> DataFrame:
+    """Shared output projection for the LWW variants."""
+    return df.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        # testdata parquet reads as TIMESTAMP_NTZ; session TZ is pinned UTC,
+        # so the cast preserves the wall-clock epoch the oracle computes
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+        sha256_arrow(F.col("props")).alias("props_sha"),
+    )
+
+
+@query("cdc_lww_current_state", oracle=_LWW_ORACLE)
+def cdc_lww_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — last-writer-wins current state per key via ``max_by``.
+
+    Spark restatement of the reference's insert-or-update catalog upsert
+    (CatalogService.java:153-174) + nearest-top-1 primitive
+    (AstronomicalObjectRepository.java:217-236): one hash aggregation with
+    map-side partial combine — duplicate keys collapse BEFORE the shuffle,
+    which is what makes this survive hot keys at 10^10 events (a window
+    variant must sort every partition's full run of a hot key)."""
+    ev = load_table(spark, sf_dir, "events")
+    winner = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value", "props"), F.col("event_id")
+        ).alias("w")
+    )
+    return _present(winner.select("user_id", "w.*"))
+
+
+@query("cdc_lww_window_variant", oracle=_LWW_ORACLE)
+def cdc_lww_window_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 row_number()=1 formulation of LWW — semantically identical to the
+    agg variant (same oracle), kept for parity with the reference's
+    ORDER BY ... LIMIT 1 pattern and used as the cross-check in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return _present(ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1))
+
+
+@query("cdc_salted_lww", oracle=_LWW_ORACLE)
+def cdc_salted_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage LWW (north_rule skew requirement).
+
+    Stage 1 groups by (key, salt) — a hot key's events spread over
+    ``n_salts`` reducers; stage 2 reduces the ≤n_salts per-salt winners.
+    Correct because max_by is associative; the salt only changes physical
+    placement. Reference has no analog (single-threaded per file) — this is
+    the new engineering SURVEY.md §4 calls out."""
+    ev = load_table(spark, sf_dir, "events")
+    n_salts = 8
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    stage1 = salted.groupBy("user_id", "salt").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value", "props"), F.col("event_id")
+        ).alias("w")
+    )
+    stage2 = stage1.groupBy("user_id").agg(F.max_by(F.col("w"), F.col("w.event_id")).alias("w"))
+    return _present(stage2.select("user_id", "w.*"))
+
+
+@query(
+    "cdc_idempotent_replay_dedup",
+    oracle="""
+    SELECT count(*) AS n_after_dedup,
+           count(DISTINCT user_id) AS n_keys,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    """,
+)
+def cdc_idempotent_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery idempotency (reference: ON CONFLICT DO
+    NOTHING db_performance_test.py:170-174): the same LSN delivered twice
+    must apply once. Simulated by a double-delivered union, collapsed with
+    an exact groupBy on the LSN — the oracle sees the single-delivery
+    stream."""
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.unionByName(ev)  # every event delivered twice
+    deduped = redelivered.groupBy("event_id").agg(
+        F.first("user_id").alias("user_id"), F.first("value").alias("value")
+    )
+    return deduped.agg(
+        F.count("*").alias("n_after_dedup"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "cdc_batch_ledger_stats",
+    oracle="""
+    SELECT CAST(floor(event_id / 2000) AS BIGINT) AS batch_id,
+           min(event_id) AS lsn_lo,
+           max(event_id) AS lsn_hi,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cdc_batch_ledger_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 LSN-range micro-batch slicing + per-batch ledger row (reference:
+    BATCH_SIZE=100 chunking batch_processing_dag.py:126-135 and the
+    processing_jobs status ledger ProcessingJob.java:27-233)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("event_id") / 2000).cast("long").alias("batch_id"))
+        .agg(
+            F.min("event_id").alias("lsn_lo"),
+            F.max("event_id").alias("lsn_hi"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )

@@ -1,0 +1,240 @@
+"""Filters, projections, derived columns, set ops, scalar functions
+(SURVEY.md §2.2 F1–F7, §2.7 U1–U3, §2.8).
+
+All predicates are plain Catalyst expressions so they push down to the
+parquet scan (``PushedFilters`` in .explain) — the scale property the
+reference gets from S3 ``StartAfter`` listing and Postgres indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sha256_arrow
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "filter_validate_split_documents",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CASE WHEN n_chars BETWEEN 100 AND 500 AND text IS NOT NULL
+                THEN 'valid' ELSE 'invalid' END AS validity
+    FROM documents
+    """,
+)
+def filter_validate_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/U1 size-range validation splitting valid/invalid streams
+    (reference: validate_fits_files size gate 1MB–500MB,
+    telescope_data_processing.py:115-156). One scan, a ``when`` tag instead
+    of two passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    valid = (F.col("n_chars").between(100, 500)) & F.col("text").isNotNull()
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(valid, "valid").otherwise("invalid").alias("validity"),
+    )
+
+
+@query(
+    "filter_time_window_recent_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 6 HOUR
+    """,
+)
+def filter_time_window_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 time-window predicate (reference: 1-hour lookback discovery,
+    telescope_data_processing.py:72-84). The scalar max(ts) is a tiny
+    separate job; the main scan then gets a pushed-down range filter —
+    same two-phase shape as the reference's StartAfter listing."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 6 HOURS")
+    return ev.filter(F.col("ts") >= cutoff).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "project_derived_partition_key",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_orderstatus || '_' || strftime(o_orderdate, '%Y%m') AS partition_key,
+           CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'normal' END AS price_band
+    FROM orders
+    """,
+)
+def project_derived_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 derived projection (reference: generated partition_key
+    ``{type}_{YYYYMM}`` V2_1__Add_Processing_Context_Tables.sql:48-50,
+    derived distance_pc CatalogService.java:163-165)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat_ws(
+            "_", F.col("o_orderstatus"), F.date_format("o_orderdate", "yyyyMM")
+        ).alias("partition_key"),
+        F.when(F.col("o_totalprice") >= 100000, "high").otherwise("normal").alias("price_band"),
+    )
+
+
+@query(
+    "filter_null_and_validity_audit",
+    oracle="""
+    SELECT count(CASE WHEN value IS NULL THEN 1 END)          AS n_null_value,
+           count(CASE WHEN value < 0 THEN 1 END)              AS n_negative,
+           count(CASE WHEN event_type NOT IN
+                 ('click','view','purchase','signup','error') THEN 1 END) AS n_bad_type,
+           count(*)                                           AS n_total
+    FROM events
+    """,
+)
+def filter_null_and_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 validity audit (reference: invalid-coordinate audit
+    data_quality_monitoring.py:281-302, null filters
+    AstronomicalObjectRepository.java:85-102)."""
+    ev = load_table(spark, sf_dir, "events")
+    valid_types = ["click", "view", "purchase", "signup", "error"]
+    return ev.agg(
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.count(F.when(~F.col("event_type").isin(valid_types), 1)).alias("n_bad_type"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "route_events_by_type",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+                WHEN event_type = 'error' THEN 'dlq'
+                ELSE 'engagement' END AS route
+    FROM events
+    """,
+)
+def route_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 pattern routing (reference: step-type whitelist router
+    GranularProcessingService.java:403-416, research_processing_dag.py:134-137)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "dlq")
+        .otherwise("engagement")
+        .alias("route"),
+    )
+
+
+@query(
+    "scalar_sha256_documents",
+    oracle="""
+    SELECT doc_id, sha256(text) AS content_sha
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def scalar_sha256_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 checksum column — the engine's per-row lineage invariant
+    (reference: sha256 input checksums, ProcessingContext.java:164,
+    GranularProcessingService.java:598-607). Arrow-batched pandas UDF per
+    the input_hint mandate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", sha256_arrow(F.col("text")).alias("content_sha")
+    )
+
+
+@query(
+    "scalar_json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def scalar_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON access (reference: JSONB metrics reads,
+    wv.performance_metrics->'avg_processing_time_ms', README.md:390-401)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@query(
+    "scalar_string_path_functions",
+    oracle="""
+    SELECT doc_id,
+           source AS src,
+           'lake://' || source || '/' || CAST(doc_id AS VARCHAR) AS object_uri,
+           upper(lang) AS lang_uc,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    """,
+)
+def scalar_string_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string/path building (reference: s3://%s/%s prefix building
+    S3Service.java:37, key builders IntermediateStorageService.java:166-183)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("source").alias("src"),
+        F.concat(F.lit("lake://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias(
+            "object_uri"
+        ),
+        F.upper("lang").alias("lang_uc"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+@query(
+    "union_split_reconcile",
+    oracle="""
+    SELECT src_stream, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT 'high' AS src_stream, value FROM events WHERE value >= 10
+        UNION ALL
+        SELECT 'low' AS src_stream, value FROM events WHERE value < 10 OR value IS NULL
+    )
+    GROUP BY src_stream
+    """,
+)
+def union_split_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U3 split then union-reconcile (reference: valid/invalid split +
+    per-batch result merge, batch_processing_dag.py:241-263). Asserts the
+    split is a partition: counts add back up."""
+    ev = load_table(spark, sf_dir, "events")
+    high = ev.filter(F.col("value") >= 10).withColumn("src_stream", F.lit("high"))
+    low = ev.filter((F.col("value") < 10) | F.col("value").isNull()).withColumn(
+        "src_stream", F.lit("low")
+    )
+    return (
+        high.unionByName(low)
+        .groupBy("src_stream")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "scalar_datetime_functions",
+    oracle="""
+    SELECT strftime(ts, '%Y%m') AS month_key,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hour_of_day,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time functions (reference: to_char(created_at,'YYYYMM')
+    partition keys V2_1__...sql:48-50, epoch diffs
+    data_quality_monitoring.py:137-138)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyyMM").alias("month_key"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(F.count("*").alias("n"))

@@ -1,0 +1,192 @@
+"""Window / per-key-ordering operators (SURVEY.md §2.5 W1–W5, §2.6 O1–O4).
+
+W1 (top-1 per group) is the load-bearing primitive: it is the same
+``row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1`` pattern the
+CDC engine uses for LSN-ordered last-writer-wins dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "window_top1_order_per_customer",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS top_orderkey,
+           round(o_totalprice, 2) AS top_price
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def window_top1_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 top-1-per-group (reference: nearest-match ORDER BY separation
+    LIMIT 1 per probe, AstronomicalObjectRepository.java:217-236) — the
+    exact primitive behind LSN last-writer-wins."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.round("o_totalprice", 2).alias("top_price"),
+        )
+    )
+
+
+@query(
+    "window_topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand AS brand, p_partkey AS partkey,
+           round(p_retailprice, 2) AS retailprice, CAST(rn AS INTEGER) AS rank_in_brand
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O1 top-k per group — TakeOrdered per key, no global sort."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            F.round("p_retailprice", 2).alias("retailprice"),
+            F.col("rn").cast("int").alias("rank_in_brand"),
+        )
+    )
+
+
+@query(
+    "window_running_spend_per_customer",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_spend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate per key (reference analog: sequential step chaining
+    with accumulated state, GranularProcessingService.java:262-393)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_sessionize_events",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag(ts) gap > 30 min starts a session, cumsum labels
+    it (SURVEY.md §2.11 session-grouped state; reference sessions =
+    IntermediateStorageService.java:117-137). Two windows on one shuffle —
+    both partitionBy(user_id) with the same ordering, so Catalyst reuses
+    the exchange + sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch s (UTC session)
+    gap = ts_s - F.lag(F.col("ts")).over(w).cast("timestamp").cast("long")
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(cum).cast("long"))
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "sort_topk_global_orders",
+    oracle="""
+    SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def sort_topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), not a full sort (reference: cone-search cap 1000,
+    CatalogService.java:83; recency queries db_performance_test.py:362-372)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "sort_keyset_pagination_page3",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str
+    FROM (
+        SELECT o_orderkey, o_orderdate,
+               row_number() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn > 200 AND rn <= 300
+    """,
+)
+def sort_keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 pagination (reference: Pageable repositories
+    AstronomicalObjectRepository.java:44-71). Window row_number page slice;
+    timestamps stringified so both engines hash the same representation."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 200) & (F.col("rn") <= 300))
+        .select(F.col("o_orderkey").alias("orderkey"), "orderdate_str")
+    )

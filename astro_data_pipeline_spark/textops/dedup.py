@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), shingle-Jaccard pair mining via an inverted index,
+MinHash+LSH banding, and SimHash bucketing. The exact and Jaccard variants
+have DuckDB oracles expressing the identical computation; MinHash/SimHash
+are verified by pytest properties (candidates ⊇ truly-similar pairs)
+because their hash functions aren't portable SQL.
+
+Scale design: no O(n²) pairwise anywhere — pair generation always goes
+through an inverted index (explode → self-equi-join on the posting key)
+with a document-frequency cap on postings so a stop-shingle can't produce
+a quadratic bucket (the standard fan-out guard at 10^10 docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sha256_arrow, simhash64_arrow
+from ..registry import query
+from ..sources import load_table
+
+# shingles appearing in more than this many docs are dropped from the
+# inverted index (both engines apply the same cap → same result)
+_DF_CAP = 20
+_JACCARD_MIN = 0.5
+_SHINGLE_LEN = 3  # words per shingle
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct 3-word shingles (codegen'd array ops)."""
+    toks = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, greatest(size(tokens) - 3, -1)),"
+                    " i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    return sh
+
+
+_SHINGLE_SQL = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tokens) - 2, 0)),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+          FROM documents WHERE text IS NOT NULL)
+"""
+
+
+@query(
+    "dedup_exact_by_sha",
+    oracle="""
+    SELECT sha256(text) AS content_sha,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def dedup_exact_by_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content sha256, keep min doc_id
+    (reference analog: unique-key upsert ON CONFLICT DO NOTHING,
+    db_performance_test.py:170-174). One shuffle of (sha, id) pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", sha256_arrow(F.col("text")).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_jaccard_shingle_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    rare AS (
+        SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {_DF_CAP}
+    ),
+    posting AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r USING (shingle)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM posting a JOIN posting b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= {_JACCARD_MIN}
+    """,
+)
+def dedup_jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair mining: 3-word-shingle Jaccard via inverted index.
+
+    explode → df-cap filter → self-equi-join on shingle → count = |A∩B|;
+    |A∪B| from per-doc shingle counts. The df-cap keeps the self-join
+    fan-out bounded (≤ cap² per shingle) — without it one hot shingle at
+    web scale produces a quadratic bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP)
+    posting = sh.join(rare.select("shingle"), "shingle")
+    a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band → LSH threshold ≈ (1/8)^(1/4) ≈ 0.59
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → array<long> MinHash signature, all JVM-side.
+
+    Hash family: xxhash64(seed_i, shingle) — k independent permutations
+    approximated by k seeded hashes; min per seed over the doc's shingle
+    set. Computed as k aggregate expressions over the exploded shingles:
+    one shuffle (the groupBy), no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("signature")
+    )
+
+
+@query("dedup_minhash_lsh_candidates")  # no portable SQL oracle → rows-only check
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs.
+
+    Signature → split into bands → hash each band → explode (doc, band,
+    band_hash) → self-equi-join on (band, band_hash). Equality of a band
+    hash is the LSH bucket; candidates are then exact-verified by the
+    Jaccard operator upstream of any destructive dedup. pytest asserts
+    candidates ⊇ all pairs with true Jaccard ≥ 0.7."""
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@query("dedup_simhash_hamming_buckets")  # Arrow-UDF hash → rows-only check
+def dedup_simhash_hamming_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup blocking: 64-bit token-vote fingerprint (Arrow
+    pandas UDF), bucketed by the top-16-bit prefix; docs sharing a prefix
+    are Hamming-near candidates. Output: bucket census."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", simhash64_arrow(F.col("text")).alias("simhash")
+    )
+    return (
+        fp.withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
