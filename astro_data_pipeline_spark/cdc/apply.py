@@ -1,0 +1,121 @@
+"""Batch apply pipeline: validate → salted LWW collapse → sha256 → align.
+
+The Spark restatement of the reference's per-file pipeline
+(telescope_data_processing.py: discover → validate → process → catalog
+upsert, SURVEY.md §3.1) as ONE lazy DataFrame plan per micro-batch:
+no HTTP hops, no per-record job rows — boundaries collapse into stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import sha256_arrow
+
+VALID_OPS = ("insert", "update", "delete")
+
+# Lake table schema, pre-evolution (FIXTURES.md §1 + input_hint)
+BASE_TABLE_FIELDS = [
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("content_sha256", T.StringType(), True),
+    T.StructField("last_lsn", T.LongType(), True),
+]
+KEY_COLS = ["repo", "path"]
+# event payload columns that flow into the table (besides derived ones)
+PAYLOAD_COLS = ["commit", "lang", "content"]
+
+
+def validate_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F1–F7-style validation split: (valid, quarantine).
+
+    Reference analog: validate_fits_files splitting valid/invalid
+    (telescope_data_processing.py:115-156). One scan, disjoint filters.
+    """
+    ok = (
+        F.col("op").isin(*VALID_OPS)
+        & F.col("repo").isNotNull()
+        & F.col("path").isNotNull()
+        & F.col("lsn").isNotNull()
+        & (F.col("content").isNotNull() | (F.col("op") == "delete"))
+    )
+    return events.filter(ok), events.filter(~ok)
+
+
+def detect_hot_repos(events: DataFrame, hot_share: float = 0.05) -> list[str]:
+    """Heavy-hitter detection for salting (SURVEY.md §7 Phase 3).
+
+    A repo is hot when it owns > hot_share of the batch's events. One
+    cheap aggregation over (repo) — partial combine makes this a near-free
+    pass; the result is a tiny driver-side list that broadcasts into the
+    salt expression."""
+    counts = events.groupBy("repo").agg(F.count("*").alias("n"))
+    total = events.count()
+    if total == 0:
+        return []
+    cutoff = max(int(total * hot_share), 1)
+    return [r["repo"] for r in counts.filter(F.col("n") > cutoff).collect()]
+
+
+def lww_collapse(
+    events: DataFrame,
+    hot_repos: list[str] | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """LSN-ordered last-writer-wins: ≤1 row per (repo, path).
+
+    Two-stage salted aggregation (north_rule skew handling):
+      stage 1: groupBy(repo, path, salt) — a hot key's events split
+               across ``n_salts`` reducers;
+      stage 2: groupBy(repo, path) over the ≤n_salts per-salt winners.
+    ``max_by`` is associative, so salting changes physical placement only
+    (SURVEY.md §7 "salting correctness is contingent on pre-MERGE
+    key-collapse" — the collapse IS this operator). Duplicate deliveries
+    (same LSN, identical payload) collapse here too — idempotency.
+
+    Cold keys take salt=0, so for them stage 1 already yields the final
+    winner and stage 2 is a near-no-op on pre-combined partials.
+    """
+    payload = [c for c in events.columns if c not in ("repo", "path")]
+    w = F.struct(*[F.col(c) for c in payload]).alias("w")
+
+    if hot_repos:
+        salt = F.when(
+            F.col("repo").isin(*hot_repos), F.pmod(F.xxhash64("lsn"), F.lit(n_salts))
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+
+    stage1 = (
+        events.withColumn("_salt", salt)
+        .groupBy("repo", "path", "_salt")
+        .agg(F.max_by(w, F.col("lsn")).alias("w"))
+    )
+    stage2 = stage1.groupBy("repo", "path").agg(
+        F.max_by(F.col("w"), F.col("w.lsn")).alias("w")
+    )
+    return stage2.select("repo", "path", "w.*")
+
+
+def to_table_rows(collapsed: DataFrame, table_schema: T.StructType) -> DataFrame:
+    """Derive table columns (sha256 invariant, last_lsn) and align the
+    source to the target schema: missing table columns null-fill (the
+    additive-evolution contract), extra event columns drop. Keeps ``op``
+    for MERGE routing."""
+    out = collapsed.withColumn(
+        "content_sha256",
+        F.when(F.col("op") != "delete", sha256_arrow(F.col("content"))),
+    ).withColumn("last_lsn", F.col("lsn"))
+    present = set(out.columns)
+    cols = []
+    for f in table_schema.fields:
+        if f.name in present:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return out.select(*cols, F.col("op"))

@@ -1,0 +1,198 @@
+"""Micro-batch replay loop with exactly-once resume (SURVEY.md §7 Phase 2).
+
+Spark restatement of the reference's job state machine + retry
+(ProcessingJob.java:155-232, ProcessingJobService.retryJob :142-164,
+Airflow batch slicing batch_processing_dag.py:126-135):
+
+- the change log is sliced into deterministic LSN ranges (batch identity
+  is a pure function of the range, NOT of run attempt or wall clock);
+- each batch commits atomically with its batch_id in the snapshot
+  summary; a killed job restarted over the same log finds committed
+  batch_ids in the snapshot chain and skips them — exactly-once end to
+  end without any side-effecting UDFs (task retries inside a batch are
+  safe because nothing observes a batch until its commit point);
+- additive schema evolution is promoted table-first: new event columns →
+  ``ALTER TABLE ADD COLUMN``-equivalent metadata commit, then the batch
+  aligns to the evolved schema (Flyway-additive contract,
+  V2_1__Add_Processing_Context_Tables.sql:76-84).
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lakehouse import LakeTable
+from . import apply as A
+
+
+class KilledError(RuntimeError):
+    """Injected mid-run failure (kill/resume tests)."""
+
+
+@dataclass
+class BatchReport:
+    batch_id: str
+    lsn_lo: int
+    lsn_hi: int
+    status: str  # applied | skipped | empty
+    totals: dict = field(default_factory=dict)
+    n_quarantined: int = 0
+    snapshot_id: int | None = None
+
+
+def lsn_ranges(min_lsn: int, max_lsn: int, n_batches: int) -> list[tuple[int, int]]:
+    """Deterministic half-open (lo, hi] LSN slices covering the log."""
+    width = math.ceil((max_lsn - min_lsn + 1) / n_batches)
+    out = []
+    lo = min_lsn - 1
+    while lo < max_lsn:
+        hi = min(lo + width, max_lsn)
+        out.append((lo, hi))
+        lo = hi
+    return out
+
+
+class CdcRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        run_id: str | None = None,
+        n_salts: int = 8,
+        hot_share: float = 0.05,
+        salt_auto: bool = True,
+    ):
+        self.spark = spark
+        self.table = table
+        self.run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
+        self.n_salts = n_salts
+        self.hot_share = hot_share
+        self.salt_auto = salt_auto
+
+    # ---------------------------------------------------------- evolution
+
+    def _evolve_if_needed(self, events: DataFrame) -> None:
+        """Promote additive event columns into the table schema
+        (metadata-only commit) before applying the batch."""
+        snap = self.table.current_snapshot()
+        table_cols = {f.name for f in snap.schema.fields}
+        reserved = {"lsn", "ts", "op"}
+        new = [
+            f
+            for f in events.schema.fields
+            if f.name not in table_cols and f.name not in reserved
+        ]
+        if new:
+            fields = [T.StructField(f.name, f.dataType, True) for f in new]
+            self.table.add_columns(
+                fields,
+                summary={
+                    "run_id": self.run_id,
+                    "evolved_columns": [f.name for f in new],
+                },
+            )
+
+    # -------------------------------------------------------------- apply
+
+    def apply_batch(
+        self, events: DataFrame, batch_id: str, lsn_lo: int, lsn_hi: int
+    ) -> BatchReport:
+        """Validate → salted LWW → sha256 → MERGE, one atomic commit."""
+        if batch_id in self.table.committed_batch_ids():
+            return BatchReport(batch_id, lsn_lo, lsn_hi, status="skipped")
+
+        self._evolve_if_needed(events)
+        valid, quarantine = A.validate_events(events)
+        n_bad = quarantine.count()
+
+        hot = (
+            A.detect_hot_repos(valid, self.hot_share) if self.salt_auto else []
+        )
+        collapsed = A.lww_collapse(valid, hot_repos=hot, n_salts=self.n_salts)
+        snap = self.table.current_snapshot()
+        rows = A.to_table_rows(collapsed, snap.schema)
+
+        new_snap, metrics = self.table.merge(
+            rows,
+            op_col="op",
+            delete_op="delete",
+            summary={
+                "run_id": self.run_id,
+                "run_scope": self.run_id,
+                "batch_id": batch_id,
+                "lsn_lo": lsn_lo,
+                "lsn_hi": lsn_hi,
+                "hot_repos": hot,
+                "rows_quarantined": n_bad,
+            },
+        )
+        return BatchReport(
+            batch_id,
+            lsn_lo,
+            lsn_hi,
+            status="applied",
+            totals=metrics["totals"],
+            n_quarantined=n_bad,
+            snapshot_id=new_snap.snapshot_id,
+        )
+
+    # ------------------------------------------------------------- replay
+
+    def replay(
+        self,
+        events: DataFrame,
+        n_batches: int = 4,
+        fail_after: int | None = None,
+    ) -> list[BatchReport]:
+        """Replay a change log in deterministic LSN-range micro-batches.
+
+        ``fail_after=k`` raises after k batches commit — the kill switch
+        for resume tests. A rerun (new runner, same table+log) must skip
+        the committed prefix and converge to the same final state.
+        """
+        lo_hi = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        if lo_hi[0] is None:
+            return []
+        reports: list[BatchReport] = []
+        applied = 0
+        for lo, hi in lsn_ranges(int(lo_hi[0]), int(lo_hi[1]), n_batches):
+            batch_id = f"lsn:{lo}-{hi}"
+            # LSN-range predicate pushes down to the event-log scan
+            batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+            rep = self.apply_batch(batch, batch_id, lo, hi)
+            reports.append(rep)
+            if rep.status == "applied":
+                applied += 1
+                if fail_after is not None and applied >= fail_after:
+                    raise KilledError(f"injected kill after {applied} batches")
+        return reports
+
+
+def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read event-log segments with possibly-divergent (additively evolved)
+    schemas, aligned by name with null-fill — the engine's binlog tail."""
+    dfs = [spark.read.parquet(p) for p in paths]
+    all_cols: list[str] = []
+    for df in dfs:
+        for c in df.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+    aligned = []
+    for df in dfs:
+        missing = [c for c in all_cols if c not in df.columns]
+        out = df
+        for c in missing:
+            # type comes from whichever segment has the column
+            src = next(d for d in dfs if c in d.columns)
+            out = out.withColumn(c, F.lit(None).cast(src.schema[c].dataType))
+        aligned.append(out.select(*all_cols))
+    result = aligned[0]
+    for df in aligned[1:]:
+        result = result.unionByName(df)
+    return result

@@ -1,0 +1,203 @@
+"""End-to-end CDC engine tests — the staging-to-catalog ingest test
+mirrored (SURVEY.md §5): replay the fixture event log on Spark + the
+LakeTable sink, assert final state equals the pandas oracle per-row
+(sha256 invariant), including kill/resume, idempotency, schema
+evolution, salting correctness, and lineage accounting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from astro_data_pipeline_spark.cdc import apply as A
+from astro_data_pipeline_spark.cdc.fixtures import generate_change_log, load_events_pandas
+from astro_data_pipeline_spark.cdc.oracle import replay_reference
+from astro_data_pipeline_spark.cdc.runner import CdcRunner, KilledError, read_event_log
+from astro_data_pipeline_spark.lakehouse import LakeTable
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FINAL_COLS = ["repo", "path", "commit", "lang", "lang_meta", "content_sha256", "last_lsn"]
+
+
+@pytest.fixture(scope="module")
+def fixture_meta(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cdc_fixtures")
+    return generate_change_log(str(out), n_repos=20, n_keys=400, n_events=3000)
+
+
+@pytest.fixture(scope="module")
+def oracle_state(fixture_meta) -> pd.DataFrame:
+    return replay_reference(load_events_pandas(fixture_meta))
+
+
+def _new_table(spark, tmp_path) -> LakeTable:
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "lake"),
+        T.StructType(A.BASE_TABLE_FIELDS),
+        key_cols=A.KEY_COLS,
+        n_buckets=8,
+    )
+
+
+def _final_state(table: LakeTable) -> pd.DataFrame:
+    pdf = table.read().toPandas()
+    for c in FINAL_COLS:
+        if c not in pdf.columns:
+            pdf[c] = None
+    pdf = pdf[FINAL_COLS].sort_values(["repo", "path"]).reset_index(drop=True)
+    pdf["lang_meta"] = pdf["lang_meta"].where(pd.notna(pdf["lang_meta"]), None)
+    return pdf
+
+
+def _normalize(oracle: pd.DataFrame) -> pd.DataFrame:
+    out = oracle[FINAL_COLS].copy()
+    out["lang_meta"] = out["lang_meta"].where(pd.notna(out["lang_meta"]), None)
+    return out.reset_index(drop=True)
+
+
+# ------------------------------------------------------------ fixtures
+
+
+def test_fixture_adversarial_properties(fixture_meta):
+    ev = load_events_pandas(fixture_meta)
+    # duplicate deliveries exist and are payload-identical
+    dup_mask = ev.duplicated(subset=["lsn"], keep=False)
+    assert dup_mask.any()
+    dups = ev[dup_mask].sort_values("lsn")
+    grp = dups.groupby("lsn").agg(n_commit=("commit", "nunique"))
+    assert (grp["n_commit"] == 1).all()
+    # out-of-order: file order != LSN order
+    assert not ev["lsn"].is_monotonic_increasing
+    # delete→reinsert of the same key exists
+    per_key = ev.sort_values("lsn").groupby(["repo", "path"])["op"].apply(
+        lambda ops: "delete" in set(ops[:-1]) and list(ops)[-1] != "delete"
+    )
+    assert per_key.any()
+    # schema evolution: lang_meta only after the boundary
+    v2 = ev[ev["lsn"] > fixture_meta["evolution_lsn"]]
+    assert v2["lang_meta"].notna().any()
+    # hot repo skew present
+    top_share = ev["repo"].value_counts(normalize=True).iloc[0]
+    assert top_share > 0.1
+
+
+# -------------------------------------------------------------- replay
+
+
+def test_replay_matches_oracle(spark, tmp_path, fixture_meta, oracle_state):
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    runner = CdcRunner(spark, table, run_id="r1")
+    reports = runner.replay(events, n_batches=5)
+    assert all(r.status in ("applied", "empty") for r in reports)
+    got, want = _final_state(table), _normalize(oracle_state)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_idempotent_reapply_skips(spark, tmp_path, fixture_meta, oracle_state):
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    CdcRunner(spark, table, run_id="r1").replay(events, n_batches=4)
+    before = _final_state(table)
+    # second full replay: every batch must be skipped, state unchanged
+    reports = CdcRunner(spark, table, run_id="r2").replay(events, n_batches=4)
+    assert all(r.status == "skipped" for r in reports)
+    pd.testing.assert_frame_equal(before, _final_state(table), check_dtype=False)
+
+
+def test_kill_and_resume_exactly_once(spark, tmp_path, fixture_meta, oracle_state):
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    with pytest.raises(KilledError):
+        CdcRunner(spark, table, run_id="r1").replay(events, n_batches=6, fail_after=2)
+    # killed mid-run: some batches committed, table is a consistent prefix
+    committed = table.committed_batch_ids()
+    assert len(committed) == 2
+    # resume with a NEW run id over the same log
+    reports = CdcRunner(spark, table, run_id="r2").replay(events, n_batches=6)
+    assert sum(1 for r in reports if r.status == "skipped") == 2
+    pd.testing.assert_frame_equal(
+        _final_state(table), _normalize(oracle_state), check_dtype=False
+    )
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path, fixture_meta, oracle_state):
+    """v1 segment applied before lang_meta exists; evolution promotes the
+    column; replay across the boundary converges (Flyway-additive
+    contract)."""
+    table = _new_table(spark, tmp_path)
+    ev_v1 = spark.read.parquet(fixture_meta["v1_path"])
+    ev_v2 = spark.read.parquet(fixture_meta["v2_path"])
+    assert "lang_meta" not in ev_v1.columns and "lang_meta" in ev_v2.columns
+    runner = CdcRunner(spark, table, run_id="r1")
+    runner.replay(ev_v1, n_batches=2)
+    assert "lang_meta" not in [f.name for f in table.current_snapshot().schema.fields]
+    runner.replay(ev_v2, n_batches=2)
+    snap = table.current_snapshot()
+    assert "lang_meta" in [f.name for f in snap.schema.fields]
+    pd.testing.assert_frame_equal(
+        _final_state(table), _normalize(oracle_state), check_dtype=False
+    )
+    # rows last written pre-evolution read back as NULL lang_meta
+    pre = table.read().filter(
+        (F.col("last_lsn") <= fixture_meta["evolution_lsn"])
+        & F.col("lang_meta").isNotNull()
+    )
+    assert pre.count() == 0
+
+
+# ------------------------------------------------------------- salting
+
+
+def test_salted_collapse_equals_unsalted(spark, fixture_meta):
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    valid, _ = A.validate_events(events)
+    plain = A.lww_collapse(valid, hot_repos=None).toPandas()
+    hot = A.detect_hot_repos(valid, hot_share=0.05)
+    assert hot, "fixture must produce at least one hot repo"
+    salted = A.lww_collapse(valid, hot_repos=hot, n_salts=8).toPandas()
+    key = ["repo", "path"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True)[sorted(plain.columns)],
+        salted.sort_values(key).reset_index(drop=True)[sorted(salted.columns)],
+        check_dtype=False,
+    )
+
+
+def test_quarantine_invalid_events(spark, fixture_meta):
+    events = read_event_log(spark, fixture_meta["v1_path"]).limit(100)
+    bad = events.withColumn("op", F.lit("truncate")).limit(5)
+    mixed = events.unionByName(bad)
+    valid, quarantine = A.validate_events(mixed)
+    assert quarantine.count() == 5
+    assert valid.count() == 100
+
+
+# ------------------------------------------------------------- lineage
+
+
+def test_lineage_accounting(spark, tmp_path, fixture_meta):
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    CdcRunner(spark, table, run_id="r1").replay(events, n_batches=4)
+    lin = table.lineage().toPandas()
+    assert {"run_id", "batch_id", "partition_id", "rows_inserted", "rows_updated",
+            "rows_deleted", "snapshot_id", "lsn_lo", "lsn_hi"} <= set(lin.columns)
+    net = int(lin["rows_inserted"].sum() - lin["rows_deleted"].sum())
+    assert net == table.read().count()
+
+
+def test_sha_invariant_native_equals_arrow(spark, fixture_meta):
+    """F.sha2 (JVM) and the Arrow pandas UDF agree — the invariant's two
+    implementations cross-check."""
+    ev = spark.read.parquet(fixture_meta["v1_path"]).filter(F.col("content").isNotNull())
+    from astro_data_pipeline_spark.functions.hashing import sha256_arrow
+
+    diff = ev.select(
+        sha256_arrow(F.col("content")).alias("a"), F.sha2(F.col("content"), 256).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    assert diff.count() == 0

@@ -1,0 +1,112 @@
+"""LakeTable unit tests: atomic commits, MERGE semantics, copy-on-write
+bucket reuse, schema evolution, time travel, snapshot expiry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from astro_data_pipeline_spark.lakehouse import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+
+def _updates(spark, rows):
+    return spark.createDataFrame(rows, schema="repo string, path string, v long, op string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=4)
+
+
+def test_create_and_read_empty(table):
+    assert table.current_snapshot().snapshot_id == 1
+    assert table.read().count() == 0
+
+
+def test_merge_insert_update_delete(spark, table):
+    snap, m = table.merge(_updates(spark, [("r1", "a", 1, "insert"), ("r1", "b", 1, "insert")]))
+    assert m["totals"]["rows_inserted"] == 2
+    snap, m = table.merge(
+        _updates(spark, [("r1", "a", 2, "update"), ("r1", "b", 0, "delete"), ("r2", "c", 1, "insert")])
+    )
+    assert m["totals"] == {
+        "rows_inserted": 1, "rows_updated": 1, "rows_deleted": 1, "rows_delete_noop": 0
+    }
+    got = {(r["repo"], r["path"]): r["v"] for r in table.read().collect()}
+    assert got == {("r1", "a"): 2, ("r2", "c"): 1}
+    # delete of an absent key is a no-op, not an error
+    snap, m = table.merge(_updates(spark, [("zz", "zz", 0, "delete")]))
+    assert m["totals"]["rows_delete_noop"] == 1
+    assert table.read().count() == 2
+
+
+def test_copy_on_write_carries_untouched_buckets(spark, table):
+    table.merge(_updates(spark, [(f"r{i}", f"p{i}", 1, "insert") for i in range(40)]))
+    before = table.current_snapshot().files
+    # touch one key → only its bucket's files should change
+    table.merge(_updates(spark, [("r0", "p0", 2, "update")]))
+    after = table.current_snapshot().files
+    changed = [b for b in after if after[b] != before.get(b)]
+    assert len(changed) == 1
+    untouched = [b for b in after if b not in changed]
+    for b in untouched:
+        assert after[b] == before[b]  # same file paths carried by reference
+
+
+def test_time_travel_and_expiry(spark, table, tmp_path):
+    table.merge(_updates(spark, [("r1", "a", 1, "insert")]), summary={"batch_id": "b1"})
+    s2 = table.current_snapshot()
+    table.merge(_updates(spark, [("r1", "a", 2, "update")]), summary={"batch_id": "b2"})
+    # time travel to the earlier snapshot
+    old = table.read(snapshot=s2).collect()
+    assert old[0]["v"] == 1
+    assert table.read().collect()[0]["v"] == 2
+    assert table.committed_batch_ids() == {"b1", "b2"}
+    # expiry removes unreferenced files but keeps the current state intact
+    for i in range(3):
+        table.merge(_updates(spark, [("r1", "a", 10 + i, "update")]))
+    removed = table.expire_snapshots(keep_last=2)
+    assert removed >= 1
+    assert table.read().collect()[0]["v"] == 12
+
+
+def test_schema_evolution_add_column(spark, table):
+    table.merge(_updates(spark, [("r1", "a", 1, "insert")]))
+    table.add_columns([T.StructField("meta", T.StringType(), True)])
+    df = table.read()
+    assert "meta" in df.columns
+    assert df.collect()[0]["meta"] is None  # old file null-fills
+    up = spark.createDataFrame(
+        [("r1", "b", 1, "x", "insert")], schema="repo string, path string, v long, meta string, op string"
+    )
+    table.merge(up)
+    got = {r["path"]: r["meta"] for r in table.read().collect()}
+    assert got == {"a": None, "b": "x"}
+
+
+def test_commit_is_atomic_under_partial_failure(spark, table, tmp_path):
+    """A snapshot json written without the hint flip is invisible."""
+    table.merge(_updates(spark, [("r1", "a", 1, "insert")]))
+    cur = table.current_snapshot()
+    # simulate a crash: orphan snapshot file, hint untouched
+    orphan = cur.to_json()
+    orphan["snapshot_id"] = cur.snapshot_id + 1
+    import json
+
+    with open(os.path.join(table._meta, f"snapshot-{cur.snapshot_id + 1}.json"), "w") as f:
+        json.dump(orphan, f)
+    assert table.current_snapshot().snapshot_id == cur.snapshot_id
+    # next merge overwrites the orphan id and commits cleanly
+    table.merge(_updates(spark, [("r1", "a", 2, "update")]))
+    assert table.read().collect()[0]["v"] == 2
