@@ -31,19 +31,21 @@ KEY_COLS = ["repo", "path"]
 PAYLOAD_COLS = ["commit", "lang", "content"]
 
 
-def validate_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """F1–F7-style validation split: (valid, quarantine).
-
-    Reference analog: validate_fits_files splitting valid/invalid
-    (telescope_data_processing.py:115-156). One scan, disjoint filters.
-    """
-    ok = (
+def valid_predicate() -> F.Column:
+    """The event-validity predicate (reference analog: validate_fits_files
+    size/extension gates, telescope_data_processing.py:115-156)."""
+    return (
         F.col("op").isin(*VALID_OPS)
         & F.col("repo").isNotNull()
         & F.col("path").isNotNull()
         & F.col("lsn").isNotNull()
         & (F.col("content").isNotNull() | (F.col("op") == "delete"))
     )
+
+
+def validate_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Validation split: (valid, quarantine). One scan, disjoint filters."""
+    ok = valid_predicate()
     return events.filter(ok), events.filter(~ok)
 
 

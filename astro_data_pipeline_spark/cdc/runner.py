@@ -67,13 +67,22 @@ class CdcRunner:
         n_salts: int = 8,
         hot_share: float = 0.05,
         salt_auto: bool = True,
+        mode: str = "mor",
+        compact_every: int | None = None,
     ):
+        """``mode``: 'mor' (merge-on-read appends — the 10^10-scale ingest
+        path, zero write amplification) or 'cow' (copy-on-write join —
+        read-optimal). ``compact_every``: in mor mode, fold deltas into
+        base files after every N applied batches."""
+        assert mode in ("mor", "cow")
         self.spark = spark
         self.table = table
         self.run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
         self.n_salts = n_salts
         self.hot_share = hot_share
         self.salt_auto = salt_auto
+        self.mode = mode
+        self.compact_every = compact_every
 
     # ---------------------------------------------------------- evolution
 
@@ -103,35 +112,80 @@ class CdcRunner:
     def apply_batch(
         self, events: DataFrame, batch_id: str, lsn_lo: int, lsn_hi: int
     ) -> BatchReport:
-        """Validate → salted LWW → sha256 → MERGE, one atomic commit."""
+        """Validate → salted LWW → sha256 → MERGE, one atomic commit.
+
+        Cost shape per batch: one column-pruned key scan (hot repos +
+        touched buckets, content never read) and ONE content-heavy pass
+        (validate-observe → collapse → sha → merge-join → write). The
+        quarantine count and insert/update/delete split ride the write
+        action via ``observe`` — zero extra passes.
+        """
+        from pyspark.sql import Observation
+
         if batch_id in self.table.committed_batch_ids():
             return BatchReport(batch_id, lsn_lo, lsn_hi, status="skipped")
 
         self._evolve_if_needed(events)
-        valid, quarantine = A.validate_events(events)
-        n_bad = quarantine.count()
-
-        hot = (
-            A.detect_hot_repos(valid, self.hot_share) if self.salt_auto else []
-        )
-        collapsed = A.lww_collapse(valid, hot_repos=hot, n_salts=self.n_salts)
         snap = self.table.current_snapshot()
+
+        # --- slim pass: repo/path columns only — parquet column pruning
+        hot: list[str] = []
+        touched: list[int] | None = None
+        if self.salt_auto or self.mode == "cow":
+            from ..lakehouse.table import bucket_expr
+
+            slim = events.select("repo", "path")
+            if self.salt_auto:
+                # heavy hitters from a deterministic 2% sample — a repo
+                # owning >hot_share of the batch is near-certain to show
+                # up; the full scan it replaces costs a whole extra pass
+                sample = slim.sample(fraction=0.02, seed=42)
+                counts = sample.groupBy("repo").agg(F.count("*").alias("n")).collect()
+                total = sum(r["n"] for r in counts)
+                cutoff = max(int(total * self.hot_share), 2)
+                hot = [r["repo"] for r in counts if r["n"] > cutoff]
+            if self.mode == "cow":
+                touched = [
+                    r[0]
+                    for r in slim.select(bucket_expr(snap.key_cols, snap.n_buckets))
+                    .distinct()
+                    .collect()
+                ]
+
+        # --- main pass: quarantine count observes the heavy action
+        ok = A.valid_predicate()
+        obs = Observation()
+        observed = events.observe(
+            obs, F.count(F.when(~ok, 1)).alias("rows_quarantined")
+        )
+        valid = observed.filter(ok)
+        collapsed = A.lww_collapse(valid, hot_repos=hot, n_salts=self.n_salts)
         rows = A.to_table_rows(collapsed, snap.schema)
 
-        new_snap, metrics = self.table.merge(
-            rows,
-            op_col="op",
-            delete_op="delete",
-            summary={
-                "run_id": self.run_id,
-                "run_scope": self.run_id,
-                "batch_id": batch_id,
-                "lsn_lo": lsn_lo,
-                "lsn_hi": lsn_hi,
-                "hot_repos": hot,
-                "rows_quarantined": n_bad,
-            },
-        )
+        manifest = {
+            "run_id": self.run_id,
+            "run_scope": self.run_id,
+            "batch_id": batch_id,
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "hot_repos": hot,
+        }
+        if self.mode == "mor":
+            new_snap, metrics = self.table.merge_mor(
+                rows, op_col="op", delete_op="delete", summary=manifest
+            )
+        else:
+            new_snap, metrics = self.table.merge(
+                rows,
+                op_col="op",
+                delete_op="delete",
+                touched_buckets=touched,
+                summary=manifest,
+            )
+        try:
+            n_bad = int(obs.get.get("rows_quarantined", 0))
+        except Exception:
+            n_bad = 0
         return BatchReport(
             batch_id,
             lsn_lo,
@@ -169,6 +223,12 @@ class CdcRunner:
             reports.append(rep)
             if rep.status == "applied":
                 applied += 1
+                if (
+                    self.mode == "mor"
+                    and self.compact_every
+                    and applied % self.compact_every == 0
+                ):
+                    self.table.compact(summary={"run_id": self.run_id})
                 if fail_after is not None and applied >= fail_after:
                     raise KilledError(f"injected kill after {applied} batches")
         return reports

@@ -23,6 +23,17 @@ own table format with exactly the properties the north rule needs:
 - **time travel / lineage**: the snapshot chain is retained until
   expired; each snapshot records per-bucket files and summary metrics.
 
+Two merge strategies (both atomic, both exactly-once):
+
+- **copy-on-write** (``merge``): full-outer join per touched bucket,
+  rewrites touched buckets. Read-optimal; write cost O(touched data).
+- **merge-on-read** (``merge_mor``): appends per-bucket delta files
+  (upserts + tombstones) stamped with the commit sequence — write cost
+  O(batch), zero join at write time. Readers resolve last-writer-wins by
+  ``max_by(_seq)`` per key; ``compact()`` folds deltas back into base
+  files. This is the 10^10-events/day shape: ingest never pays write
+  amplification, compaction amortizes it in the background.
+
 Layout::
 
     <root>/
@@ -31,7 +42,8 @@ Layout::
         snapshot-<id>.json
         lineage.jsonl           # per-(batch, partition) lineage rows
       data/
-        commit-<id>/_bucket=<k>/part-*.parquet
+        commit-<id>/_bucket=<k>/part-*.parquet    # CoW / compaction output
+        delta-<id>/_bucket=<k>/part-*.parquet     # MoR delta commits
 """
 
 from __future__ import annotations
@@ -48,6 +60,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BUCKET_COL = "_bucket"
+SEQ_COL = "_seq"  # commit sequence stamped into every data file
+TOMBSTONE_COL = "_tombstone"
 
 
 @dataclass
@@ -60,6 +74,8 @@ class Snapshot:
     files: dict[str, list[str]]  # bucket (as str) -> relative file paths
     summary: dict[str, Any] = field(default_factory=dict)
     timestamp_ms: int = 0
+    # merge-on-read delta files per bucket (resolved against `files` by _seq)
+    delta_files: dict[str, list[str]] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -75,6 +91,7 @@ class Snapshot:
             "files": self.files,
             "summary": self.summary,
             "timestamp_ms": self.timestamp_ms,
+            "delta_files": self.delta_files,
         }
 
     @staticmethod
@@ -88,6 +105,7 @@ class Snapshot:
             files=d["files"],
             summary=d.get("summary", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
+            delta_files=d.get("delta_files", {}),
         )
 
 
@@ -195,29 +213,66 @@ class LakeTable:
 
     # --------------------------------------------------------------- read
 
-    def read(self, snapshot: Snapshot | None = None) -> DataFrame:
-        """Scan the table at a snapshot (default: current). Missing columns
-        in old files null-fill via the explicit read schema — no
-        mergeSchema inference pass over every footer."""
+    def _internal_schema(self, snap: Snapshot) -> T.StructType:
+        return snap.schema.add(T.StructField(SEQ_COL, T.LongType(), True)).add(
+            T.StructField(TOMBSTONE_COL, T.BooleanType(), True)
+        )
+
+    def _scan(self, snap: Snapshot, paths: list[str], with_internals: bool) -> DataFrame:
+        """Scan files with the snapshot's explicit schema: missing columns
+        (pre-evolution files) null-fill, extra file columns drop — no
+        mergeSchema footer-inference pass."""
+        schema = self._internal_schema(snap) if with_internals else snap.schema
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _resolve(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Merge-on-read resolution: last writer per key by commit sequence
+        (max_by hash-agg — partial combine, skew-tolerant), tombstones
+        dropped. The same LWW primitive the CDC collapse uses (W1)."""
+        key_cols = snap.key_cols
+        val_cols = [f.name for f in snap.schema.fields if f.name not in key_cols]
+        w = F.struct(*[F.col(c) for c in val_cols], F.col(TOMBSTONE_COL))
+        resolved = df.groupBy(*key_cols).agg(
+            F.max_by(w, F.coalesce(F.col(SEQ_COL), F.lit(0))).alias("_w")
+        )
+        return resolved.filter(
+            ~F.coalesce(F.col(f"_w.{TOMBSTONE_COL}"), F.lit(False))
+        ).select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in val_cols])
+
+    def _bucket_paths(
+        self, snap: Snapshot, buckets: list[int] | None, include_deltas: bool
+    ) -> tuple[list[str], bool]:
+        keys = (
+            [str(b) for b in buckets]
+            if buckets is not None
+            else sorted(set(snap.files) | set(snap.delta_files))
+        )
+        base = [os.path.join(self.root, p) for k in keys for p in snap.files.get(k, [])]
+        deltas = (
+            [os.path.join(self.root, p) for k in keys for p in snap.delta_files.get(k, [])]
+            if include_deltas
+            else []
+        )
+        return base + deltas, bool(deltas)
+
+    def read(
+        self, snapshot: Snapshot | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Current-state scan (default: current snapshot, all buckets).
+        If merge-on-read deltas exist they are resolved (LWW by commit
+        seq); a fully-compacted table reads with zero resolution cost."""
         snap = snapshot or self.current_snapshot()
         assert snap is not None, "table has no committed snapshot"
-        paths = [os.path.join(self.root, p) for fs in snap.files.values() for p in fs]
-        if not paths:
-            return self.spark.createDataFrame([], snap.schema)
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+        paths, has_deltas = self._bucket_paths(snap, buckets, include_deltas=True)
+        if not has_deltas:
+            return self._scan(snap, paths, with_internals=False)
+        return self._resolve(self._scan(snap, paths, with_internals=True), snap)
 
     def read_buckets(self, buckets: list[int], snapshot: Snapshot | None = None) -> DataFrame:
         """Scan only the named buckets (partition pruning by file list)."""
-        snap = snapshot or self.current_snapshot()
-        assert snap is not None
-        paths = [
-            os.path.join(self.root, p)
-            for b in buckets
-            for p in snap.files.get(str(b), [])
-        ]
-        if not paths:
-            return self.spark.createDataFrame([], snap.schema)
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+        return self.read(snapshot=snapshot, buckets=buckets)
 
     # ------------------------------------------------------------- evolve
 
@@ -239,6 +294,7 @@ class LakeTable:
             n_buckets=cur.n_buckets,
             key_cols=cur.key_cols,
             files=cur.files,
+            delta_files=cur.delta_files,
             summary={"operation": "add-columns", **(summary or {})},
             timestamp_ms=int(time.time() * 1000),
         )
@@ -254,141 +310,286 @@ class LakeTable:
         op_col: str = "op",
         delete_op: str = "delete",
         summary: dict | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> tuple[Snapshot, dict]:
         """Key-partitioned MERGE (upsert-or-delete), copy-on-write at
-        bucket granularity.
+        bucket granularity, in ONE pass over the data.
 
         ``updates`` must be key-collapsed (≤1 row per key — LWW dedup
         upstream) and carry every table column plus ``op_col``.
 
         Emulates Iceberg ``MERGE INTO t USING s ON key WHEN MATCHED AND
         op='delete' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT
-        MATCHED AND op!='delete' THEN INSERT`` as anti-join ∪ upserts
-        (the composition SURVEY.md §2.3 J6 maps out), per touched bucket.
+        MATCHED AND op!='delete' THEN INSERT`` as a single full-outer
+        join between the touched buckets of the base and the updates;
+        insert/update/delete classification rides on the write action via
+        ``DataFrame.observe`` — no second metrics pass (SURVEY.md §2.3 J6,
+        §4 "batched writes").
 
-        Returns (snapshot, metrics) where metrics carries rows_inserted /
-        rows_updated / rows_deleted and per-bucket lineage rows.
+        ``touched_buckets``: pass the pre-computed bucket set when the
+        caller already knows it (the runner derives it from a column-
+        pruned key scan); otherwise one tiny distinct-collect happens here.
         """
+        from pyspark.sql import Observation
+
         cur = self.current_snapshot()
         assert cur is not None
         key_cols = cur.key_cols
         table_cols = [f.name for f in cur.schema.fields]
+        val_cols = [c for c in table_cols if c not in key_cols]
 
         upd = updates.withColumn(BUCKET_COL, bucket_expr(key_cols, cur.n_buckets))
-        upd.cache()
-        try:
-            # touched buckets: tiny collect (≤ n_buckets values)
-            touched = sorted(
-                r[0] for r in upd.select(BUCKET_COL).distinct().collect()
+        if touched_buckets is None:
+            touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
+        else:
+            touched = sorted(touched_buckets)
+
+        new_files: dict[str, list[str]] = {
+            b: list(paths) for b, paths in cur.files.items() if int(b) not in touched
+        }
+        commit_id = cur.snapshot_id + 1
+        totals = {"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0,
+                  "rows_delete_noop": 0}
+        per_bucket: list[dict] = []
+
+        if touched:
+            base = self.read_buckets(touched)
+            # disambiguate update-side columns before the join
+            u = upd.select(
+                *key_cols,
+                F.col(BUCKET_COL).alias("_u_bucket"),
+                F.col(op_col).alias("_u_op"),
+                *[F.col(c).alias(f"_u_{c}") for c in val_cols],
+            ).withColumn("_u_present", F.lit(True))
+            b = base.withColumn("_b_present", F.lit(True))
+
+            joined = b.join(u, on=key_cols, how="full_outer")
+            u_here = F.col("_u_present").isNotNull()
+            b_here = F.col("_b_present").isNotNull()
+            is_del = F.col("_u_op") == delete_op
+
+            clf_aggs = [
+                F.count(F.when(u_here & ~b_here & ~is_del, 1)).alias("rows_inserted"),
+                F.count(F.when(u_here & b_here & ~is_del, 1)).alias("rows_updated"),
+                F.count(F.when(u_here & b_here & is_del, 1)).alias("rows_deleted"),
+                F.count(F.when(u_here & ~b_here & is_del, 1)).alias("rows_delete_noop"),
+            ]
+            obs = Observation()
+            observed = joined.observe(obs, *clf_aggs)
+            result = observed.filter(~(u_here & is_del)).select(
+                *key_cols,
+                *[
+                    F.when(u_here, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+                    for c in val_cols
+                ],
+                F.lit(commit_id).cast("long").alias(SEQ_COL),
+                F.lit(False).alias(TOMBSTONE_COL),
+                F.coalesce(
+                    F.col("_u_bucket"), bucket_expr(key_cols, cur.n_buckets)
+                ).alias(BUCKET_COL),
             )
-            metrics = self._classify(upd, touched, cur, op_col, delete_op, key_cols)
 
-            new_files: dict[str, list[str]] = {
-                b: list(paths) for b, paths in cur.files.items() if int(b) not in touched
-            }
-            if touched:
-                base = self.read_buckets(touched).withColumn(
-                    BUCKET_COL, bucket_expr(key_cols, cur.n_buckets)
-                )
-                # survivors: base rows whose key is NOT in this batch
-                survivors = base.join(
-                    upd.select(*key_cols), on=key_cols, how="left_anti"
-                )
-                upserts = upd.filter(F.col(op_col) != delete_op).select(
-                    *[F.col(c) for c in table_cols], F.col(BUCKET_COL)
-                )
-                result = survivors.select(
-                    *[F.col(c) for c in table_cols], F.col(BUCKET_COL)
-                ).unionByName(upserts)
-
-                commit_id = cur.snapshot_id + 1
-                rel_dir = os.path.join("data", f"commit-{commit_id}")
-                out_dir = os.path.join(self.root, rel_dir)
-                # co-locate buckets before the partitioned write: one shuffle,
-                # files land one-per-bucket-per-task
-                (
-                    result.repartition(max(len(touched), 1), F.col(BUCKET_COL))
-                    .write.partitionBy(BUCKET_COL)
-                    .mode("overwrite")
-                    .parquet(out_dir)
-                )
-                for b in touched:
-                    bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-                    rels = []
-                    if os.path.isdir(bdir):
-                        rels = [
-                            os.path.join(rel_dir, f"{BUCKET_COL}={b}", fn)
-                            for fn in sorted(os.listdir(bdir))
-                            if fn.endswith(".parquet")
-                        ]
-                    if rels:
-                        new_files[str(b)] = rels
-            else:
-                commit_id = cur.snapshot_id + 1
-
-            snap = Snapshot(
-                snapshot_id=commit_id,
-                parent_id=cur.snapshot_id,
-                schema_json=cur.schema_json,
-                n_buckets=cur.n_buckets,
-                key_cols=key_cols,
-                files=new_files,
-                summary={"operation": "merge", **metrics["totals"], **(summary or {})},
-                timestamp_ms=int(time.time() * 1000),
+            rel_dir = os.path.join("data", f"commit-{commit_id}")
+            out_dir = os.path.join(self.root, rel_dir)
+            # co-locate buckets before the partitioned write: one shuffle,
+            # files land one-per-bucket-per-task
+            (
+                result.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+                .write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(out_dir)
             )
-            self._write_snapshot(snap)
-            self._commit_hint(snap.snapshot_id)
-            self._append_lineage(snap, metrics["per_bucket"], summary or {})
-            return snap, metrics
-        finally:
-            upd.unpersist()
+            try:
+                totals = {k: int(v) for k, v in obs.get.items()}
+            except Exception:
+                # optimizer pruned the metrics node (statically-empty join
+                # side) — recompute the tiny classification directly
+                row = joined.agg(*clf_aggs).collect()[0]
+                totals = {k: int(row[k]) for k in
+                          ("rows_inserted", "rows_updated", "rows_deleted",
+                           "rows_delete_noop")}
+            for bk in touched:
+                bdir = os.path.join(out_dir, f"{BUCKET_COL}={bk}")
+                rels, nrows = [], 0
+                if os.path.isdir(bdir):
+                    for fn in sorted(os.listdir(bdir)):
+                        if fn.endswith(".parquet"):
+                            rels.append(os.path.join(rel_dir, f"{BUCKET_COL}={bk}", fn))
+                if rels:
+                    new_files[str(bk)] = rels
+                per_bucket.append({"partition_id": bk, "n_files": len(rels)})
 
-    def _classify(
-        self,
-        upd: DataFrame,
-        touched: list[int],
-        cur: Snapshot,
-        op_col: str,
-        delete_op: str,
-        key_cols: list[str],
-    ) -> dict:
-        """Per-bucket insert/update/delete counts (lineage + metrics).
-        One small join: updates (key-collapsed, small) vs base keys of
-        touched buckets only."""
-        if not touched:
-            return {
-                "totals": dict(
-                    rows_inserted=0, rows_updated=0, rows_deleted=0, rows_delete_noop=0
-                ),
-                "per_bucket": [],
-            }
-        base_keys = self.read_buckets(touched).select(*key_cols).withColumn("_m", F.lit(1))
-        clf = (
-            upd.join(base_keys, on=key_cols, how="left")
-            .withColumn(
-                "_kind",
-                F.when((F.col(op_col) == delete_op) & F.col("_m").isNotNull(), "deleted")
-                .when((F.col(op_col) == delete_op), "delete_noop")
-                .when(F.col("_m").isNotNull(), "updated")
-                .otherwise("inserted"),
-            )
-            .groupBy(BUCKET_COL, "_kind")
-            .agg(F.count("*").alias("n"))
-            .collect()
+        # CoW rewrite of a touched bucket folds in and supersedes its deltas
+        new_deltas = {
+            b: list(paths)
+            for b, paths in cur.delta_files.items()
+            if int(b) not in touched
+        }
+        snap = Snapshot(
+            snapshot_id=commit_id,
+            parent_id=cur.snapshot_id,
+            schema_json=cur.schema_json,
+            n_buckets=cur.n_buckets,
+            key_cols=key_cols,
+            files=new_files,
+            delta_files=new_deltas,
+            summary={"operation": "merge", **totals, **(summary or {})},
+            timestamp_ms=int(time.time() * 1000),
         )
-        per_bucket: dict[int, dict[str, int]] = {}
-        totals = {"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0, "rows_delete_noop": 0}
-        keymap = {"inserted": "rows_inserted", "updated": "rows_updated",
-                  "deleted": "rows_deleted", "delete_noop": "rows_delete_noop"}
-        for row in clf:
-            b, kind, n = row[BUCKET_COL], row["_kind"], row["n"]
-            per_bucket.setdefault(b, {v: 0 for v in keymap.values()})
-            per_bucket[b][keymap[kind]] += n
-            totals[keymap[kind]] += n
-        rows = [
-            {"partition_id": b, **counts} for b, counts in sorted(per_bucket.items())
+        self._write_snapshot(snap)
+        self._commit_hint(snap.snapshot_id)
+        self._append_lineage(snap, per_bucket, summary or {})
+        return snap, {"totals": totals, "per_bucket": per_bucket}
+
+    def merge_mor(
+        self,
+        updates: DataFrame,
+        op_col: str = "op",
+        delete_op: str = "delete",
+        summary: dict | None = None,
+    ) -> tuple[Snapshot, dict]:
+        """Merge-on-read MERGE: append per-bucket delta files (upserts +
+        tombstones) stamped with this commit's sequence — O(batch) write,
+        no join against the base at ingest time.
+
+        This is the 10^10-scale ingest path: write amplification is zero,
+        the base is never rescanned per batch, and readers/compaction
+        resolve last-writer-wins by ``(key, max _seq)``. ``updates`` must
+        be key-collapsed, like ``merge``. Reference analog: the append-only
+        detections/event tables (V1__...sql:177-227) + deferred
+        consistency resolution."""
+        from pyspark.sql import Observation
+
+        cur = self.current_snapshot()
+        assert cur is not None
+        key_cols = cur.key_cols
+        val_cols = [f.name for f in cur.schema.fields if f.name not in key_cols]
+        commit_id = cur.snapshot_id + 1
+
+        is_del = F.col(op_col) == delete_op
+        clf_aggs = [
+            F.count(F.when(~is_del, 1)).alias("rows_upserted"),
+            F.count(F.when(is_del, 1)).alias("rows_delete_ops"),
         ]
-        return {"totals": totals, "per_bucket": rows}
+        obs = Observation()
+        delta = (
+            updates.observe(obs, *clf_aggs)
+            .select(
+                *key_cols,
+                # tombstones carry nulls for all value columns
+                *[
+                    F.when(~is_del, F.col(c)).alias(c)
+                    for c in val_cols
+                ],
+                F.lit(commit_id).cast("long").alias(SEQ_COL),
+                is_del.alias(TOMBSTONE_COL),
+                bucket_expr(key_cols, cur.n_buckets).alias(BUCKET_COL),
+            )
+        )
+        rel_dir = os.path.join("data", f"delta-{commit_id}")
+        out_dir = os.path.join(self.root, rel_dir)
+        delta.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
+        try:
+            totals = {k: int(v) for k, v in obs.get.items()}
+        except Exception:
+            row = updates.agg(*clf_aggs).collect()[0]
+            totals = {k: int(row[k]) for k in ("rows_upserted", "rows_delete_ops")}
+
+        new_deltas = {b: list(p) for b, p in cur.delta_files.items()}
+        per_bucket: list[dict] = []
+        if os.path.isdir(out_dir):
+            for entry in sorted(os.listdir(out_dir)):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                bk = entry.split("=", 1)[1]
+                rels = [
+                    os.path.join(rel_dir, entry, fn)
+                    for fn in sorted(os.listdir(os.path.join(out_dir, entry)))
+                    if fn.endswith(".parquet")
+                ]
+                if rels:
+                    new_deltas.setdefault(bk, []).extend(rels)
+                    per_bucket.append({"partition_id": int(bk), "n_files": len(rels)})
+
+        snap = Snapshot(
+            snapshot_id=commit_id,
+            parent_id=cur.snapshot_id,
+            schema_json=cur.schema_json,
+            n_buckets=cur.n_buckets,
+            key_cols=key_cols,
+            files=cur.files,
+            delta_files=new_deltas,
+            summary={"operation": "merge-mor", **totals, **(summary or {})},
+            timestamp_ms=int(time.time() * 1000),
+        )
+        self._write_snapshot(snap)
+        self._commit_hint(snap.snapshot_id)
+        self._append_lineage(snap, per_bucket, summary or {})
+        return snap, {"totals": totals, "per_bucket": per_bucket}
+
+    def compact(self, min_deltas: int = 1, summary: dict | None = None) -> Snapshot | None:
+        """Fold merge-on-read deltas back into base files (background
+        maintenance — Iceberg rewrite_data_files analog). Buckets with
+        ≥ ``min_deltas`` delta files are resolved (LWW by _seq, tombstones
+        dropped) and rewritten; others untouched. Returns None if nothing
+        to compact."""
+        cur = self.current_snapshot()
+        assert cur is not None
+        victims = sorted(
+            int(b) for b, fs in cur.delta_files.items() if len(fs) >= min_deltas
+        )
+        if not victims:
+            return None
+        commit_id = cur.snapshot_id + 1
+        resolved = (
+            self.read(buckets=victims)
+            .withColumn(BUCKET_COL, bucket_expr(cur.key_cols, cur.n_buckets))
+            .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
+            .withColumn(TOMBSTONE_COL, F.lit(False))
+        )
+        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            resolved.repartition(max(len(victims), 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_files = {b: list(p) for b, p in cur.files.items()}
+        new_deltas = {
+            b: list(p) for b, p in cur.delta_files.items() if int(b) not in victims
+        }
+        for bk in victims:
+            bdir = os.path.join(out_dir, f"{BUCKET_COL}={bk}")
+            rels = []
+            if os.path.isdir(bdir):
+                rels = [
+                    os.path.join(rel_dir, f"{BUCKET_COL}={bk}", fn)
+                    for fn in sorted(os.listdir(bdir))
+                    if fn.endswith(".parquet")
+                ]
+            if rels:
+                new_files[str(bk)] = rels
+            else:
+                new_files.pop(str(bk), None)  # bucket fully deleted
+        snap = Snapshot(
+            snapshot_id=commit_id,
+            parent_id=cur.snapshot_id,
+            schema_json=cur.schema_json,
+            n_buckets=cur.n_buckets,
+            key_cols=cur.key_cols,
+            files=new_files,
+            delta_files=new_deltas,
+            summary={
+                "operation": "compact",
+                "compacted_buckets": victims,
+                **(summary or {}),
+            },
+            timestamp_ms=int(time.time() * 1000),
+        )
+        self._write_snapshot(snap)
+        self._commit_hint(snap.snapshot_id)
+        return snap
 
     def _append_lineage(self, snap: Snapshot, per_bucket: list[dict], summary: dict) -> None:
         """Append-only per-(batch, partition) lineage rows (reference:
@@ -420,6 +621,7 @@ class LakeTable:
         chain = self.snapshot_chain()
         keep = chain[:keep_last]
         live_files = {p for s in keep for fs in s.files.values() for p in fs}
+        live_files |= {p for s in keep for fs in s.delta_files.values() for p in fs}
         removed = 0
         keep_ids = {s.snapshot_id for s in keep}
         for fn in os.listdir(self._meta):

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + the CDC replay north-star.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, "cdc_events_per_sec": N, ...}
+
+The CDC replay benchmark generates (and caches) a deterministic change
+log scaled to the SF, replays it into a fresh LakeTable, and reports
+end-to-end events/sec (replay → committed snapshot) — the BASELINE.json
+north-star metric. Scaling evidence (local[8] vs local[32]) is produced
+by ``scripts/bench_scaling.py`` into ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cdc_lww_current_state",
+    "cdc_salted_lww",
+    "tpch_q1_pricing_summary",
+    "join_fact_dim_revenue_by_brand",
+    "join_three_way_nation_revenue",
+    "join_asof_last_click_before_purchase",
+    "window_top1_order_per_customer",
+    "window_sessionize_events",
+    "dedup_exact_by_sha",
+    "dedup_jaccard_shingle_pairs",
+    "dedup_minhash_lsh_candidates",
+    "sim_cosine_topk_bruteforce",
+    "text_quality_scores",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def cdc_fixture_dir(sf: float) -> dict:
+    """Deterministic CDC change log scaled to SF, cached across runs."""
+    from astro_data_pipeline_spark.cdc.fixtures import generate_change_log
+
+    params = dict(
+        n_repos=max(int(200 * sf * 10), 20),
+        n_keys=max(int(1_200_000 * sf), 1000),
+        n_events=max(int(6_000_000 * sf), 5000),
+    )
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    tag = f"sf{sf}-{params['n_keys']}-{params['n_events']}"
+    out = os.path.join(root, tag)
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    shutil.rmtree(out, ignore_errors=True)
+    meta = generate_change_log(out, **params)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bench_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
+    from astro_data_pipeline_spark.cdc import apply as A
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from pyspark.sql import types as T
+
+    meta = cdc_fixture_dir(sf)
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    with tempfile.TemporaryDirectory() as td:
+        table = LakeTable.create(
+            spark,
+            os.path.join(td, "lake"),
+            T.StructType(A.BASE_TABLE_FIELDS),
+            A.KEY_COLS,
+            n_buckets=32,
+        )
+        t0 = time.time()
+        # merge-on-read ingest + a final compaction inside the timed
+        # region: events/sec covers replay → fully-compacted snapshot
+        CdcRunner(spark, table, run_id="bench", mode="mor").replay(
+            events, n_batches=n_batches
+        )
+        table.compact()
+        dt = time.time() - t0
+        n_rows = table.read().count()
+    return {
+        "cdc_replay_sec": round(dt, 3),
+        "cdc_events": meta["n_events"],
+        "cdc_events_per_sec": round(meta["n_events"] / dt, 1),
+        "cdc_final_rows": n_rows,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_from_dir(sf_dir)
+
+    from astro_data_pipeline_spark import registry
+    from astro_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="adps-bench", cpus=cpus)
+
+    queries: dict[str, float] = {}
+    all_q = registry.all_queries()
+    for name in HEADLINE:
+        fn = all_q[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        queries[name] = round(time.time() - t0, 3)
+        _ = n
+
+    cdc = bench_cdc_replay(spark, sf)
+    queries["cdc_replay"] = cdc["cdc_replay_sec"]
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc_events_per_sec": cdc["cdc_events_per_sec"],
+        "cdc_events": cdc["cdc_events"],
+        "cdc_final_rows": cdc["cdc_final_rows"],
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

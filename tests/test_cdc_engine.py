@@ -87,15 +87,33 @@ def test_fixture_adversarial_properties(fixture_meta):
 # -------------------------------------------------------------- replay
 
 
-def test_replay_matches_oracle(spark, tmp_path, fixture_meta, oracle_state):
+@pytest.mark.parametrize(
+    "mode,compact_every",
+    [("cow", None), ("mor", None), ("mor", 2)],
+    ids=["cow", "mor", "mor+compact"],
+)
+def test_replay_matches_oracle(spark, tmp_path, fixture_meta, oracle_state, mode, compact_every):
     table = _new_table(spark, tmp_path)
     events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
-    runner = CdcRunner(spark, table, run_id="r1")
+    runner = CdcRunner(spark, table, run_id="r1", mode=mode, compact_every=compact_every)
     reports = runner.replay(events, n_batches=5)
     assert all(r.status in ("applied", "empty") for r in reports)
     got, want = _final_state(table), _normalize(oracle_state)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path, fixture_meta, oracle_state):
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    CdcRunner(spark, table, run_id="r1", mode="mor").replay(events, n_batches=4)
+    assert table.current_snapshot().delta_files, "mor replay must leave deltas"
+    before = _final_state(table)
+    snap = table.compact()
+    assert snap is not None and not snap.delta_files
+    after = _final_state(table)
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+    pd.testing.assert_frame_equal(after, _normalize(oracle_state), check_dtype=False)
 
 
 def test_idempotent_reapply_skips(spark, tmp_path, fixture_meta, oracle_state):
@@ -183,12 +201,18 @@ def test_quarantine_invalid_events(spark, fixture_meta):
 def test_lineage_accounting(spark, tmp_path, fixture_meta):
     table = _new_table(spark, tmp_path)
     events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
-    CdcRunner(spark, table, run_id="r1").replay(events, n_batches=4)
+    CdcRunner(spark, table, run_id="r1", mode="cow").replay(events, n_batches=4)
+    # per-(batch, partition) lineage rows exist and name their snapshot
     lin = table.lineage().toPandas()
-    assert {"run_id", "batch_id", "partition_id", "rows_inserted", "rows_updated",
-            "rows_deleted", "snapshot_id", "lsn_lo", "lsn_hi"} <= set(lin.columns)
-    net = int(lin["rows_inserted"].sum() - lin["rows_deleted"].sum())
+    assert {"run_id", "batch_id", "partition_id", "snapshot_id",
+            "lsn_lo", "lsn_hi", "committed_at_ms"} <= set(lin.columns)
+    assert lin["partition_id"].nunique() > 1
+    # batch totals in the snapshot chain reconcile with the final state
+    merges = [s.summary for s in table.snapshot_chain() if s.summary.get("operation") == "merge"]
+    net = sum(s["rows_inserted"] - s["rows_deleted"] for s in merges)
     assert net == table.read().count()
+    # every merge snapshot carries its batch manifest fields
+    assert all({"run_id", "batch_id", "lsn_lo", "lsn_hi"} <= set(s) for s in merges)
 
 
 def test_sha_invariant_native_equals_arrow(spark, fixture_meta):
