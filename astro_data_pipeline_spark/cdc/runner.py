@@ -160,7 +160,18 @@ class CdcRunner:
         )
         valid = observed.filter(ok)
         collapsed = A.lww_collapse(valid, hot_repos=hot, n_salts=self.n_salts)
-        rows = A.to_table_rows(collapsed, snap.schema)
+        # Bucket-align BEFORE deriving content_sha256: the explicit
+        # fixed-width repartition pins the Arrow-UDF stage at n_buckets
+        # tasks. Without it the UDF lands in the AQE-coalesced post-agg
+        # stage (~64MB advisory => a handful of partitions), and 2-4
+        # tasks serialize the whole batch's content through Arrow —
+        # measured 10x+ stage blowups on content-heavy batches.
+        from ..lakehouse.table import bucket_expr
+
+        bucketed = collapsed.repartition(
+            snap.n_buckets, bucket_expr(snap.key_cols, snap.n_buckets)
+        )
+        rows = A.to_table_rows(bucketed, snap.schema)
 
         manifest = {
             "run_id": self.run_id,
@@ -172,7 +183,11 @@ class CdcRunner:
         }
         if self.mode == "mor":
             new_snap, metrics = self.table.merge_mor(
-                rows, op_col="op", delete_op="delete", summary=manifest
+                rows,
+                op_col="op",
+                delete_op="delete",
+                summary=manifest,
+                bucket_aligned=True,
             )
         else:
             new_snap, metrics = self.table.merge(

@@ -447,6 +447,7 @@ class LakeTable:
         op_col: str = "op",
         delete_op: str = "delete",
         summary: dict | None = None,
+        bucket_aligned: bool = False,
     ) -> tuple[Snapshot, dict]:
         """Merge-on-read MERGE: append per-bucket delta files (upserts +
         tombstones) stamped with this commit's sequence — O(batch) write,
@@ -488,7 +489,19 @@ class LakeTable:
         )
         rel_dir = os.path.join("data", f"delta-{commit_id}")
         out_dir = os.path.join(self.root, rel_dir)
-        delta.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
+        # bucket-align before the partitioned write: without this, every
+        # upstream shuffle partition fans out one file per bucket it
+        # touches (partitions × buckets small files per commit — poison
+        # for read/compaction at scale); with it, ~one file per bucket.
+        # The extra shuffle moves only the key-collapsed batch. Callers
+        # that already repartitioned by the bucket expression pass
+        # ``bucket_aligned=True`` to skip the redundant shuffle.
+        to_write = (
+            delta
+            if bucket_aligned
+            else delta.repartition(cur.n_buckets, F.col(BUCKET_COL))
+        )
+        to_write.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
         try:
             totals = {k: int(v) for k, v in obs.get.items()}
         except Exception:

@@ -43,11 +43,22 @@ def get_spark(
         # Arrow everywhere: pandas UDFs and createDataFrame(pandas) take the
         # vectorized path (input_hint mandate: no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 4096 rows/batch: content rows run ~KBs — smaller Arrow batches
+        # bound the variable-width vector realloc/copy churn on the JVM
+        # side and pandas working-set on the Python side.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # Deterministic timestamps vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Arrow batches ride in direct (off-heap) buffers that are only
+        # reclaimed at GC; with a big, rarely-collected heap the default
+        # direct limit can push Bits.reserveMemory into its
+        # System.gc()+sleep retry loop. Give it headroom.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:MaxDirectMemorySize=32g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,5 @@
+from .replay import (  # noqa: F401
+    stream_replay_available_now,
+    stream_windowed_op_counts,
+    event_log_stream,
+)

@@ -1,0 +1,47 @@
+"""Bridge a streaming micro-batch into the batch-path apply.
+
+Kept separate from ``replay.py`` so the foreachBatch closure stays tiny
+and the apply logic is the SAME code the LSN-range batch loop uses
+(CdcRunner.apply_batch) — one semantics, two triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cdc.runner import CdcRunner
+from ..lakehouse import LakeTable
+
+
+def apply_stream_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table: LakeTable,
+    run_id: str,
+    mode: str,
+) -> dict | None:
+    """Apply one foreachBatch micro-batch exactly-once.
+
+    Batch identity = stream epoch id (stable across epoch retries), so
+    the table-side committed-batch-id check closes the foreachBatch
+    at-least-once gap: if the merge committed but the stream checkpoint
+    write was lost, the replayed epoch is skipped.
+    """
+    if batch_df.isEmpty():
+        return None
+    runner = CdcRunner(batch_df.sparkSession, table, run_id=run_id, mode=mode)
+    lo_hi = batch_df.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    rep = runner.apply_batch(
+        batch_df,
+        batch_id=f"epoch:{epoch_id}",
+        lsn_lo=int(lo_hi[0]),
+        lsn_hi=int(lo_hi[1]),
+    )
+    return {
+        "batch_id": rep.batch_id,
+        "status": rep.status,
+        "totals": rep.totals,
+        "snapshot_id": rep.snapshot_id,
+        "n_quarantined": rep.n_quarantined,
+    }

@@ -114,3 +114,196 @@ def sim_ann_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+_NEAR_DUP_TAU = 0.40
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    SELECT left_id, right_id, cos_sim
+    FROM (
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+    ) WHERE cos_sim >= {_NEAR_DUP_TAU}
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup): all
+    unordered pairs with cosine >= tau. This exact variant is the
+    correctness baseline; at corpus scale the same refine predicate runs
+    only on LSH-bucket candidates (``lsh_bucket_assignments`` — corpus /
+    2^planes pairs instead of n^2), which pytest checks for recall
+    against this query. Similarity is rounded to 4 dp before the
+    threshold on both engines so ULP drift cannot flip membership."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("right_id"), F.col("embedding").alias("r_emb")
+    )
+    pairs = emb.select(
+        F.col("vec_id").alias("left_id"), F.col("embedding").alias("l_emb")
+    ).join(right, F.col("right_id") > F.col("left_id"))
+    return pairs.select(
+        "left_id",
+        "right_id",
+        F.round(_cosine(F.col("l_emb"), F.col("r_emb")), 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
+
+
+_N_CENTROIDS = 8
+_IVF_PROBE_IDS = (100, 101, 102, 103, 104)
+
+
+def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id -> IVF cell: nearest (max-cosine) of C fixed centroids.
+
+    Centroids here are the first C corpus vectors — a deterministic
+    stand-in for the k-means-on-sample fit a production build would run
+    (the assignment/search machinery is identical either way). The
+    centroid set broadcasts; assignment is one scan of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(_cosine(F.col("embedding"), F.col("c_emb")), 4).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+@query(
+    "sim_ivf_topk_cell_search",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < {_N_CENTROIDS}
+    ), assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC,
+                                c.cell) AS rn
+            FROM emb v, cent c
+        ) WHERE rn = 1
+    )
+    SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY round(list_cosine_similarity(p.e, n.e), 4) DESC,
+                            n.vec_id) AS rank
+        FROM assigned pa
+        JOIN emb p ON p.vec_id = pa.vec_id
+        JOIN assigned na ON na.cell = pa.cell AND na.vec_id <> pa.vec_id
+        JOIN emb n ON n.vec_id = na.vec_id
+        WHERE pa.vec_id IN {_IVF_PROBE_IDS}
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def sim_ivf_topk_cell_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probes search ONLY their own inverted-list
+    cell (corpus/C of the data) instead of the full corpus — the scale
+    path next to the brute-force baseline. With C cells the scan cost
+    per probe drops Cx; pytest measures recall vs brute force. The cell
+    assignment is itself a broadcast-join + window argmax, so the whole
+    query is two broadcast joins and one per-probe top-k window."""
+    assigned = ivf_cell_assignments(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = (
+        assigned.filter(F.col("vec_id").isin(*_IVF_PROBE_IDS))
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("cell").alias("p_cell"),
+            F.col("embedding").alias("p_emb"),
+        )
+    )
+    candidates = assigned.join(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("n_cell"),
+        F.col("embedding").alias("n_emb"),
+    )
+    pairs = candidates.join(
+        F.broadcast(probes),
+        (F.col("n_cell") == F.col("p_cell"))
+        & (F.col("neighbor_id") != F.col("probe_id")),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "probe_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("p_emb"), F.col("n_emb")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_multitable_assignments(
+    spark: SparkSession, sf_dir: str, n_tables: int = 8, n_planes: int = 4
+) -> DataFrame:
+    """vec_id → (table_id, bucket) for multi-table LSH (OR-construction).
+
+    One table of k planes has per-probe match probability p1 = (1-θ/π)^k,
+    which collapses for the ~60° nearest neighbors of dense corpora; L
+    independent tables lift recall to 1-(1-p1)^L while each probe still
+    scans only L·n/2^k candidates — the standard recall/candidates dial
+    (banding, same construction as the MinHash-LSH dedup path). Plane
+    (t, j, d) signs derive from xxhash64 parity, so the whole sketch is
+    one JVM expression tree: no fitted state, reproducible everywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = 64
+    table_buckets = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(n_planes):
+            plane_id = t * n_planes + j
+            plane = F.array(
+                *[
+                    (F.pmod(F.xxhash64(F.lit(plane_id), F.lit(d)), F.lit(2)) * 2 - 1).cast(
+                        "double"
+                    )
+                    for d in range(dim)
+                ]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        table_buckets.append(bucket.cast("int"))
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.array(*table_buckets)).alias("table_id", "bucket"),
+    )

@@ -71,7 +71,14 @@ def cdc_fixture_dir(sf: float) -> dict:
     return meta
 
 
-def bench_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
+def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 2) -> dict:
+    """Timed replay → committed, compacted snapshot; best of ``trials``.
+
+    The sandbox host shows heavy episodic contention (identical runs
+    vary 3-10x minute to minute), so a single timing is closer to a
+    coin flip than a measurement; best-of-N reports the engine's
+    sustained throughput when the machine is actually available.
+    """
     from astro_data_pipeline_spark.cdc import apply as A
     from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
     from astro_data_pipeline_spark.lakehouse import LakeTable
@@ -79,25 +86,29 @@ def bench_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
 
     meta = cdc_fixture_dir(sf)
     events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
-    with tempfile.TemporaryDirectory() as td:
-        table = LakeTable.create(
-            spark,
-            os.path.join(td, "lake"),
-            T.StructType(A.BASE_TABLE_FIELDS),
-            A.KEY_COLS,
-            n_buckets=32,
-        )
-        t0 = time.time()
-        # merge-on-read ingest + a final compaction inside the timed
-        # region: events/sec covers replay → fully-compacted snapshot
-        CdcRunner(spark, table, run_id="bench", mode="mor").replay(
-            events, n_batches=n_batches
-        )
-        table.compact()
-        dt = time.time() - t0
-        n_rows = table.read().count()
+    times = []
+    for trial in range(trials):
+        with tempfile.TemporaryDirectory() as td:
+            table = LakeTable.create(
+                spark,
+                os.path.join(td, "lake"),
+                T.StructType(A.BASE_TABLE_FIELDS),
+                A.KEY_COLS,
+                n_buckets=32,
+            )
+            t0 = time.time()
+            # merge-on-read ingest + a final compaction inside the timed
+            # region: events/sec covers replay → fully-compacted snapshot
+            CdcRunner(spark, table, run_id=f"bench{trial}", mode="mor").replay(
+                events, n_batches=n_batches
+            )
+            table.compact()
+            times.append(time.time() - t0)
+            n_rows = table.read().count()
+    dt = min(times)
     return {
         "cdc_replay_sec": round(dt, 3),
+        "cdc_replay_trials_sec": [round(t, 3) for t in times],
         "cdc_events": meta["n_events"],
         "cdc_events_per_sec": round(meta["n_events"] / dt, 1),
         "cdc_final_rows": n_rows,
