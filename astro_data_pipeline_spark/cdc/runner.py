@@ -69,6 +69,7 @@ class CdcRunner:
         salt_auto: bool = True,
         mode: str = "mor",
         compact_every: int | None = None,
+        fuse_buckets: bool = True,
     ):
         """``mode``: 'mor' (merge-on-read appends — the 10^10-scale ingest
         path, zero write amplification) or 'cow' (copy-on-write join —
@@ -83,6 +84,7 @@ class CdcRunner:
         self.salt_auto = salt_auto
         self.mode = mode
         self.compact_every = compact_every
+        self.fuse_buckets = fuse_buckets
 
     # ---------------------------------------------------------- evolution
 
@@ -159,19 +161,30 @@ class CdcRunner:
             obs, F.count(F.when(~ok, 1)).alias("rows_quarantined")
         )
         valid = observed.filter(ok)
-        collapsed = A.lww_collapse(valid, hot_repos=hot, n_salts=self.n_salts)
-        # Bucket-align BEFORE deriving content_sha256: the explicit
-        # fixed-width repartition pins the Arrow-UDF stage at n_buckets
-        # tasks. Without it the UDF lands in the AQE-coalesced post-agg
-        # stage (~64MB advisory => a handful of partitions), and 2-4
-        # tasks serialize the whole batch's content through Arrow —
-        # measured 10x+ stage blowups on content-heavy batches.
+        # Bucket-fused collapse: ONE content-bearing shuffle serves both
+        # the LWW groupBy and the sink's bucket alignment (hash on the
+        # bucket — a function of the group keys — satisfies the agg's
+        # required distribution, so no second exchange). The explicit
+        # fixed-width repartition also pins the downstream Arrow-UDF
+        # stage at n_buckets tasks; without it the UDF lands in an
+        # AQE-coalesced post-agg stage (~64MB advisory => a handful of
+        # partitions) and 2-4 tasks serialize the whole batch's content
+        # through Arrow — measured 10x+ stage blowups.
         from ..lakehouse.table import bucket_expr
 
-        bucketed = collapsed.repartition(
-            snap.n_buckets, bucket_expr(snap.key_cols, snap.n_buckets)
-        )
-        rows = A.to_table_rows(bucketed, snap.schema)
+        if self.fuse_buckets:
+            collapsed = A.lww_collapse(
+                valid,
+                hot_repos=hot,
+                n_salts=self.n_salts,
+                bucket=bucket_expr(snap.key_cols, snap.n_buckets),
+                n_partitions=snap.n_buckets,
+            )
+        else:
+            collapsed = A.lww_collapse(
+                valid, hot_repos=hot, n_salts=self.n_salts
+            ).repartition(snap.n_buckets, bucket_expr(snap.key_cols, snap.n_buckets))
+        rows = A.to_table_rows(collapsed, snap.schema)
 
         manifest = {
             "run_id": self.run_id,

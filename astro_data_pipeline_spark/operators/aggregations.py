@@ -197,3 +197,24 @@ def agg_quality_score_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(validity, 4).alias("validity"),
         F.round(completeness * 0.5 + validity * 0.5, 4).alias("overall_score"),
     )
+
+
+@query(
+    "agg_rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation — SURVEY §2.4 marks grouping sets
+    as NOT PRESENT in the reference (its dashboards recompute each level
+    with separate queries, data_quality_monitoring.py:132-142); Spark has
+    it built in as one pass with partial aggregation per grouping set."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))

@@ -190,3 +190,38 @@ def sort_keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") > 200) & (F.col("rn") <= 300))
         .select(F.col("o_orderkey").alias("orderkey"), "orderdate_str")
     )
+
+
+@query(
+    "window_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id AS version_id,
+           row_number() OVER w AS version_no,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 SCD-2 versioned registry: per-key version history with validity
+    intervals and a single current version per key (reference: single-
+    active-version workflow registry, unique partial index
+    V2_2__Add_Workflow_Versioning_Support.sql:414-416, activation flip
+    :256-283). lead() closes each interval; the open interval is the
+    active version — at most one per key by construction, the invariant
+    the reference enforces with a partial unique index."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.row_number().over(w).alias("version_no"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(F.date_format(F.lead("ts").over(w), fmt), F.lit("current")).alias(
+            "valid_to"
+        ),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

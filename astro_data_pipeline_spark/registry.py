@@ -67,7 +67,7 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import relational, windows, joins, aggregations  # noqa: F401
+    from .operators import relational, windows, joins, aggregations, spatial  # noqa: F401
     from .cdc import queries as cdc_queries  # noqa: F401
     from .textops import dedup, similarity, quality  # noqa: F401
     from .multimodal import binary  # noqa: F401
