@@ -111,8 +111,24 @@ class CdcRunner:
 
     # -------------------------------------------------------------- apply
 
+    def detect_hot_repos(self, events: DataFrame) -> list[str]:
+        """Heavy hitters from a deterministic 2% sample of ``events``
+        (one cheap column-pruned job). A repo owning > hot_share of the
+        sample is near-certain to surface; the full scan this replaces
+        would cost a whole extra pass over the log."""
+        sample = events.select("repo").sample(fraction=0.02, seed=42)
+        counts = sample.groupBy("repo").agg(F.count("*").alias("n")).collect()
+        total = sum(r["n"] for r in counts)
+        cutoff = max(int(total * self.hot_share), 2)
+        return [r["repo"] for r in counts if r["n"] > cutoff]
+
     def apply_batch(
-        self, events: DataFrame, batch_id: str, lsn_lo: int, lsn_hi: int
+        self,
+        events: DataFrame,
+        batch_id: str,
+        lsn_lo: int,
+        lsn_hi: int,
+        hot_repos: list[str] | None = None,
     ) -> BatchReport:
         """Validate → salted LWW → sha256 → MERGE, one atomic commit.
 
@@ -130,22 +146,18 @@ class CdcRunner:
         self._evolve_if_needed(events)
         snap = self.table.current_snapshot()
 
-        # --- slim pass: repo/path columns only — parquet column pruning
-        hot: list[str] = []
+        # --- slim pass: repo/path columns only — parquet column pruning.
+        # ``hot_repos`` passed in (replay computes it ONCE for the whole
+        # log) skips the per-batch sample job — driver-side jobs are the
+        # serial fraction that caps scaling at high core counts.
+        hot: list[str] = hot_repos if hot_repos is not None else []
         touched: list[int] | None = None
-        if self.salt_auto or self.mode == "cow":
+        if (self.salt_auto and hot_repos is None) or self.mode == "cow":
             from ..lakehouse.table import bucket_expr
 
             slim = events.select("repo", "path")
-            if self.salt_auto:
-                # heavy hitters from a deterministic 2% sample — a repo
-                # owning >hot_share of the batch is near-certain to show
-                # up; the full scan it replaces costs a whole extra pass
-                sample = slim.sample(fraction=0.02, seed=42)
-                counts = sample.groupBy("repo").agg(F.count("*").alias("n")).collect()
-                total = sum(r["n"] for r in counts)
-                cutoff = max(int(total * self.hot_share), 2)
-                hot = [r["repo"] for r in counts if r["n"] > cutoff]
+            if self.salt_auto and hot_repos is None:
+                hot = self.detect_hot_repos(slim)
             if self.mode == "cow":
                 touched = [
                     r[0]
@@ -241,13 +253,17 @@ class CdcRunner:
         lo_hi = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
         if lo_hi[0] is None:
             return []
+        # Hot-repo set once for the whole log: salting is correctness-
+        # neutral (pre-MERGE key collapse), so a log-global hot set is as
+        # valid as a per-batch one and saves one driver job per batch.
+        hot = self.detect_hot_repos(events) if self.salt_auto else []
         reports: list[BatchReport] = []
         applied = 0
         for lo, hi in lsn_ranges(int(lo_hi[0]), int(lo_hi[1]), n_batches):
             batch_id = f"lsn:{lo}-{hi}"
             # LSN-range predicate pushes down to the event-log scan
             batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-            rep = self.apply_batch(batch, batch_id, lo, hi)
+            rep = self.apply_batch(batch, batch_id, lo, hi, hot_repos=hot)
             reports.append(rep)
             if rep.status == "applied":
                 applied += 1

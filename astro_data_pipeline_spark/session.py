@@ -50,6 +50,11 @@ def get_spark(
         # Deterministic timestamps vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # v2 commit algorithm: task commits move output files directly so
+        # job commit is O(1) instead of a serial driver-side rename per
+        # file — the dominant *serial* cost of each partitioned write at
+        # high core counts (Amdahl killer for small batches).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # Arrow batches ride in direct (off-heap) buffers that are only
         # reclaimed at GC; with a big, rarely-collected heap the default

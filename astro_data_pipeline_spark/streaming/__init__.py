@@ -3,3 +3,4 @@ from .replay import (  # noqa: F401
     stream_windowed_op_counts,
     event_log_stream,
 )
+from .stateful import stateful_current_state_changelog  # noqa: F401

@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator: per-key LWW state machine via
+``applyInPandasWithState`` (SURVEY.md §2.11 "state store / progress
+tracking").
+
+The batch engine materializes current-state into the lake table; this is
+the *continuous* twin — a keyed state store that carries each
+``(repo, path)``'s winning ``(last_lsn, alive, content_sha256)`` across
+micro-batches and emits a changelog row whenever a batch advances a key.
+Reference analog: the ``processing_jobs`` status state machine persisted
+between polls (ProcessingJob.java:155-232) and the catalog's
+insert-or-update current row (CatalogService.java:153-174) — here the
+"database" is Spark's versioned state store, checkpointed with the
+query, so a restart resumes with state intact.
+
+Semantics (same contract as ``cdc.oracle.replay_reference``):
+- within a batch the highest-LSN event per key wins (vectorized pandas
+  idxmax over the Arrow batches);
+- the batch winner only applies if its LSN exceeds the stored one —
+  cross-batch LWW even if the source delivers out of LSN order across
+  triggers;
+- delete flips ``alive`` to false but KEEPS the tombstone in state (a
+  later re-insert must still compare LSNs — dropping state would let a
+  stale pre-delete update resurrect the key);
+- duplicate deliveries (same LSN) never advance state — idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_lsn", T.LongType()),
+        T.StructField("alive", T.BooleanType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_meta", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+    ]
+)
+
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("last_lsn", T.LongType()),
+        T.StructField("alive", T.BooleanType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_meta", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+    ]
+)
+
+
+def _lww_state_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """One key's state transition for one micro-batch."""
+    best: pd.Series | None = None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        row = pdf.loc[pdf["lsn"].idxmax()]
+        if best is None or int(row["lsn"]) > int(best["lsn"]):
+            best = row
+    if best is None:
+        return
+    new_lsn = int(best["lsn"])
+    if state.exists and new_lsn <= int(state.get[0]):
+        return  # stale or duplicate delivery — state unchanged, no emit
+    alive = best["op"] != "delete"
+    content = best["content"]
+    sha = (
+        hashlib.sha256(str(content).encode("utf-8")).hexdigest()
+        if alive and content is not None
+        else None
+    )
+
+    def _s(v):
+        return None if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
+
+    commit = _s(best.get("commit")) if alive else None
+    lang = _s(best.get("lang")) if alive else None
+    lang_meta = _s(best.get("lang_meta")) if alive else None
+    state.update((new_lsn, bool(alive), commit, lang, lang_meta, sha))
+    yield pd.DataFrame(
+        {
+            "repo": [key[0]],
+            "path": [key[1]],
+            "last_lsn": [new_lsn],
+            "alive": [bool(alive)],
+            "commit": [commit],
+            "lang": [lang],
+            "lang_meta": [lang_meta],
+            "content_sha256": [sha],
+        }
+    )
+
+
+def stateful_current_state_changelog(events: DataFrame) -> DataFrame:
+    """Streaming changelog of per-key current state.
+
+    ``events`` must be a streaming DataFrame with the event-log schema.
+    Emits one row per (key, batch) where the batch advanced the key.
+    The last emitted row per key IS the key's current state — downstream
+    can sink it to a changelog topic or merge it into a serving table.
+    """
+    return events.groupBy("repo", "path").applyInPandasWithState(
+        _lww_state_update,
+        outputStructType=CHANGELOG_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

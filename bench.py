@@ -94,7 +94,7 @@ def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 2) -> d
                 os.path.join(td, "lake"),
                 T.StructType(A.BASE_TABLE_FIELDS),
                 A.KEY_COLS,
-                n_buckets=32,
+                n_buckets=64,
             )
             t0 = time.time()
             # merge-on-read ingest + a final compaction inside the timed

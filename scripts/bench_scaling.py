@@ -36,13 +36,13 @@ sys.path.insert(0, REPO)
 
 # --------------------------------------------------------------- worker
 
-def run_worker(cpus: int, sf: float, n_batches: int, out_path: str) -> None:
+def run_worker(cpus: int, sf: float, n_batches: int, out_path: str, trials: int = 2) -> None:
     """One timed replay at local[cpus]; executed inside spark-submit."""
     from astro_data_pipeline_spark.session import get_spark
     from bench import bench_cdc_replay
 
     spark = get_spark(app_name=f"adps-scale-{cpus}", cpus=cpus)
-    res = bench_cdc_replay(spark, sf, n_batches=n_batches)
+    res = bench_cdc_replay(spark, sf, n_batches=n_batches, trials=trials)
     res["cpus"] = cpus
     spark.stop()
     with open(out_path, "w") as f:
@@ -72,7 +72,7 @@ def _build_pyfiles_zip() -> str:
     return out
 
 
-def submit_one(cpus: int, sf: float, n_batches: int) -> dict:
+def submit_one(cpus: int, sf: float, n_batches: int, trials: int = 2) -> dict:
     out_json = os.path.join(REPO, ".bench", f"scale-{cpus}.json")
     if os.path.exists(out_json):
         os.remove(out_json)
@@ -87,7 +87,8 @@ def submit_one(cpus: int, sf: float, n_batches: int) -> dict:
         "--conf", "spark.driver.memory=48g",
         os.path.abspath(__file__),
         "--worker", "--cpus", str(cpus), "--sf", str(sf),
-        "--n-batches", str(n_batches), "--out", out_json,
+        "--n-batches", str(n_batches), "--trials", str(trials),
+        "--out", out_json,
     ]
     print(f"[scaling] spark-submit local[{cpus}] ...", file=sys.stderr)
     subprocess.run(cmd, check=True, env=env, cwd=REPO,
@@ -148,12 +149,13 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--sf", type=float, default=0.1)
     ap.add_argument("--n-batches", type=int, default=4)
+    ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--out", default="")
     ap.add_argument("--pair", nargs=2, type=int, default=[8, 32])
     args = ap.parse_args()
 
     if args.worker:
-        run_worker(args.cpus, args.sf, args.n_batches, args.out)
+        run_worker(args.cpus, args.sf, args.n_batches, args.out, trials=args.trials)
         return
 
     # pre-generate the fixture once so neither timed run pays for it
@@ -161,8 +163,8 @@ def main() -> None:
 
     cdc_fixture_dir(args.sf)
     n, n4 = args.pair
-    lo = submit_one(n, args.sf, args.n_batches)
-    hi = submit_one(n4, args.sf, args.n_batches)
+    lo = submit_one(n, args.sf, args.n_batches, trials=args.trials)
+    hi = submit_one(n4, args.sf, args.n_batches, trials=args.trials)
     summary = write_report(lo, hi, args.sf, os.path.join(REPO, "BENCH", "BASELINE.md"))
     print(json.dumps(summary))
 

@@ -132,3 +132,47 @@ def test_stream_windowed_op_counts_with_watermark(spark, tmp_path, fixture_meta)
     assert len(got) > 0
     assert set(got["op"]) <= {"insert", "update", "delete"}
     assert (got["n"] > 0).all()
+
+
+def test_stateful_lww_changelog_converges_to_oracle(spark, tmp_path, fixture_meta, oracle_state):
+    """applyInPandasWithState keyed LWW: the last changelog row per key
+    must equal the batch oracle's final state (alive keys), with deleted
+    keys tombstoned (alive=false)."""
+    from astro_data_pipeline_spark.streaming import (
+        event_log_stream,
+        stateful_current_state_changelog,
+    )
+
+    stream = event_log_stream(spark, _glob(fixture_meta), max_files_per_trigger=1)
+    changelog = stateful_current_state_changelog(stream)
+    q = (
+        changelog.writeStream.format("memory")
+        .queryName("lww_changelog")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM lww_changelog").toPandas()
+    assert len(emitted) > 0
+    # last emission per key = current state (emissions are strictly
+    # LSN-increasing per key)
+    # NB: groupby().last() would skip NaN per column and resurrect stale
+    # payload values into tombstone rows — take whole rows instead
+    last = emitted.sort_values("last_lsn").drop_duplicates(
+        subset=["repo", "path"], keep="last"
+    )
+    alive = (
+        last[last["alive"]][["repo", "path", "commit", "lang", "lang_meta",
+                             "content_sha256", "last_lsn"]]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    alive["lang_meta"] = alive["lang_meta"].where(pd.notna(alive["lang_meta"]), None)
+    want = oracle_state[FINAL_COLS].reset_index(drop=True)
+    want = want.assign(lang_meta=want["lang_meta"].where(pd.notna(want["lang_meta"]), None))
+    pd.testing.assert_frame_equal(alive[FINAL_COLS], want, check_dtype=False)
+    # tombstones carry no payload
+    dead = last[~last["alive"]]
+    assert dead["content_sha256"].isna().all()
