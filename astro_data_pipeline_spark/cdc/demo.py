@@ -1,0 +1,98 @@
+"""spark-submit entry point for the CDC replay engine.
+
+The north-rule deployment shape (BASELINE.json: "spark-submit --py-files
+on a multi-executor cluster"). Usage::
+
+    spark-submit --py-files adps.zip -m astro_data_pipeline_spark.cdc.demo \
+        --events 'wal/change_events_*.parquet' --table /lake/repos \
+        --n-batches 8 --mode mor --compact-every 4
+
+or locally (builds its own session)::
+
+    python -m astro_data_pipeline_spark.cdc.demo --sf 0.01
+
+With ``--sf`` and no ``--events``, a deterministic fixture log is
+generated under ``.bench/`` (bench.py's cache) and replayed into a temp
+table — a self-contained smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="CDC replay: WAL tail -> lake table")
+    ap.add_argument("--events", help="parquet glob/paths of the change log", nargs="*")
+    ap.add_argument("--table", help="lake table root dir (created if absent)")
+    ap.add_argument("--sf", type=float, help="generate+replay a fixture log at this SF")
+    ap.add_argument("--n-batches", type=int, default=4)
+    ap.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import types as T
+
+    from ..lakehouse import LakeTable
+    from ..session import get_spark
+    from . import apply as A
+    from .runner import CdcRunner, read_event_log
+
+    spark = get_spark(app_name="adps-cdc-replay", cpus=args.cpus)
+
+    if args.events:
+        paths = args.events
+    elif args.sf is not None:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from bench import cdc_fixture_dir
+
+        meta = cdc_fixture_dir(args.sf)
+        paths = [meta["v1_path"], meta["v2_path"]]
+    else:
+        ap.error("need --events or --sf")
+
+    events = read_event_log(spark, *paths)
+
+    tmp = None
+    table_dir = args.table
+    if table_dir is None:
+        tmp = tempfile.TemporaryDirectory()
+        table_dir = os.path.join(tmp.name, "lake")
+    if os.path.exists(os.path.join(table_dir, "metadata", "version-hint.txt")):
+        table = LakeTable.load(spark, table_dir)
+    else:
+        table = LakeTable.create(
+            spark, table_dir, T.StructType(A.BASE_TABLE_FIELDS), A.KEY_COLS, n_buckets=64
+        )
+
+    runner = CdcRunner(
+        spark,
+        table,
+        run_id=args.run_id,
+        mode=args.mode,
+        compact_every=args.compact_every,
+    )
+    reports = runner.replay(events, n_batches=args.n_batches)
+    if args.mode == "mor":
+        table.compact()
+    summary = {
+        "batches": [
+            {"batch_id": r.batch_id, "status": r.status, **r.totals} for r in reports
+        ],
+        "final_rows": table.read().count(),
+        "snapshot_id": table.current_snapshot().snapshot_id,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    if tmp is not None:
+        tmp.cleanup()
+
+
+if __name__ == "__main__":
+    main()

@@ -185,8 +185,18 @@ def generate_change_log(
     os.makedirs(out_dir, exist_ok=True)
     p1 = os.path.join(out_dir, "change_events_v1.parquet")
     p2 = os.path.join(out_dir, "change_events_v2.parquet")
-    # Spark rejects TIMESTAMP(NANOS) parquet — write microsecond timestamps
-    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    # Spark rejects TIMESTAMP(NANOS) parquet — write microsecond timestamps.
+    # Small row groups (32k rows ≈ 5-8 MB) mirror real WAL segment files:
+    # Spark parallelizes a parquet scan at row-group granularity, so a
+    # single huge row group would serialize the whole log through one
+    # task; and since disorder is bounded (shuffle_window), each group's
+    # lsn min/max stats let batch-range predicates prune most groups.
+    kw = dict(
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+        row_group_size=32768,
+    )
     v1.to_parquet(p1, **kw)
     v2.to_parquet(p2, **kw)
     return {

@@ -274,6 +274,28 @@ class LakeTable:
         """Scan only the named buckets (partition pruning by file list)."""
         return self.read(snapshot=snapshot, buckets=buckets)
 
+    def read_key(self, key: dict[str, str], snapshot: Snapshot | None = None) -> DataFrame:
+        """Point lookup of one merge key: current row (0 or 1 rows).
+
+        The engine's read-back analog of the reference's cone search
+        (SURVEY.md §3.3): coarse prune first (the key hashes to exactly
+        one bucket — only that bucket's files are scanned), then the
+        exact predicate refines inside it. At 100 TB this touches
+        1/n_buckets of the table regardless of table size.
+        """
+        snap = snapshot or self.current_snapshot()
+        assert snap is not None
+        assert set(key) == set(snap.key_cols), f"key must bind {snap.key_cols}"
+        row = self.spark.createDataFrame([tuple(key[c] for c in snap.key_cols)],
+                                         schema=",".join(f"{c} string" for c in snap.key_cols))
+        bucket = row.select(bucket_expr(snap.key_cols, snap.n_buckets)).collect()[0][0]
+        df = self.read(snapshot=snap, buckets=[int(bucket)])
+        pred = None
+        for c in snap.key_cols:
+            p = F.col(c) == F.lit(key[c])
+            pred = p if pred is None else (pred & p)
+        return df.filter(pred)
+
     # ------------------------------------------------------------- evolve
 
     def add_columns(self, new_fields: list[T.StructField], summary: dict | None = None) -> Snapshot:

@@ -238,3 +238,38 @@ def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyyMM").alias("month_key"),
         F.hour("ts").cast("int").alias("hour_of_day"),
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "scalar_astro_math_functions",
+    oracle="""
+    SELECT vec_id,
+           round(degrees(2 * atan2(
+               sqrt(pow(sin((radians(CAST(embedding[2] AS DOUBLE) * 90) - radians(0.0)) / 2), 2)
+                    + cos(radians(0.0)) * cos(radians(CAST(embedding[2] AS DOUBLE) * 90))
+                    * pow(sin((radians(CAST(embedding[1] AS DOUBLE) * 180) - radians(0.0)) / 2), 2)),
+               sqrt(1 - (pow(sin((radians(CAST(embedding[2] AS DOUBLE) * 90) - radians(0.0)) / 2), 2)
+                    + cos(radians(0.0)) * cos(radians(CAST(embedding[2] AS DOUBLE) * 90))
+                    * pow(sin((radians(CAST(embedding[1] AS DOUBLE) * 180) - radians(0.0)) / 2), 2))))), 4)
+               AS sep_deg,
+           round(25.0 - 2.5 * log10(1.0 + abs(CAST(embedding[3] AS DOUBLE))), 4) AS mag
+    FROM embeddings
+    """,
+)
+def scalar_astro_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 math/trig domain functions as codegen'd column expressions
+    (reference: AstronomicalCalculations.java:157-182 haversine, :302-318
+    flux→magnitude). Embedding dims stand in for (ra, dec, flux); the
+    separation is measured against the origin. Both engines evaluate the
+    identical IEEE-double expression tree, rounded to 4 dp."""
+    from ..functions.astro import angular_distance_deg, flux_to_magnitude
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ra = F.element_at("embedding", 1).cast("double") * 180
+    dec = F.element_at("embedding", 2).cast("double") * 90
+    flux = 1.0 + F.abs(F.element_at("embedding", 3).cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(angular_distance_deg(ra, dec, F.lit(0.0), F.lit(0.0)), 4).alias("sep_deg"),
+        F.round(flux_to_magnitude(flux), 4).alias("mag"),
+    )

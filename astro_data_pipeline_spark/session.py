@@ -55,6 +55,24 @@ def get_spark(
         # file — the dominant *serial* cost of each partitioned write at
         # high core counts (Amdahl killer for small batches).
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Scan-split size. 128MB (Spark default) is right for a real
+        # cluster at 100 TB; on content-heavy logs a 128MB split decodes
+        # ~0.5 GB of strings in ONE task, capping scan parallelism at
+        # file_size/128MB tasks — under-using a 32-core box on the
+        # sandbox-sized inputs. Overridable per run.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
+        # Concurrent-task throttle for memory-bandwidth-bound stages.
+        # The replay's heavy stage (string decode + sort + Arrow + parquet
+        # encode) saturates a single socket's memory bus at ~8 concurrent
+        # tasks; beyond that, extra tasks thrash shared L3 and REDUCE
+        # throughput (measured: local[32] 1.6x slower than local[8] at
+        # task.cpus=1; equal at task.cpus=4). On a multi-executor cluster
+        # each executor has its own bus, so the default stays 1; fat
+        # single-node deployments should raise it.
+        .config("spark.task.cpus", os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # Arrow batches ride in direct (off-heap) buffers that are only
         # reclaimed at GC; with a big, rarely-collected heap the default

@@ -110,3 +110,26 @@ def test_commit_is_atomic_under_partial_failure(spark, table, tmp_path):
     # next merge overwrites the orphan id and commits cleanly
     table.merge(_updates(spark, [("r1", "a", 2, "update")]))
     assert table.read().collect()[0]["v"] == 2
+
+
+def test_point_lookup_reads_one_bucket(spark, table):
+    table.merge(_updates(spark, [("r1", f"p{i}", i, "insert") for i in range(20)]))
+    snap = table.current_snapshot()
+    assert len(snap.files) > 1  # data spread over several buckets
+
+    hit = table.read_key({"repo": "r1", "path": "p7"})
+    got = hit.collect()
+    assert len(got) == 1 and got[0]["v"] == 7
+
+    # coarse prune: the scan's file list is exactly one bucket's files
+    from astro_data_pipeline_spark.lakehouse.table import bucket_expr
+
+    b = (
+        spark.createDataFrame([("r1", "p7")], "repo string, path string")
+        .select(bucket_expr(["repo", "path"], snap.n_buckets))
+        .collect()[0][0]
+    )
+    scanned = hit.inputFiles()
+    assert scanned and all(f"_bucket={b}/" in f or f"_bucket%3D{b}/" in f for f in scanned)
+
+    assert table.read_key({"repo": "r1", "path": "nope"}).count() == 0
