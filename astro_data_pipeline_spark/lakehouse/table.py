@@ -59,6 +59,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..perf import phase
+
 BUCKET_COL = "_bucket"
 SEQ_COL = "_seq"  # commit sequence stamped into every data file
 TOMBSTONE_COL = "_tombstone"
@@ -480,14 +482,43 @@ class LakeTable:
         resolve last-writer-wins by ``(key, max _seq)``. ``updates`` must
         be key-collapsed, like ``merge``. Reference analog: the append-only
         detections/event tables (V1__...sql:177-227) + deferred
-        consistency resolution."""
+        consistency resolution.
+
+        Split into ``mor_write`` (the distributed delta write, safe to run
+        for several future commits concurrently — commit sequences are
+        pre-assigned) and ``mor_finalize`` (the ordered atomic commit), so
+        a replay loop can pipeline batch k+1's plan+write behind batch k's
+        while commits stay strictly ordered (the pipelined-ingest shape:
+        writes race, the ledger serializes)."""
+        cur = self.current_snapshot()
+        assert cur is not None
+        commit_id = cur.snapshot_id + 1
+        w = self.mor_write(
+            updates, commit_id, op_col=op_col, delete_op=delete_op,
+            bucket_aligned=bucket_aligned, snapshot=cur,
+        )
+        return self.mor_finalize(w, summary=summary, expect_parent=cur.snapshot_id)
+
+    def mor_write(
+        self,
+        updates: DataFrame,
+        commit_id: int,
+        op_col: str = "op",
+        delete_op: str = "delete",
+        bucket_aligned: bool = False,
+        snapshot: Snapshot | None = None,
+    ) -> dict:
+        """Distributed half of a MoR merge: write delta files for a
+        pre-assigned ``commit_id``. Produces NO visible table state — files
+        land under ``data/delta-<commit_id>/`` and stay invisible until
+        ``mor_finalize`` commits them (atomicity: readers only ever follow
+        the version hint). Thread-safe across distinct commit_ids."""
         from pyspark.sql import Observation
 
-        cur = self.current_snapshot()
+        cur = snapshot or self.current_snapshot()
         assert cur is not None
         key_cols = cur.key_cols
         val_cols = [f.name for f in cur.schema.fields if f.name not in key_cols]
-        commit_id = cur.snapshot_id + 1
 
         is_del = F.col(op_col) == delete_op
         clf_aggs = [
@@ -523,43 +554,70 @@ class LakeTable:
             if bucket_aligned
             else delta.repartition(cur.n_buckets, F.col(BUCKET_COL))
         )
-        to_write.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
-        try:
-            totals = {k: int(v) for k, v in obs.get.items()}
-        except Exception:
-            row = updates.agg(*clf_aggs).collect()[0]
-            totals = {k: int(row[k]) for k in ("rows_upserted", "rows_delete_ops")}
+        with phase("mor.write_action"):
+            to_write.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
+        with phase("mor.obs_get"):
+            try:
+                totals = {k: int(v) for k, v in obs.get.items()}
+            except Exception:
+                row = updates.agg(*clf_aggs).collect()[0]
+                totals = {k: int(row[k]) for k in ("rows_upserted", "rows_delete_ops")}
+        return {"commit_id": commit_id, "rel_dir": rel_dir, "totals": totals}
 
-        new_deltas = {b: list(p) for b, p in cur.delta_files.items()}
-        per_bucket: list[dict] = []
-        if os.path.isdir(out_dir):
-            for entry in sorted(os.listdir(out_dir)):
-                if not entry.startswith(f"{BUCKET_COL}="):
-                    continue
-                bk = entry.split("=", 1)[1]
-                rels = [
-                    os.path.join(rel_dir, entry, fn)
-                    for fn in sorted(os.listdir(os.path.join(out_dir, entry)))
-                    if fn.endswith(".parquet")
-                ]
-                if rels:
-                    new_deltas.setdefault(bk, []).extend(rels)
-                    per_bucket.append({"partition_id": int(bk), "n_files": len(rels)})
-
-        snap = Snapshot(
-            snapshot_id=commit_id,
-            parent_id=cur.snapshot_id,
-            schema_json=cur.schema_json,
-            n_buckets=cur.n_buckets,
-            key_cols=key_cols,
-            files=cur.files,
-            delta_files=new_deltas,
-            summary={"operation": "merge-mor", **totals, **(summary or {})},
-            timestamp_ms=int(time.time() * 1000),
+    def mor_finalize(
+        self,
+        write: dict,
+        summary: dict | None = None,
+        expect_parent: int | None = None,
+    ) -> tuple[Snapshot, dict]:
+        """Ordered half of a MoR merge: fold the written delta files into a
+        new snapshot and flip the version hint. Must be called in commit_id
+        order; ``expect_parent`` asserts the chain didn't move underneath."""
+        commit_id, rel_dir = write["commit_id"], write["rel_dir"]
+        totals = write["totals"]
+        cur = self.current_snapshot()
+        assert cur is not None
+        if expect_parent is not None:
+            assert cur.snapshot_id == expect_parent, (
+                f"commit order violated: parent {cur.snapshot_id} != {expect_parent}"
+            )
+        assert commit_id == cur.snapshot_id + 1, (
+            f"non-sequential commit {commit_id} onto {cur.snapshot_id}"
         )
-        self._write_snapshot(snap)
-        self._commit_hint(snap.snapshot_id)
-        self._append_lineage(snap, per_bucket, summary or {})
+        out_dir = os.path.join(self.root, rel_dir)
+
+        with phase("mor.list_files"):
+            new_deltas = {b: list(p) for b, p in cur.delta_files.items()}
+            per_bucket: list[dict] = []
+            if os.path.isdir(out_dir):
+                for entry in sorted(os.listdir(out_dir)):
+                    if not entry.startswith(f"{BUCKET_COL}="):
+                        continue
+                    bk = entry.split("=", 1)[1]
+                    rels = [
+                        os.path.join(rel_dir, entry, fn)
+                        for fn in sorted(os.listdir(os.path.join(out_dir, entry)))
+                        if fn.endswith(".parquet")
+                    ]
+                    if rels:
+                        new_deltas.setdefault(bk, []).extend(rels)
+                        per_bucket.append({"partition_id": int(bk), "n_files": len(rels)})
+
+        with phase("mor.commit"):
+            snap = Snapshot(
+                snapshot_id=commit_id,
+                parent_id=cur.snapshot_id,
+                schema_json=cur.schema_json,
+                n_buckets=cur.n_buckets,
+                key_cols=cur.key_cols,
+                files=cur.files,
+                delta_files=new_deltas,
+                summary={"operation": "merge-mor", **totals, **(summary or {})},
+                timestamp_ms=int(time.time() * 1000),
+            )
+            self._write_snapshot(snap)
+            self._commit_hint(snap.snapshot_id)
+            self._append_lineage(snap, per_bucket, summary or {})
         return snap, {"totals": totals, "per_bucket": per_bucket}
 
     def compact(self, min_deltas: int = 1, summary: dict | None = None) -> Snapshot | None:

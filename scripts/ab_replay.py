@@ -1,0 +1,90 @@
+"""A/B harness for replay variants, contention-resistant.
+
+Alternates variants round-robin in ONE process over several rounds and
+reports best-of per variant — single timings on this host swing 2-4x
+with co-tenant noise, so only interleaved minima are comparable.
+
+Usage::
+
+    python scripts/ab_replay.py --sf 0.1 --cpus 32 --rounds 3 \
+        --variant aqe_on --variant aqe_off
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VARIANTS = {
+    # conf overrides, runner kwargs
+    "aqe_on": ({"spark.sql.adaptive.enabled": "true"}, {}),
+    "aqe_off": ({"spark.sql.adaptive.enabled": "false"}, {}),
+    "pipe1": ({}, {"pipeline_depth": 1}),
+    "pipe2": ({}, {"pipeline_depth": 2}),
+    "pipe3": ({}, {"pipeline_depth": 3}),
+    "pipe4": ({}, {"pipeline_depth": 4}),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--n-batches", type=int, default=4)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--variant", action="append", dest="variants")
+    args = ap.parse_args()
+    variants = args.variants or ["aqe_on", "aqe_off"]
+
+    from astro_data_pipeline_spark.cdc import apply as A
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from astro_data_pipeline_spark.session import get_spark
+    from pyspark.sql import types as T
+
+    from bench import cdc_fixture_dir
+
+    meta = cdc_fixture_dir(args.sf)
+    spark = get_spark(app_name="ab-replay", cpus=args.cpus)
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+
+    results: dict[str, list[float]] = {v: [] for v in variants}
+    for rnd in range(args.rounds):
+        for v in variants:
+            conf, kwargs = VARIANTS[v]
+            for k, val in conf.items():
+                spark.conf.set(k, val)
+            with tempfile.TemporaryDirectory() as td:
+                table = LakeTable.create(
+                    spark, os.path.join(td, "lake"),
+                    T.StructType(A.BASE_TABLE_FIELDS), A.KEY_COLS, n_buckets=64,
+                )
+                t0 = time.time()
+                CdcRunner(
+                    spark, table, run_id=f"ab{rnd}", mode="mor", **kwargs
+                ).replay(events, n_batches=args.n_batches)
+                dt = time.time() - t0
+            results[v].append(round(dt, 3))
+            print(f"round {rnd} {v}: {dt:.3f}s", file=sys.stderr)
+
+    out = {}
+    for v, times in results.items():
+        best = min(times)
+        out[v] = {
+            "times_s": times,
+            "best_s": best,
+            "best_events_per_sec": round(meta["n_events"] / best, 1),
+        }
+    print(json.dumps(out, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,77 @@ def test_schema_evolution_mid_stream(spark, tmp_path, fixture_meta, oracle_state
     assert pre.count() == 0
 
 
+# ---------------------------------------------------------- pipelining
+
+
+def test_pipelined_equals_sequential(spark, tmp_path, fixture_meta, oracle_state):
+    """Pipelined MoR replay (writes in flight concurrently, commits
+    ordered) produces the identical snapshot chain semantics and final
+    state as the strictly sequential loop."""
+    t_seq = LakeTable.create(
+        spark, str(tmp_path / "seq"), T.StructType(A.BASE_TABLE_FIELDS),
+        key_cols=A.KEY_COLS, n_buckets=8,
+    )
+    t_pipe = LakeTable.create(
+        spark, str(tmp_path / "pipe"), T.StructType(A.BASE_TABLE_FIELDS),
+        key_cols=A.KEY_COLS, n_buckets=8,
+    )
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    r_seq = CdcRunner(spark, t_seq, run_id="r1", mode="mor", pipeline_depth=1).replay(
+        events, n_batches=5
+    )
+    r_pipe = CdcRunner(spark, t_pipe, run_id="r1", mode="mor", pipeline_depth=3).replay(
+        events, n_batches=5
+    )
+    assert [r.batch_id for r in r_seq] == [r.batch_id for r in r_pipe]
+    assert [r.totals for r in r_seq] == [r.totals for r in r_pipe]
+    # commit chains carry the same batch ids in the same order
+    ids = lambda t: [
+        s.summary.get("batch_id") for s in reversed(t.snapshot_chain())
+        if s.summary.get("batch_id")
+    ]
+    assert ids(t_seq) == ids(t_pipe)
+    pd.testing.assert_frame_equal(
+        _final_state(t_pipe), _normalize(oracle_state), check_dtype=False
+    )
+
+
+def test_pipelined_crash_leaves_committed_prefix(spark, tmp_path, fixture_meta, oracle_state):
+    """A failure mid-pipeline must not expose any uncommitted delta: the
+    table stays a consistent committed prefix and a resume converges."""
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    runner = CdcRunner(spark, table, run_id="r1", mode="mor", pipeline_depth=3)
+
+    orig = table.mor_write
+    calls = {"n": 0}
+
+    def failing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected write failure")
+        return orig(*a, **kw)
+
+    table.mor_write = failing
+    with pytest.raises(RuntimeError, match="injected"):
+        runner.replay(events, n_batches=6)
+    table.mor_write = orig
+
+    committed = table.committed_batch_ids()
+    assert 0 < len(committed) < 6
+    # every committed batch id is a contiguous prefix of the LSN ranges
+    state_rows = table.read().count()
+    assert state_rows > 0
+    # resume completes and matches the oracle
+    reports = CdcRunner(spark, table, run_id="r2", mode="mor").replay(
+        events, n_batches=6
+    )
+    assert sum(1 for r in reports if r.status == "skipped") == len(committed)
+    pd.testing.assert_frame_equal(
+        _final_state(table), _normalize(oracle_state), check_dtype=False
+    )
+
+
 # ------------------------------------------------------------- salting
 
 
