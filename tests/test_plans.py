@@ -1,0 +1,141 @@
+"""Physical-plan assertions — the 100 TB contract, pinned.
+
+Correctness tests prove the small-SF answers; these tests prove the PLAN
+is the one that survives a 1000-executor scale-up: filters reach the
+parquet scan, projections prune columns, small dims broadcast, top-k
+avoids a global sort, and the CDC collapse runs in exactly ONE shuffle.
+A regression here is invisible at sf0.001 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from astro_data_pipeline_spark import registry
+from astro_data_pipeline_spark.cdc import apply as A
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    # mirror DataFrame.explain()'s implementation, but return the string
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_time_filter_pushed_to_scan(spark):
+    df = registry.get("filter_time_window_recent_events").fn(spark, SF)
+    p = plan(df)
+    assert "PushedFilters: [" in p
+    # the ts bound must appear inside the scan's pushed filters, not only
+    # as a post-scan Filter node
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("ts" in ln and "[]" not in ln for ln in pushed), pushed
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = registry.get("scalar_sha256_documents").fn(spark, SF)
+    p = plan(df)
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas, p
+    # the documents table carries text/meta columns the query never touches
+    assert all("quality" not in ln for ln in schemas), schemas
+
+
+def test_small_dim_join_broadcasts(spark):
+    df = registry.get("join_fact_dim_revenue_by_brand").fn(spark, SF)
+    assert "BroadcastHashJoin" in plan(df, "simple")
+
+
+def test_topk_avoids_global_sort(spark):
+    df = registry.get("sort_topk_global_orders").fn(spark, SF)
+    assert "TakeOrderedAndProject" in plan(df, "simple")
+
+
+def test_three_way_join_broadcasts_both_dims(spark):
+    df = registry.get("join_three_way_nation_revenue").fn(spark, SF)
+    p = plan(df, "simple")
+    # nation and customer/supplier dims are small: no sort-merge join may
+    # survive planning at this shape
+    assert "BroadcastHashJoin" in p
+
+
+def _fixture_events(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "lsn": range(1, 101),
+            "ts": pd.Timestamp("2026-01-01"),
+            "op": ["insert"] * 100,
+            "repo": [f"r{i % 5}" for i in range(100)],
+            "path": [f"p{i}" for i in range(100)],
+            "commit": "c",
+            "lang": "py",
+            "content": "x",
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_cdc_collapse_is_single_shuffle(spark):
+    """The bucket-fused LWW collapse must plan exactly ONE Exchange when
+    no hot keys need salting: the repartition on the storage bucket
+    satisfies the aggregation's required distribution (the fusion claim
+    in cdc/apply.py — if Catalyst ever stops recognizing it, a second
+    content-bearing shuffle appears and write cost doubles at scale)."""
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from pyspark.sql import types as T
+    import tempfile, os
+
+    events = _fixture_events(spark)
+    with tempfile.TemporaryDirectory() as td:
+        table = LakeTable.create(
+            spark, os.path.join(td, "lake"), T.StructType(A.BASE_TABLE_FIELDS),
+            A.KEY_COLS, n_buckets=8,
+        )
+        runner = CdcRunner(spark, table, run_id="plan", mode="mor")
+        snap = table.current_snapshot()
+        _, rows = runner._build_rows(events, snap, hot=[])
+        p = plan(rows, "simple")
+        assert p.count("Exchange") == 1, p
+
+
+def test_cdc_collapse_salted_adds_one_stage(spark):
+    """With hot keys, the salted pre-collapse adds exactly one more
+    shuffle (stage-1 salted agg) — never more."""
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from pyspark.sql import types as T
+    import tempfile, os
+
+    events = _fixture_events(spark)
+    with tempfile.TemporaryDirectory() as td:
+        table = LakeTable.create(
+            spark, os.path.join(td, "lake"), T.StructType(A.BASE_TABLE_FIELDS),
+            A.KEY_COLS, n_buckets=8,
+        )
+        runner = CdcRunner(spark, table, run_id="plan", mode="mor")
+        snap = table.current_snapshot()
+        _, rows = runner._build_rows(events, snap, hot=["r0"])
+        p = plan(rows, "simple")
+        assert p.count("Exchange") == 2, p
+
+
+def test_lsn_range_prunes_row_groups(spark, tmp_path):
+    """The per-batch LSN predicate must reach the event-log scan as a
+    pushed filter so parquet row-group min/max stats can skip ~(1 - 1/n)
+    of the log per batch."""
+    import pandas as pd
+
+    path = str(tmp_path / "log.parquet")
+    pd.DataFrame({"lsn": range(10000), "repo": "r", "content": "x"}).to_parquet(
+        path, index=False, row_group_size=1000
+    )
+    df = spark.read.parquet(path).filter((F.col("lsn") > 2000) & (F.col("lsn") <= 3000))
+    p = plan(df)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThan(lsn" in ln for ln in pushed), pushed
