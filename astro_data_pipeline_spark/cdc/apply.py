@@ -49,24 +49,39 @@ def validate_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return events.filter(ok), events.filter(~ok)
 
 
-def detect_hot_repos(events: DataFrame, hot_share: float = 0.05) -> list[str]:
+def detect_hot_keys(
+    events: DataFrame, hot_share: float = 0.01
+) -> list[tuple[str, str]]:
     """Heavy-hitter detection for salting (SURVEY.md §7 Phase 3).
 
-    A repo is hot when it owns > hot_share of the batch's events. One
-    cheap aggregation over (repo) — partial combine makes this a near-free
-    pass; the result is a tiny driver-side list that broadcasts into the
-    salt expression."""
-    counts = events.groupBy("repo").agg(F.count("*").alias("n"))
+    Detects hot **(repo, path) keys**, not hot repos: the collapse
+    shuffles on the storage bucket = hash(repo, path), so a repo with many
+    paths spreads evenly no matter how large — only a single key receiving
+    a disproportionate share of the batch (a file rewritten millions of
+    times) can skew a reducer. Salting on repo hotness (the obvious
+    reading of "hot repos") triggers on Zipf repo-size skew that the
+    bucket hash already neutralizes, and pays a whole extra shuffle per
+    batch for it — measured as a pure loss on repo-skewed-but-key-uniform
+    logs.
+
+    A key is hot when it owns > hot_share of the batch's events. One
+    cheap aggregation — partial combine makes this a near-free pass; the
+    result is a tiny driver-side list that broadcasts into the salt
+    expression."""
+    counts = events.groupBy("repo", "path").agg(F.count("*").alias("n"))
     total = events.count()
     if total == 0:
         return []
     cutoff = max(int(total * hot_share), 1)
-    return [r["repo"] for r in counts.filter(F.col("n") > cutoff).collect()]
+    return [
+        (r["repo"], r["path"])
+        for r in counts.filter(F.col("n") > cutoff).collect()
+    ]
 
 
 def lww_collapse(
     events: DataFrame,
-    hot_repos: list[str] | None = None,
+    hot_keys: list[tuple[str, str]] | None = None,
     n_salts: int = 8,
     bucket: F.Column | None = None,
     n_partitions: int | None = None,
@@ -82,8 +97,8 @@ def lww_collapse(
     key-collapse" — the collapse IS this operator). Duplicate deliveries
     (same LSN, identical payload) collapse here too — idempotency.
 
-    With no hot repos the collapse is a SINGLE shuffle (map-side combine
-    does the heavy lifting). With hot repos, stage 2 re-aggregates the
+    With no hot keys the collapse is a SINGLE shuffle (map-side combine
+    does the heavy lifting). With hot keys, stage 2 re-aggregates the
     stage-1 winners; cold keys arrive pre-collapsed (one row each) so
     stage 2's extra shuffle moves only already-collapsed data. The plan
     stays linear on purpose: a cold/hot branch-and-union would duplicate
@@ -107,7 +122,7 @@ def lww_collapse(
     fused = bucket is not None and n_partitions is not None
     bkt = [F.col("_bucket")] if fused else []
 
-    if not hot_repos:
+    if not hot_keys:
         src = events.withColumn("_bucket", bucket).repartition(
             n_partitions, F.col("_bucket")
         ) if fused else events
@@ -116,8 +131,11 @@ def lww_collapse(
         )
         return collapsed.select(*bkt, "repo", "path", "w.*")
 
+    # membership test on the composite key; \x1f never appears in names
+    hot_tags = [f"{r}\x1f{p}" for r, p in hot_keys]
     salt = F.when(
-        F.col("repo").isin(*hot_repos), F.pmod(F.xxhash64("lsn"), F.lit(n_salts))
+        F.concat_ws("\x1f", "repo", "path").isin(*hot_tags),
+        F.pmod(F.xxhash64("lsn"), F.lit(n_salts)),
     ).otherwise(F.lit(0))
     stage1 = (
         events.withColumn("_salt", salt)

@@ -66,7 +66,7 @@ class CdcRunner:
         table: LakeTable,
         run_id: str | None = None,
         n_salts: int = 8,
-        hot_share: float = 0.05,
+        hot_share: float = 0.01,
         salt_auto: bool = True,
         mode: str = "mor",
         compact_every: int | None = None,
@@ -118,18 +118,37 @@ class CdcRunner:
 
     # -------------------------------------------------------------- apply
 
-    def detect_hot_repos(self, events: DataFrame) -> list[str]:
-        """Heavy hitters from a deterministic 2% sample of ``events``
-        (one cheap column-pruned job). A repo owning > hot_share of the
-        sample is near-certain to surface; the full scan this replaces
-        would cost a whole extra pass over the log."""
-        sample = events.select("repo").sample(fraction=0.02, seed=42)
-        counts = sample.groupBy("repo").agg(F.count("*").alias("n")).collect()
-        total = sum(r["n"] for r in counts)
-        cutoff = max(int(total * self.hot_share), 2)
-        return [r["repo"] for r in counts if r["n"] > cutoff]
+    def detect_hot_keys(self, events: DataFrame) -> list[tuple[str, str]]:
+        """Heavy-hitter **keys** from a deterministic 2% sample of
+        ``events`` (one cheap column-pruned job). Key-level, not
+        repo-level: the collapse shuffles on hash(repo, path), so only a
+        single key owning > hot_share of the batch skews a reducer — see
+        ``apply.detect_hot_keys``. A key that hot is near-certain to
+        surface in the sample; the full scan this replaces would cost a
+        whole extra pass over the log."""
+        sample = events.select("repo", "path").sample(fraction=0.02, seed=42)
+        counts = sample.groupBy("repo", "path").agg(F.count("*").alias("n"))
+        # phase 1 (always): one job, two scalars to the driver. The common
+        # case — no key anywhere near hot — stops here.
+        stats = counts.agg(
+            F.sum("n").alias("total"), F.max("n").alias("max_n")
+        ).collect()[0]
+        total = int(stats["total"] or 0)
+        if total == 0:
+            return []
+        # floor of 5 sampled hits: below that the "hot" signal is sampling
+        # noise (Poisson), and a key too small to clear 5 hits is far too
+        # small to skew a reducer anyway
+        cutoff = max(int(total * self.hot_share), 5)
+        if int(stats["max_n"]) <= cutoff:
+            return []
+        # phase 2 (rare): pull only the keys above the cutoff
+        return [
+            (r["repo"], r["path"])
+            for r in counts.filter(F.col("n") > cutoff).collect()
+        ]
 
-    def _build_rows(self, events: DataFrame, snap, hot: list[str]):
+    def _build_rows(self, events: DataFrame, snap, hot: list[tuple[str, str]]):
         """The per-batch lazy plan: quarantine-observed validation →
         bucket-fused salted LWW collapse → table-row derivation (sha256,
         schema align). Returns (observation, rows DataFrame); nothing runs
@@ -158,14 +177,14 @@ class CdcRunner:
         if self.fuse_buckets:
             collapsed = A.lww_collapse(
                 valid,
-                hot_repos=hot,
+                hot_keys=hot,
                 n_salts=self.n_salts,
                 bucket=bucket_expr(snap.key_cols, snap.n_buckets),
                 n_partitions=snap.n_buckets,
             )
         else:
             collapsed = A.lww_collapse(
-                valid, hot_repos=hot, n_salts=self.n_salts
+                valid, hot_keys=hot, n_salts=self.n_salts
             ).repartition(snap.n_buckets, bucket_expr(snap.key_cols, snap.n_buckets))
         return obs, A.to_table_rows(collapsed, snap.schema)
 
@@ -175,7 +194,7 @@ class CdcRunner:
         batch_id: str,
         lsn_lo: int,
         lsn_hi: int,
-        hot_repos: list[str] | None = None,
+        hot_keys: list[tuple[str, str]] | None = None,
     ) -> BatchReport:
         """Validate → salted LWW → sha256 → MERGE, one atomic commit.
 
@@ -196,17 +215,17 @@ class CdcRunner:
             snap = self.table.current_snapshot()
 
         # --- slim pass: repo/path columns only — parquet column pruning.
-        # ``hot_repos`` passed in (replay computes it ONCE for the whole
+        # ``hot_keys`` passed in (replay computes it ONCE for the whole
         # log) skips the per-batch sample job — driver-side jobs are the
         # serial fraction that caps scaling at high core counts.
-        hot: list[str] = hot_repos if hot_repos is not None else []
+        hot: list[tuple[str, str]] = hot_keys if hot_keys is not None else []
         touched: list[int] | None = None
-        if (self.salt_auto and hot_repos is None) or self.mode == "cow":
+        if (self.salt_auto and hot_keys is None) or self.mode == "cow":
             from ..lakehouse.table import bucket_expr
 
             slim = events.select("repo", "path")
-            if self.salt_auto and hot_repos is None:
-                hot = self.detect_hot_repos(slim)
+            if self.salt_auto and hot_keys is None:
+                hot = self.detect_hot_keys(slim)
             if self.mode == "cow":
                 touched = [
                     r[0]
@@ -223,7 +242,7 @@ class CdcRunner:
             "batch_id": batch_id,
             "lsn_lo": lsn_lo,
             "lsn_hi": lsn_hi,
-            "hot_repos": hot,
+            "hot_keys": ["\x1f".join(k) for k in hot],
         }
         if self.mode == "mor":
             new_snap, metrics = self.table.merge_mor(
@@ -285,7 +304,7 @@ class CdcRunner:
         # neutral (pre-MERGE key collapse), so a log-global hot set is as
         # valid as a per-batch one and saves one driver job per batch.
         with phase("runner.hot_detect"):
-            hot = self.detect_hot_repos(events) if self.salt_auto else []
+            hot = self.detect_hot_keys(events) if self.salt_auto else []
         ranges = lsn_ranges(int(lo_hi[0]), int(lo_hi[1]), n_batches)
         if (
             self.mode == "mor"
@@ -300,7 +319,7 @@ class CdcRunner:
             batch_id = f"lsn:{lo}-{hi}"
             # LSN-range predicate pushes down to the event-log scan
             batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-            rep = self.apply_batch(batch, batch_id, lo, hi, hot_repos=hot)
+            rep = self.apply_batch(batch, batch_id, lo, hi, hot_keys=hot)
             reports.append(rep)
             if rep.status == "applied":
                 applied += 1
@@ -315,7 +334,8 @@ class CdcRunner:
         return reports
 
     def _replay_pipelined(
-        self, events: DataFrame, ranges: list[tuple[int, int]], hot: list[str]
+        self, events: DataFrame, ranges: list[tuple[int, int]],
+        hot: list[tuple[str, str]]
     ) -> list[BatchReport]:
         """MoR replay with up to ``pipeline_depth`` batch writes in flight.
 
@@ -385,7 +405,7 @@ class CdcRunner:
                         "batch_id": batch_id,
                         "lsn_lo": lo,
                         "lsn_hi": hi,
-                        "hot_repos": hot,
+                        "hot_keys": ["\x1f".join(k) for k in hot],
                     }
                     commit_id = next_commit
                     next_commit += 1

@@ -245,16 +245,49 @@ def test_pipelined_crash_leaves_committed_prefix(spark, tmp_path, fixture_meta, 
 def test_salted_collapse_equals_unsalted(spark, fixture_meta):
     events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
     valid, _ = A.validate_events(events)
-    plain = A.lww_collapse(valid, hot_repos=None).toPandas()
-    hot = A.detect_hot_repos(valid, hot_share=0.05)
-    assert hot, "fixture must produce at least one hot repo"
-    salted = A.lww_collapse(valid, hot_repos=hot, n_salts=8).toPandas()
+    plain = A.lww_collapse(valid, hot_keys=None).toPandas()
+    # salt the three busiest keys — salting must be a physical-placement
+    # no-op regardless of whether the keys are truly hot
+    top = (
+        valid.groupBy("repo", "path").count().orderBy(F.desc("count")).limit(3).collect()
+    )
+    hot = [(r["repo"], r["path"]) for r in top]
+    salted = A.lww_collapse(valid, hot_keys=hot, n_salts=8).toPandas()
     key = ["repo", "path"]
     pd.testing.assert_frame_equal(
         plain.sort_values(key).reset_index(drop=True)[sorted(plain.columns)],
         salted.sort_values(key).reset_index(drop=True)[sorted(salted.columns)],
         check_dtype=False,
     )
+
+
+def test_hot_key_detection_fires_only_on_key_skew(spark, fixture_meta):
+    """Repo-size skew must NOT trigger salting (the bucket hash spreads a
+    big repo's paths); a single key owning a large batch share must."""
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner
+
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    runner = CdcRunner(spark, None, run_id="det")
+    # fixture is Zipf-skewed by repo but key-uniform -> no hot keys
+    assert runner.detect_hot_keys(events) == []
+    # inject a genuinely hot key: one path receiving 30% of all events
+    n = events.count()
+    burst = (
+        spark.range(int(n * 0.45))
+        .select(
+            (F.lit(10_000_000) + F.col("id")).alias("lsn"),
+            F.lit("2026-01-01").cast("timestamp").alias("ts"),
+            F.lit("update").alias("op"),
+            F.lit("megarepo").alias("repo"),
+            F.lit("hot/file.py").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("py").alias("lang"),
+            F.lit("x").alias("content"),
+            F.lit(None).cast("string").alias("lang_meta"),
+        )
+    )
+    hot = runner.detect_hot_keys(events.unionByName(burst))
+    assert ("megarepo", "hot/file.py") in hot
 
 
 def test_quarantine_invalid_events(spark, fixture_meta):

@@ -120,7 +120,7 @@ def test_cdc_collapse_salted_adds_one_stage(spark):
         )
         runner = CdcRunner(spark, table, run_id="plan", mode="mor")
         snap = table.current_snapshot()
-        _, rows = runner._build_rows(events, snap, hot=["r0"])
+        _, rows = runner._build_rows(events, snap, hot=[("r0", "p0")])
         p = plan(rows, "simple")
         assert p.count("Exchange") == 2, p
 
