@@ -142,11 +142,16 @@ def main() -> None:
     all_q = registry.all_queries()
     for name in HEADLINE:
         fn = all_q[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize the full plan
-        queries[name] = round(time.time() - t0, 3)
-        _ = n
+        # noop sink materializes EVERY column (count() lets Catalyst prune
+        # unaggregated computed columns — a timing of nothing); best-of-2
+        # rides out the host's episodic contention and first-run codegen.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     cdc = bench_cdc_replay(spark, sf)
     queries["cdc_replay"] = cdc["cdc_replay_sec"]
