@@ -229,19 +229,39 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def _resolve(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+    def _resolve(
+        self, df: DataFrame, snap: Snapshot, fuse_bucket: bool = False
+    ) -> DataFrame:
         """Merge-on-read resolution: last writer per key by commit sequence
         (max_by hash-agg — partial combine, skew-tolerant), tombstones
-        dropped. The same LWW primitive the CDC collapse uses (W1)."""
+        dropped. The same LWW primitive the CDC collapse uses (W1).
+
+        ``fuse_bucket``: prepend the storage bucket to the grouping and
+        hash-repartition on it first — the repartition's distribution
+        satisfies the aggregation's required clustering (bucket is a
+        function of the keys), so resolution + bucket alignment for a
+        partitioned write share ONE shuffle. Same fusion as the ingest
+        collapse; without it a resolve-then-write pays two full passes of
+        the table through the exchange."""
         key_cols = snap.key_cols
         val_cols = [f.name for f in snap.schema.fields if f.name not in key_cols]
         w = F.struct(*[F.col(c) for c in val_cols], F.col(TOMBSTONE_COL))
-        resolved = df.groupBy(*key_cols).agg(
+        bkt: list[F.Column] = []
+        if fuse_bucket:
+            df = df.withColumn(
+                BUCKET_COL, bucket_expr(key_cols, snap.n_buckets)
+            ).repartition(snap.n_buckets, F.col(BUCKET_COL))
+            bkt = [F.col(BUCKET_COL)]
+        resolved = df.groupBy(*bkt, *key_cols).agg(
             F.max_by(w, F.coalesce(F.col(SEQ_COL), F.lit(0))).alias("_w")
         )
         return resolved.filter(
             ~F.coalesce(F.col(f"_w.{TOMBSTONE_COL}"), F.lit(False))
-        ).select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in val_cols])
+        ).select(
+            *([BUCKET_COL] if fuse_bucket else []),
+            *key_cols,
+            *[F.col(f"_w.{c}").alias(c) for c in val_cols],
+        )
 
     def _bucket_paths(
         self, snap: Snapshot, buckets: list[int] | None, include_deltas: bool
@@ -634,17 +654,21 @@ class LakeTable:
         if not victims:
             return None
         commit_id = cur.snapshot_id + 1
+        # bucket-fused resolve: LWW resolution and write alignment share
+        # one shuffle (resolve-then-repartition would move the whole
+        # victim set through two exchanges — measured ~2x compaction wall)
+        paths, _ = self._bucket_paths(cur, victims, include_deltas=True)
         resolved = (
-            self.read(buckets=victims)
-            .withColumn(BUCKET_COL, bucket_expr(cur.key_cols, cur.n_buckets))
+            self._resolve(
+                self._scan(cur, paths, with_internals=True), cur, fuse_bucket=True
+            )
             .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
             .withColumn(TOMBSTONE_COL, F.lit(False))
         )
         rel_dir = os.path.join("data", f"commit-{commit_id}")
         out_dir = os.path.join(self.root, rel_dir)
         (
-            resolved.repartition(max(len(victims), 1), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
+            resolved.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )

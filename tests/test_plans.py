@@ -125,6 +125,32 @@ def test_cdc_collapse_salted_adds_one_stage(spark):
         assert p.count("Exchange") == 2, p
 
 
+def test_compaction_resolve_is_single_shuffle(spark, tmp_path):
+    """Bucket-fused MoR resolution: compaction's LWW resolve + write
+    alignment must share ONE exchange (unfused it pays two full passes of
+    the victim set through the shuffle)."""
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
+    from astro_data_pipeline_spark.cdc.fixtures import generate_change_log
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from pyspark.sql import types as T
+    import os
+
+    meta = generate_change_log(str(tmp_path / "fx"), n_repos=5, n_keys=50, n_events=400)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), T.StructType(A.BASE_TABLE_FIELDS),
+        A.KEY_COLS, n_buckets=8,
+    )
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    CdcRunner(spark, table, run_id="r1", mode="mor").replay(events, n_batches=2)
+    snap = table.current_snapshot()
+    victims = sorted(int(b) for b in snap.delta_files)
+    paths, _ = table._bucket_paths(snap, victims, include_deltas=True)
+    resolved = table._resolve(
+        table._scan(snap, paths, with_internals=True), snap, fuse_bucket=True
+    )
+    assert plan(resolved, "simple").count("Exchange") == 1
+
+
 def test_lsn_range_prunes_row_groups(spark, tmp_path):
     """The per-batch LSN predicate must reach the event-log scan as a
     pushed filter so parquet row-group min/max stats can skip ~(1 - 1/n)
