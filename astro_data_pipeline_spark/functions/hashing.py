@@ -51,13 +51,19 @@ def simhash64_arrow(text: pd.Series) -> pd.Series:
     """
     import numpy as np
 
+    shifts = np.arange(64, dtype=np.uint64)
+
     def simhash(s: str | None) -> int | None:
         if s is None:
             return None
         votes = np.zeros(64, dtype=np.int64)
         for tok in s.split():
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-            bits = (h >> np.arange(64)) & 1
+            # uint64: a hash with the top bit set overflows int64 and
+            # numpy refuses to coerce a Python int that large
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            )
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
             votes += np.where(bits == 1, 1, -1)
         out = 0
         for i in range(64):

@@ -18,6 +18,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
     compare_query(spark, sf_dir, qd.fn, qd.oracle)
 
 
+_ROWS_ONLY = sorted(set(registry.all_queries()) - set(registry.all_oracles()))
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    """Queries without a SQL oracle (non-SQL-expressible ops) still get a
+    smoke run: stable schema, materializable, deterministic row count
+    across two executions."""
+    qd = registry.get(name)
+    df1 = qd.fn(spark, "/root/testdata/sf0.001")
+    df2 = qd.fn(spark, "/root/testdata/sf0.001")
+    assert df1.schema == df2.schema
+    assert df1.count() == df2.count() >= 0
+
+
 def test_entry_smoke(spark):
     import importlib.util
 
