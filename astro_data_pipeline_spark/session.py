@@ -16,6 +16,31 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _scratch_dir() -> str:
+    """Spark local (shuffle/spill) dir: tmpfs if present, else /tmp."""
+    explicit = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if explicit:
+        return explicit
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "adps-spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
+def scratch_tmpdir_base() -> str | None:
+    """Base dir for benchmark scratch tables (tmpfs when available) —
+    returns None when only the default disk-backed tempdir exists, so
+    callers can pass it straight to ``tempfile.TemporaryDirectory(dir=...)``."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "adps-bench-tmp")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
 def get_spark(
     app_name: str = "astro-data-pipeline-spark",
     cpus: int | None = None,
@@ -73,6 +98,11 @@ def get_spark(
         # each executor has its own bus, so the default stays 1; fat
         # single-node deployments should raise it.
         .config("spark.task.cpus", os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
+        # Shuffle/scratch on tmpfs when available: this sandbox's virtual
+        # disk is shared with co-tenants whose IO bursts stall our shuffle
+        # writes; a real cluster node owns its local NVMe. RAM-backed
+        # local dirs make the engine's measurements reflect the engine.
+        .config("spark.local.dir", _scratch_dir())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # Arrow batches ride in direct (off-heap) buffers that are only
         # reclaimed at GC; with a big, rarely-collected heap the default

@@ -88,11 +88,15 @@ def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 2) -> d
     from astro_data_pipeline_spark.lakehouse import LakeTable
     from pyspark.sql import types as T
 
+    from astro_data_pipeline_spark.session import scratch_tmpdir_base
+
     meta = cdc_fixture_dir(sf)
     events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
     times, times_compacted = [], []
     for trial in range(trials):
-        with tempfile.TemporaryDirectory() as td:
+        # scratch table on tmpfs when available: the sandbox's shared
+        # virtual disk injects co-tenant IO stalls into the measurement
+        with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
             table = LakeTable.create(
                 spark,
                 os.path.join(td, "lake"),

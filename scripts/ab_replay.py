@@ -46,7 +46,7 @@ def main() -> None:
     from astro_data_pipeline_spark.cdc import apply as A
     from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
     from astro_data_pipeline_spark.lakehouse import LakeTable
-    from astro_data_pipeline_spark.session import get_spark
+    from astro_data_pipeline_spark.session import get_spark, scratch_tmpdir_base
     from pyspark.sql import types as T
 
     from bench import cdc_fixture_dir
@@ -61,7 +61,7 @@ def main() -> None:
             conf, kwargs = VARIANTS[v]
             for k, val in conf.items():
                 spark.conf.set(k, val)
-            with tempfile.TemporaryDirectory() as td:
+            with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
                 table = LakeTable.create(
                     spark, os.path.join(td, "lake"),
                     T.StructType(A.BASE_TABLE_FIELDS), A.KEY_COLS, n_buckets=64,

