@@ -225,3 +225,30 @@ def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "window_lag_order_gap_seconds",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           epoch(o_orderdate) - epoch(lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           )) AS gap_seconds
+    FROM orders
+    """,
+)
+def window_lag_order_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap per key (reference analog: sequential step
+    chaining where step N's output feeds N+1, SURVEY §2.5 W5 /
+    GranularProcessingService.java:262-393, recast as the per-key
+    order-to-order latency the monitoring DAG derives with epoch diffs,
+    data_quality_monitoring.py:137-138)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ts = F.col("o_orderdate").cast("timestamp")
+    prev = F.lag(ts).over(w)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        (F.unix_timestamp(ts) - F.unix_timestamp(prev)).alias("gap_seconds"),
+    )

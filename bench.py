@@ -75,7 +75,7 @@ def cdc_fixture_dir(sf: float) -> dict:
     return meta
 
 
-def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 2) -> dict:
+def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 3) -> dict:
     """Timed replay → committed, compacted snapshot; best of ``trials``.
 
     The sandbox host shows heavy episodic contention (identical runs
