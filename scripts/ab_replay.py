@@ -30,6 +30,10 @@ VARIANTS = {
     "pipe2": ({}, {"pipeline_depth": 2}),
     "pipe3": ({}, {"pipeline_depth": 3}),
     "pipe4": ({}, {"pipeline_depth": 4}),
+    # parquet output codec for delta/base files (runtime-settable,
+    # unlike the shuffle codec)
+    "pq_snappy": ({"spark.sql.parquet.compression.codec": "snappy"}, {}),
+    "pq_zstd": ({"spark.sql.parquet.compression.codec": "zstd"}, {}),
 }
 
 
