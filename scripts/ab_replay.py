@@ -34,6 +34,14 @@ VARIANTS = {
     # unlike the shuffle codec)
     "pq_snappy": ({"spark.sql.parquet.compression.codec": "snappy"}, {}),
     "pq_zstd": ({"spark.sql.parquet.compression.codec": "zstd"}, {}),
+    # Arrow batch size for the sha UDF stage
+    "arrow2k": ({"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"}, {}),
+    "arrow4k": ({"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"}, {}),
+    "arrow16k": ({"spark.sql.execution.arrow.maxRecordsPerBatch": "16384"}, {}),
+    # storage bucket count (parallelism of the fused collapse stage)
+    "b64": ({}, {"n_buckets": 64}),
+    "b128": ({}, {"n_buckets": 128}),
+    "b256": ({}, {"n_buckets": 256}),
 }
 
 
@@ -63,12 +71,15 @@ def main() -> None:
     for rnd in range(args.rounds):
         for v in variants:
             conf, kwargs = VARIANTS[v]
+            kwargs = dict(kwargs)
+            n_buckets = kwargs.pop("n_buckets", 64)
             for k, val in conf.items():
                 spark.conf.set(k, val)
             with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
                 table = LakeTable.create(
                     spark, os.path.join(td, "lake"),
-                    T.StructType(A.BASE_TABLE_FIELDS), A.KEY_COLS, n_buckets=64,
+                    T.StructType(A.BASE_TABLE_FIELDS), A.KEY_COLS,
+                    n_buckets=n_buckets,
                 )
                 t0 = time.time()
                 CdcRunner(
