@@ -124,6 +124,98 @@ def cdc_idempotent_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E2E_DIR = "/root/repo/.bench/e2e-fixture"
+_E2E_PARAMS = dict(n_repos=40, n_keys=4000, n_events=20000, seed=42)
+
+_E2E_ORACLE = f"""
+WITH ev AS (
+    SELECT * FROM read_parquet(
+        ['{_E2E_DIR}/change_events_v1.parquet',
+         '{_E2E_DIR}/change_events_v2.parquet'],
+        union_by_name=true)
+    WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL
+      AND path IS NOT NULL AND lsn IS NOT NULL
+      AND (content IS NOT NULL OR op = 'delete')
+), w AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM ev
+)
+SELECT repo, path, "commit", lang, lang_meta,
+       sha256(content) AS content_sha256,
+       lsn AS last_lsn
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _ensure_e2e_fixture() -> dict:
+    """Deterministic small change log at a FIXED path so the DuckDB oracle
+    (a static SQL string) can read the identical input."""
+    import json as _json
+    import os as _os
+
+    from .fixtures import generate_change_log
+
+    meta_path = _os.path.join(_E2E_DIR, "meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return _json.load(f)
+    meta = generate_change_log(_E2E_DIR, **_E2E_PARAMS)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+# The driver may evaluate the oracle SQL before (or without) running the
+# Spark side, so the fixture must exist as soon as the registry loads.
+try:
+    _ensure_e2e_fixture()
+except Exception:  # never break registry import; the query itself retries
+    pass
+
+
+@query("cdc_replay_end_to_end", oracle=_E2E_ORACLE)
+def cdc_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ENGINE ITSELF under the DuckDB oracle: a full micro-batch replay
+    — validation/quarantine, pipelined bucket-fused salted LWW collapse,
+    Arrow sha256, merge-on-read apply, atomic exactly-once commits, final
+    compaction — over a deterministic 20k-event log with duplicate
+    deliveries, out-of-order chunks, delete→reinsert races, and a
+    mid-stream schema-evolution boundary. The oracle replays the same
+    parquet segments in SQL (validity filter → LSN row_number → delete
+    drop → sha256). Every other cdc_* query checks a primitive; this one
+    checks the assembled system (SURVEY.md §3.1 restated end to end).
+
+    ``sf_dir`` is unused: the log lives at a fixed path so the static
+    oracle SQL reads the identical input.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+    from . import apply as A
+    from .runner import CdcRunner, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), T.StructType(A.BASE_TABLE_FIELDS),
+            A.KEY_COLS, n_buckets=16,
+        )
+        CdcRunner(spark, table, run_id="e2e", mode="mor").replay(events, n_batches=4)
+        table.compact()
+        out = table.read().select(
+            "repo", "path", "commit", "lang", "lang_meta",
+            "content_sha256", "last_lsn",
+        )
+        # materialize before the table's directory vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
 @query(
     "cdc_batch_ledger_stats",
     oracle="""
