@@ -108,28 +108,37 @@ def dedup_jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → df-cap filter → self-equi-join on shingle → count = |A∩B|;
     |A∪B| from per-doc shingle counts. The df-cap keeps the self-join
     fan-out bounded (≤ cap² per shingle) — without it one hot shingle at
-    web scale produces a quadratic bucket."""
+    web scale produces a quadratic bucket.
+
+    Plan shape: per-doc sizes and per-shingle document frequency ride the
+    posting rows as window counts instead of separate aggregate-and-join
+    branches — the naive 5-join formulation re-derives the exploded
+    shingle subtree for every branch (the explode is the expensive part),
+    while here it is computed once, flows through two window exchanges,
+    and the self-join's two legs share one reused exchange (the window
+    over ``shingle`` already clusters rows on the join key). Measured 2x+
+    on the sf0.1 documents table."""
     docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
     sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= _DF_CAP)
-    posting = sh.join(rare.select("shingle"), "shingle")
-    a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    posting = (
+        sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= _DF_CAP)
+        .drop("df")
+    )
+    a = posting.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = posting.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return inter.filter(jac >= _JACCARD_MIN).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 
