@@ -39,6 +39,7 @@ VARIANTS = {
     "arrow4k": ({"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"}, {}),
     "arrow16k": ({"spark.sql.execution.arrow.maxRecordsPerBatch": "16384"}, {}),
     # storage bucket count (parallelism of the fused collapse stage)
+    "b32": ({}, {"n_buckets": 32}),
     "b64": ({}, {"n_buckets": 64}),
     "b128": ({}, {"n_buckets": 128}),
     "b256": ({}, {"n_buckets": 256}),
