@@ -23,6 +23,11 @@ own table format with exactly the properties the north rule needs:
 - **time travel / lineage**: the snapshot chain is retained until
   expired; each snapshot records per-bucket files and summary metrics.
 
+Concurrency contract: SINGLE WRITER, many readers — the standard CDC-sink
+shape (one replay job owns the table; readers see committed snapshots
+only). On an object store the ``os.replace`` version-hint flip swaps for
+a catalog compare-and-swap (Iceberg/Nessie style); nothing else changes.
+
 Two merge strategies (both atomic, both exactly-once):
 
 - **copy-on-write** (``merge``): full-outer join per touched bucket,

@@ -239,6 +239,60 @@ def test_pipelined_crash_leaves_committed_prefix(spark, tmp_path, fixture_meta, 
     )
 
 
+def test_expire_snapshots_collects_crashed_pipeline_orphans(
+    spark, tmp_path, fixture_meta
+):
+    """Delta files written by a crashed pipelined run but never committed
+    must be invisible to readers and reclaimed by expire_snapshots."""
+    import os
+
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    runner = CdcRunner(spark, table, run_id="r1", mode="mor", pipeline_depth=3)
+    orig = table.mor_write
+    calls = {"n": 0}
+
+    def failing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("boom")
+        return orig(*a, **kw)
+
+    table.mor_write = failing
+    with pytest.raises(RuntimeError):
+        runner.replay(events, n_batches=6)
+    table.mor_write = orig
+
+    def parquet_files():
+        out = set()
+        for dirpath, _d, files in os.walk(os.path.join(table.root, "data")):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.add(os.path.join(dirpath, fn))
+        return out
+
+    snap = table.current_snapshot()
+    live = {
+        os.path.join(table.root, p)
+        for fs in list(snap.files.values()) + list(snap.delta_files.values())
+        for p in fs
+    }
+    on_disk = parquet_files()
+    orphans = on_disk - set().union(
+        *(
+            {os.path.join(table.root, p) for fs in
+             list(s.files.values()) + list(s.delta_files.values()) for p in fs}
+            for s in table.snapshot_chain()
+        )
+    )
+    assert orphans, "crashed pipeline should have left uncommitted delta files"
+    state_before = table.read().count()
+    removed = table.expire_snapshots(keep_last=100)  # keep all committed snaps
+    assert removed >= len(orphans)
+    assert table.read().count() == state_before
+    assert live <= parquet_files()  # live files untouched
+
+
 # ------------------------------------------------------------- salting
 
 
