@@ -216,6 +216,44 @@ def cdc_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
+@query("cdc_streaming_replay_end_to_end", oracle=_E2E_ORACLE)
+def cdc_streaming_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ingest path under the same DuckDB oracle: a
+    Structured Streaming file-source tail over the WAL segments
+    (Trigger.AvailableNow, maxFilesPerTrigger=1 → one epoch per sealed
+    segment) drains through ``foreachBatch`` into the identical
+    exactly-once apply the batch loop uses, and must converge to the
+    identical final state (SURVEY.md §2.11: one semantics, two triggers).
+    Epoch-id batch identity closes the foreachBatch at-least-once gap.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+    from ..streaming.replay import stream_replay_available_now
+    from . import apply as A
+
+    meta = _ensure_e2e_fixture()
+    glob = _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), T.StructType(A.BASE_TABLE_FIELDS),
+            A.KEY_COLS, n_buckets=16,
+        )
+        stream_replay_available_now(
+            spark, glob, table, _os.path.join(td, "ckpt"), run_id="e2e-stream",
+        )
+        out = table.read().select(
+            "repo", "path", "commit", "lang", "lang_meta",
+            "content_sha256", "last_lsn",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
 @query(
     "cdc_batch_ledger_stats",
     oracle="""
