@@ -49,36 +49,6 @@ def validate_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return events.filter(ok), events.filter(~ok)
 
 
-def detect_hot_keys(
-    events: DataFrame, hot_share: float = 0.01
-) -> list[tuple[str, str]]:
-    """Heavy-hitter detection for salting (SURVEY.md §7 Phase 3).
-
-    Detects hot **(repo, path) keys**, not hot repos: the collapse
-    shuffles on the storage bucket = hash(repo, path), so a repo with many
-    paths spreads evenly no matter how large — only a single key receiving
-    a disproportionate share of the batch (a file rewritten millions of
-    times) can skew a reducer. Salting on repo hotness (the obvious
-    reading of "hot repos") triggers on Zipf repo-size skew that the
-    bucket hash already neutralizes, and pays a whole extra shuffle per
-    batch for it — measured as a pure loss on repo-skewed-but-key-uniform
-    logs.
-
-    A key is hot when it owns > hot_share of the batch's events. One
-    cheap aggregation — partial combine makes this a near-free pass; the
-    result is a tiny driver-side list that broadcasts into the salt
-    expression."""
-    counts = events.groupBy("repo", "path").agg(F.count("*").alias("n"))
-    total = events.count()
-    if total == 0:
-        return []
-    cutoff = max(int(total * hot_share), 1)
-    return [
-        (r["repo"], r["path"])
-        for r in counts.filter(F.col("n") > cutoff).collect()
-    ]
-
-
 def lww_collapse(
     events: DataFrame,
     hot_keys: list[tuple[str, str]] | None = None,

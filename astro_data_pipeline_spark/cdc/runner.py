@@ -121,11 +121,14 @@ class CdcRunner:
     def detect_hot_keys(self, events: DataFrame) -> list[tuple[str, str]]:
         """Heavy-hitter **keys** from a deterministic 2% sample of
         ``events`` (one cheap column-pruned job). Key-level, not
-        repo-level: the collapse shuffles on hash(repo, path), so only a
-        single key owning > hot_share of the batch skews a reducer — see
-        ``apply.detect_hot_keys``. A key that hot is near-certain to
-        surface in the sample; the full scan this replaces would cost a
-        whole extra pass over the log."""
+        repo-level: the collapse shuffles on the storage bucket =
+        hash(repo, path), so a repo with many paths spreads evenly no
+        matter how large — only a single key owning > hot_share of the
+        batch (a file rewritten millions of times) can skew a reducer.
+        Salting on repo hotness would trigger on Zipf repo-size skew the
+        bucket hash already neutralizes. A key that hot is near-certain
+        to surface in the sample; a full-scan count would cost a whole
+        extra pass over the log."""
         sample = events.select("repo", "path").sample(fraction=0.02, seed=42)
         counts = sample.groupBy("repo", "path").agg(F.count("*").alias("n"))
         # phase 1 (always): one job, two scalars to the driver. The common
@@ -452,13 +455,37 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
     The footer pass also records global min/max LSN from row-group
     statistics; ``replay`` picks it up and skips its bounds aggregation.
     """
+    import glob as _glob
+    import os
+
     import pyarrow.parquet as pq
+
+    # pyarrow's ParquetFile takes a single concrete file — expand globs and
+    # directories on the driver first (spark.read handles them natively,
+    # the footer pass must match what the scan will read).
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+            )
+        elif _glob.has_magic(p):
+            files.extend(sorted(f for f in _glob.glob(p) if not os.path.isdir(f)))
+        else:
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no parquet segments matched {paths!r}")
 
     fields: list[T.StructField] = []
     seen: set[str] = set()
     lsn_lo: int | None = None
     lsn_hi: int | None = None
-    for p in paths:
+    stats_valid = True
+    for p in files:
         pf = pq.ParquetFile(p)
         md = pf.metadata
         spark_fields = spark.read.parquet(p).schema.fields
@@ -466,6 +493,11 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
             if f.name not in seen:
                 seen.add(f.name)
                 fields.append(T.StructField(f.name, f.dataType, True))
+        # Bounds are only trustworthy if EVERY row group of EVERY segment
+        # has lsn min/max stats: one stats-less segment must poison the
+        # whole fast path, or replay would slice LSN ranges that miss it.
+        if not stats_valid:
+            continue
         try:
             idx = md.schema.names.index("lsn")
             for rg in range(md.num_row_groups):
@@ -475,8 +507,9 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
                 lsn_lo = st.min if lsn_lo is None else min(lsn_lo, st.min)
                 lsn_hi = st.max if lsn_hi is None else max(lsn_hi, st.max)
         except (ValueError, KeyError):
+            stats_valid = False
             lsn_lo = lsn_hi = None
-    df = spark.read.schema(T.StructType(fields)).parquet(*paths)
-    if lsn_lo is not None:
+    df = spark.read.schema(T.StructType(fields)).parquet(*files)
+    if stats_valid and lsn_lo is not None:
         df._adps_lsn_bounds = (int(lsn_lo), int(lsn_hi))
     return df

@@ -244,18 +244,13 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (SURVEY §2.4 NOT-PRESENT row;
     built into Spark). At 10^10 events exact countDistinct shuffles every
-    key; the sketch is a constant-size mergeable state per partition. No
-    SQL oracle: DuckDB's approx_count_distinct uses a different sketch, so
-    the registered check is rows-only; the in-plan guard below pins the
-    estimate to the exact count within HLL's published error (rsd=0.01)."""
+    key; the sketch is constant-size mergeable state per partition —
+    deliberately the ONLY aggregate here, so the plan never pays the
+    exact-distinct shuffle the sketch exists to avoid. No SQL oracle:
+    DuckDB's approx_count_distinct uses a different sketch, so the
+    registered check is rows-only; the exact-vs-approx tolerance pin
+    lives in pytest at small SF (test_operators.py)."""
     ev = load_table(spark, sf_dir, "events")
-    out = ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
-    return out.select(
-        "approx_users",
-        "exact_users",
-        (F.abs(F.col("approx_users") - F.col("exact_users"))
-         / F.col("exact_users") < 0.05).alias("within_tolerance"),
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )

@@ -231,10 +231,12 @@ def join_three_way_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join chain → agg →
-    top-k. The customer side is filtered then broadcast, so the orders
-    and lineitem scans never shuffle for the join; the top-10 is
-    TakeOrderedAndProject (no global sort). Reference analog: the
-    'complex query' suite joins db_performance_test.py:208-271."""
+    top-k. Only the filtered customer dim is force-broadcast; the
+    lineitem↔orders join shuffles on the key (AQE upgrades it to
+    broadcast at small SF, and at large SF the shuffle is the correct
+    plan — force-broadcasting half of orders would OOM executors). The
+    top-10 is TakeOrderedAndProject (no global sort). Reference analog:
+    the 'complex query' suite joins db_performance_test.py:208-271."""
     cutoff = "1995-03-15"
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -246,7 +248,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),

@@ -165,30 +165,48 @@ def sort_topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sort_keyset_pagination_page3",
     oracle="""
+    WITH last AS (
+        SELECT max(o_orderkey) AS k FROM (
+            SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 200
+        )
+    )
     SELECT o_orderkey AS orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str
-    FROM (
-        SELECT o_orderkey, o_orderdate,
-               row_number() OVER (ORDER BY o_orderkey) AS rn
-        FROM orders
-    )
-    WHERE rn > 200 AND rn <= 300
+    FROM orders, last
+    WHERE o_orderkey > last.k
+    ORDER BY o_orderkey
+    LIMIT 100
     """,
 )
 def sort_keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4 pagination (reference: Pageable repositories
-    AstronomicalObjectRepository.java:44-71). Window row_number page slice;
-    timestamps stringified so both engines hash the same representation."""
+    """O4 TRUE keyset pagination (reference: Pageable keyset repositories,
+    AstronomicalObjectRepository.java:44-71): the client carries the last
+    key of the previous page and each page is
+    ``WHERE key > :last ORDER BY key LIMIT n``. Both the cursor fetch and
+    the page plan as TakeOrderedAndProject (per-partition bounded heap +
+    driver merge) with the key predicate pushed to the parquet scan — no
+    global Window, no single-task sort, unlike an OFFSET/row_number page
+    slice which funnels every row through one partition. ``o_orderkey``
+    is the table's unique key, so the page is deterministic."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    # cursor handshake: the 200th-smallest key = last key of page 2. One
+    # tiny TakeOrderedAndProject job (200 rows to the driver), exactly
+    # what a paginating client would have carried over from the prior page.
+    last_seen = (
+        orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(200)
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
     return (
-        orders.select(
-            "o_orderkey",
+        orders.filter(F.col("o_orderkey") > F.lit(last_seen))
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 200) & (F.col("rn") <= 300))
-        .select(F.col("o_orderkey").alias("orderkey"), "orderdate_str")
     )
 
 

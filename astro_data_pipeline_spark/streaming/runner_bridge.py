@@ -32,6 +32,21 @@ def apply_stream_batch(
         return None
     runner = CdcRunner(batch_df.sparkSession, table, run_id=run_id, mode=mode)
     lo_hi = batch_df.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    if lo_hi[0] is None:
+        # Non-empty batch whose lsn values are all null: every event fails
+        # the validity predicate — run it through apply anyway (quarantine
+        # metrics fire, nothing merges) under an epoch-derived identity
+        # instead of crashing the whole stream on int(None).
+        rep = runner.apply_batch(
+            batch_df, batch_id=f"epoch:{epoch_id}", lsn_lo=-1, lsn_hi=-1
+        )
+        return {
+            "batch_id": rep.batch_id,
+            "status": rep.status,
+            "totals": rep.totals,
+            "snapshot_id": rep.snapshot_id,
+            "n_quarantined": rep.n_quarantined,
+        }
     rep = runner.apply_batch(
         batch_df,
         batch_id=f"epoch:{epoch_id}",

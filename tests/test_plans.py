@@ -54,6 +54,20 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan(df, "simple")
 
 
+def test_keyset_pagination_has_no_global_window(spark):
+    """True keyset pagination must plan as TakeOrderedAndProject with the
+    cursor predicate pushed to the scan — a global row_number Window (the
+    OFFSET anti-pattern) funnels the whole table through ONE task."""
+    df = registry.get("sort_keyset_pagination_page3").fn(spark, SF)
+    p = plan(df, "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+    assert "SinglePartition" not in p, p
+    fp = plan(df)
+    pushed = [ln for ln in fp.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThan(o_orderkey" in ln for ln in pushed), pushed
+
+
 def test_three_way_join_broadcasts_both_dims(spark):
     df = registry.get("join_three_way_nation_revenue").fn(spark, SF)
     p = plan(df, "simple")

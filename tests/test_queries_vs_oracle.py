@@ -33,6 +33,25 @@ def test_rows_only_query_runs(spark, name):
     assert df1.count() == df2.count() >= 0
 
 
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """The HLL sketch query is rows-only for the driver (DuckDB's sketch
+    differs); pin its estimate to the exact count here instead, at small
+    SF where the exact shuffle is cheap."""
+    from pyspark.sql import functions as F
+
+    from astro_data_pipeline_spark.sources import load_table
+
+    approx = registry.get("agg_approx_distinct_users").fn(spark, sf_dir).collect()[0][
+        "approx_users"
+    ]
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
 def test_entry_smoke(spark):
     import importlib.util
 
