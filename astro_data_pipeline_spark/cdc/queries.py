@@ -292,3 +292,68 @@ def cdc_batch_ledger_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_keys"),
         )
     )
+
+
+@query(
+    "cdc_workflow_activation",
+    oracle="""
+    WITH act AS (
+        SELECT user_id AS workflow_id,
+               event_id % 5 AS version_id,
+               event_id AS seq
+        FROM events
+    ), dedup AS (
+        -- idempotent re-activation: activating the already-active version
+        -- is a no-op, so consecutive repeats collapse
+        SELECT * FROM (
+            SELECT workflow_id, version_id, seq,
+                   lag(version_id) OVER w AS prev_version
+            FROM act
+            WINDOW w AS (PARTITION BY workflow_id ORDER BY seq)
+        ) WHERE prev_version IS NULL OR prev_version <> version_id
+    )
+    SELECT workflow_id, version_id,
+           seq AS activated_seq,
+           lead(seq) OVER w AS deactivated_seq,
+           (lead(seq) OVER w IS NULL) AS is_active
+    FROM dedup
+    WINDOW w AS (PARTITION BY workflow_id ORDER BY seq)
+    """,
+)
+def cdc_workflow_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workflow activation/rollback replay (reference: single-active-
+    version registry, V2_2__Add_Workflow_Versioning_Support.sql:232-301
+    ``activate_workflow_version`` with deactivate_others=true, plus the
+    activation-history log :285-297).
+
+    The activation log replays as one plan: consecutive re-activations of
+    the already-active version collapse (the idempotence the reference
+    gets from UPDATE-where-is_active), each surviving activation closes
+    its predecessor (``lead`` = the atomic deactivate-others flip), and
+    exactly one open interval per workflow remains active — a *rollback*
+    is just a later activation of an older version_id, which this
+    handles with no special case. Both windows share one partitioning →
+    single shuffle. ``user_id`` plays workflow identity, ``event_id % 5``
+    the version label, ``event_id`` the activation LSN."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.col("user_id").alias("workflow_id"),
+        (F.col("event_id") % 5).alias("version_id"),
+        F.col("event_id").alias("seq"),
+    )
+    w = Window.partitionBy("workflow_id").orderBy("seq")
+    dedup = (
+        act.withColumn("prev_version", F.lag("version_id").over(w))
+        .filter(
+            F.col("prev_version").isNull()
+            | (F.col("prev_version") != F.col("version_id"))
+        )
+        .drop("prev_version")
+    )
+    return dedup.select(
+        "workflow_id",
+        "version_id",
+        F.col("seq").alias("activated_seq"),
+        F.lead("seq").over(w).alias("deactivated_seq"),
+        F.lead("seq").over(w).isNull().alias("is_active"),
+    )

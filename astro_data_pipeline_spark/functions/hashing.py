@@ -42,34 +42,7 @@ def sha256_col(col: Column | str, use_native: bool = False) -> Column:
     return sha256_arrow(c)
 
 
-@F.pandas_udf(T.LongType())
-def simhash64_arrow(text: pd.Series) -> pd.Series:
-    """64-bit SimHash of whitespace tokens, Arrow-batched.
-
-    Near-duplicate fingerprint (training-data dedup surface): token-hash
-    bit-vote. Deterministic: token hash = first 8 bytes of md5.
-    """
-    import numpy as np
-
-    shifts = np.arange(64, dtype=np.uint64)
-
-    def simhash(s: str | None) -> int | None:
-        if s is None:
-            return None
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in s.split():
-            # uint64: a hash with the top bit set overflows int64 and
-            # numpy refuses to coerce a Python int that large
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-            )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            votes += np.where(bits == 1, 1, -1)
-        out = 0
-        for i in range(64):
-            if votes[i] > 0:
-                out |= 1 << i
-        # fold into signed int64
-        return out - (1 << 64) if out >= (1 << 63) else out
-
-    return text.map(simhash)
+# SimHash lives in textops.dedup.simhash64_fingerprints as a pure JVM
+# expression tree (explode + xxhash64 + 64 conditional-sum bit votes) —
+# the former Arrow-batched per-token Python loop was interpreter-bound
+# and 10-100x slower at corpus scale.

@@ -321,3 +321,116 @@ def scalar_astro_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(angular_distance_deg(ra, dec, F.lit(0.0), F.lit(0.0)), 4).alias("sep_deg"),
         F.round(flux_to_magnitude(flux), 4).alias("mag"),
     )
+
+
+def _photometric_oracle() -> str:
+    """DuckDB mirror of the calibration chain, coefficients inlined as a
+    VALUES dim from the same PHOTOMETRIC_COEFFS constants."""
+    from ..functions.astro import PHOTOMETRIC_COEFFS
+
+    values = ", ".join(
+        f"('{f}', {zp}, {k}, {psf})" for f, zp, k, psf in PHOTOMETRIC_COEFFS
+    )
+    cases = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, (f, _, _, _) in enumerate(PHOTOMETRIC_COEFFS)
+    )
+    return f"""
+    WITH obs AS (
+        SELECT event_id,
+               CASE (event_id % 10) {cases} END AS filter,
+               10.0 + (event_id % 1300) / 100.0 AS inst_mag,
+               1.0 + (event_id % 150) / 100.0 AS airmass,
+               30.0 + (event_id % 270) AS exposure_s,
+               2.0 + (event_id % 120) / 10.0 AS aperture_px
+        FROM events
+    ), coeff(filter, zp, k_ext, psf) AS (VALUES {values}),
+    terms AS (
+        SELECT o.event_id, o.filter, o.inst_mag, o.airmass, o.exposure_s,
+               o.aperture_px, c.zp,
+               c.k_ext * (o.airmass - 1.0) AS ext_corr,
+               -2.5 * log10(
+                   CASE
+                     WHEN o.aperture_px / c.psf < 0.5
+                       THEN 0.1 * (o.aperture_px / c.psf) * (o.aperture_px / c.psf)
+                     WHEN o.aperture_px / c.psf < 1.0
+                       THEN 0.4 * (o.aperture_px / c.psf)
+                     WHEN o.aperture_px / c.psf < 2.0
+                       THEN 0.6 + 0.3 * (o.aperture_px / c.psf - 1.0)
+                     WHEN o.aperture_px / c.psf < 4.0
+                       THEN 0.9 + 0.08 * (o.aperture_px / c.psf - 2.0)
+                     ELSE 0.98
+                   END) AS ap_corr,
+               CASE WHEN o.inst_mag < 15.0 THEN 0.02
+                    WHEN o.inst_mag < 20.0 THEN 0.01
+                    ELSE 0.0 END AS color_corr
+        FROM obs o JOIN coeff c USING (filter)
+    )
+    SELECT event_id, filter,
+           round(inst_mag + zp + ext_corr + ap_corr + color_corr, 4)
+               AS calibrated_mag,
+           round(greatest(0.001, sqrt(
+               (1.0 / sqrt(pow(10.0, -0.4 * inst_mag) * exposure_s))
+                 * (1.0 / sqrt(pow(10.0, -0.4 * inst_mag) * exposure_s))
+               + (0.01 * sqrt(pi() * aperture_px * aperture_px / 4.0))
+                 * (0.01 * sqrt(pi() * aperture_px * aperture_px / 4.0))
+               + (0.005 * (airmass - 1.0)) * (0.005 * (airmass - 1.0))
+               + 0.0001)), 4) AS mag_error
+    FROM terms
+    """
+
+
+@query("scalar_photometric_calibration", oracle=_photometric_oracle())
+def scalar_photometric_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 photometric-calibration expression chain (reference:
+    PhotometricCalibration.java:96-160 — zero point + extinction(filter,
+    airmass) + encircled-energy aperture correction + brightness-banded
+    color term, with the STScI-style quadrature error model :243-267).
+
+    The coefficients table (zero point, extinction coefficient, PSF FWHM
+    per filter) is a ~10-row dim broadcast-joined onto the fact scan —
+    never shuffled; every term is a codegen'd column expression, no UDF.
+    Observation parameters (instrumental magnitude, airmass, exposure,
+    aperture) derive deterministically from integer arithmetic on
+    ``event_id`` so both engines see bit-identical doubles; outputs round
+    to 4 dp."""
+    from ..functions.astro import (
+        PHOTOMETRIC_COEFFS,
+        aperture_correction,
+        color_correction,
+        extinction_correction,
+        photometric_error,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    filters = [f for f, _, _, _ in PHOTOMETRIC_COEFFS]
+    obs = ev.select(
+        "event_id",
+        F.element_at(
+            F.array(*[F.lit(f) for f in filters]),
+            (F.col("event_id") % 10 + 1).cast("int"),
+        ).alias("filter"),
+        (F.lit(10.0) + (F.col("event_id") % 1300) / F.lit(100.0)).alias("inst_mag"),
+        (F.lit(1.0) + (F.col("event_id") % 150) / F.lit(100.0)).alias("airmass"),
+        (F.lit(30.0) + (F.col("event_id") % 270)).alias("exposure_s"),
+        (F.lit(2.0) + (F.col("event_id") % 120) / F.lit(10.0)).alias("aperture_px"),
+    )
+    coeff = F.broadcast(
+        spark.createDataFrame(PHOTOMETRIC_COEFFS, "filter string, zp double, k_ext double, psf double")
+    )
+    j = obs.join(coeff, "filter")
+    calibrated = (
+        F.col("inst_mag")
+        + F.col("zp")
+        + extinction_correction(F.col("k_ext"), F.col("airmass"))
+        + aperture_correction(F.col("aperture_px"), F.col("psf"))
+        + color_correction(F.col("inst_mag"))
+    )
+    err = photometric_error(
+        F.col("inst_mag"), F.col("exposure_s"), F.col("airmass"), F.col("aperture_px")
+    )
+    return j.select(
+        "event_id",
+        "filter",
+        F.round(calibrated, 4).alias("calibrated_mag"),
+        F.round(err, 4).alias("mag_error"),
+    )

@@ -28,10 +28,28 @@ def apply_stream_batch(
     at-least-once gap: if the merge committed but the stream checkpoint
     write was lost, the replayed epoch is skipped.
     """
-    if batch_df.isEmpty():
-        return None
+    # One WAL segment per epoch is bounded — pin it so the apply path's
+    # multiple jobs (emptiness+lsn bounds, hot-key sample, merge write)
+    # read the source ONCE instead of re-scanning the segment per job.
+    batch_df = batch_df.persist()
+    try:
+        return _apply_pinned(batch_df, epoch_id, table, run_id, mode)
+    finally:
+        batch_df.unpersist()
+
+
+def _apply_pinned(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table: LakeTable,
+    run_id: str,
+    mode: str,
+) -> dict | None:
     runner = CdcRunner(batch_df.sparkSession, table, run_id=run_id, mode=mode)
-    lo_hi = batch_df.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    # single bounds-and-emptiness job; it also materializes the cache
+    lo_hi = batch_df.agg(F.min("lsn"), F.max("lsn"), F.count("*")).collect()[0]
+    if int(lo_hi[2]) == 0:
+        return None
     if lo_hi[0] is None:
         # Non-empty batch whose lsn values are all null: every event fails
         # the validity predicate — run it through apply anyway (quarantine

@@ -117,29 +117,33 @@ def sim_ann_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_DUP_TAU = 0.40
+_DEDUP_N_TABLES = 8
+_DEDUP_N_PLANES = 4
+_EMB_DIM = 64
 
 
-@query(
-    "dedup_embedding_cosine_pairs",
-    oracle=f"""
-    SELECT left_id, right_id, cos_sim
-    FROM (
-        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-               round(list_cosine_similarity(
-                   CAST(a.embedding AS DOUBLE[]),
-                   CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-        FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
-    ) WHERE cos_sim >= {_NEAR_DUP_TAU}
-    """,
-)
-def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (semantic dedup): all
-    unordered pairs with cosine >= tau. This exact variant is the
-    correctness baseline; at corpus scale the same refine predicate runs
-    only on LSH-bucket candidates (``lsh_bucket_assignments`` — corpus /
-    2^planes pairs instead of n^2), which pytest checks for recall
-    against this query. Similarity is rounded to 4 dp before the
-    threshold on both engines so ULP drift cannot flip membership."""
+def _seeded_planes(n_tables: int, n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes shared verbatim by the Spark plan and
+    the DuckDB oracle SQL: sign (t, j, d) = parity of one md5 byte of the
+    coordinate's identity. Plane constants fold into the expression tree /
+    SQL literal — zero runtime state, reproducible on any engine."""
+    import hashlib as _hl
+
+    planes = []
+    for t in range(n_tables):
+        for j in range(n_planes):
+            row = []
+            for d in range(dim):
+                b = _hl.md5(f"plane:{t}:{j}:{d}".encode()).digest()[0]
+                row.append(1 if b % 2 == 0 else -1)
+            planes.append(row)
+    return planes
+
+
+def embedding_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n²) all-pairs exact near-dup baseline — NOT registered: the
+    non-equi self-join is a nested loop that dies at corpus scale. Kept
+    solely as the pytest recall oracle for the bucketed query below."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -154,6 +158,124 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right_id",
         F.round(_cosine(F.col("l_emb"), F.col("r_emb")), 4).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
+
+
+def _dedup_lsh_oracle() -> str:
+    """DuckDB mirror of the bucketed-candidates → exact-refine pipeline,
+    with the identical plane constants inlined as list literals."""
+    planes = _seeded_planes(_DEDUP_N_TABLES, _DEDUP_N_PLANES, _EMB_DIM)
+    bucket_exprs = []
+    for t in range(_DEDUP_N_TABLES):
+        bits = []
+        for j in range(_DEDUP_N_PLANES):
+            lit = "[" + ",".join(
+                f"{v}.0" for v in planes[t * _DEDUP_N_PLANES + j]
+            ) + "]"
+            bits.append(
+                f"CASE WHEN round(list_dot_product(e, CAST({lit} AS DOUBLE[])), 4)"
+                f" >= 0 THEN {1 << j} ELSE 0 END"
+            )
+        bucket_exprs.append(f"({' + '.join(bits)}) AS bucket_{t}")
+    bucket_cols = ", ".join(bucket_exprs)
+    bucket_list = ", ".join(f"bucket_{t}" for t in range(_DEDUP_N_TABLES))
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), bucketed AS (
+        SELECT vec_id, {bucket_cols} FROM emb
+    ), assignments AS (
+        SELECT vec_id, t.table_id, t.bucket FROM bucketed,
+        UNNEST([{{'table_id': 0, 'bucket': bucket_0}}{"".join(
+            f", {{'table_id': {t}, 'bucket': bucket_{t}}}"
+            for t in range(1, _DEDUP_N_TABLES)
+        )}]) AS u(t)
+    ), candidates AS (
+        SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+        FROM assignments a JOIN assignments b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT c.left_id, c.right_id,
+           round(list_cosine_similarity(l.e, r.e), 4) AS cos_sim
+    FROM candidates c
+    JOIN emb l ON l.vec_id = c.left_id
+    JOIN emb r ON r.vec_id = c.right_id
+    WHERE round(list_cosine_similarity(l.e, r.e), 4) >= {_NEAR_DUP_TAU}
+    """
+
+
+def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(left_id, right_id) candidate pairs from multi-table hyperplane
+    LSH (OR-construction) with seeded-constant planes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planes = _seeded_planes(_DEDUP_N_TABLES, _DEDUP_N_PLANES, _EMB_DIM)
+    table_buckets = []
+    for t in range(_DEDUP_N_TABLES):
+        bits = []
+        for j in range(_DEDUP_N_PLANES):
+            plane = F.array(
+                *[F.lit(float(v)) for v in planes[t * _DEDUP_N_PLANES + j]]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(
+                F.when(F.round(dot, 4) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            )
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        table_buckets.append(bucket.cast("int"))
+    assignments = emb.select(
+        "vec_id",
+        F.posexplode(F.array(*table_buckets)).alias("table_id", "bucket"),
+    )
+    a = assignments.select(
+        F.col("vec_id").alias("left_id"), "table_id", "bucket"
+    )
+    b = assignments.select(
+        F.col("vec_id").alias("right_id"), "table_id", "bucket"
+    )
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+@query("dedup_embedding_cosine_pairs", oracle=_dedup_lsh_oracle())
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup), bucketed:
+    multi-table hyperplane-LSH candidate generation → exact cosine refine
+    at tau. This IS the production path at corpus scale — candidates come
+    from L·n/2^k bucket self-joins (equi-joins on (table, bucket)), never
+    an all-pairs nested loop; the O(n²) exact variant survives only as
+    the pytest recall oracle (``embedding_cosine_pairs_exact``). Plane
+    signs are seeded constants inlined into BOTH the Spark expression
+    tree and the DuckDB oracle, and every dot product is rounded to 4 dp
+    before its sign/threshold test so summation-order ULP drift cannot
+    flip a bucket or membership on either engine."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cands = dedup_lsh_candidate_pairs(spark, sf_dir)
+    left = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("l_emb"))
+    right = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("r_emb"))
+    return (
+        cands.join(left, "left_id")
+        .join(right, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(_cosine(F.col("l_emb"), F.col("r_emb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
+    )
 
 
 _N_CENTROIDS = 8

@@ -383,3 +383,68 @@ def test_sha_invariant_native_equals_arrow(spark, fixture_meta):
         sha256_arrow(F.col("content")).alias("a"), F.sha2(F.col("content"), 256).alias("b")
     ).filter(F.col("a") != F.col("b"))
     assert diff.count() == 0
+
+
+def test_workflow_activation_merge_idempotent(spark, tmp_path):
+    """Activation flip as an engine MERGE (reference:
+    activate_workflow_version, V2_2__...sql:232-301): keying the lake
+    table on workflow identity makes 'activate version N, deactivate
+    others' a single LWW upsert — the new activation atomically replaces
+    the old row. Re-applying the same activation batch (same batch id)
+    must skip; re-activating the already-active version must leave the
+    state byte-identical (idempotent reactivation)."""
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),   # workflow_name
+        T.StructField("path", T.StringType(), False),   # processing_type
+        T.StructField("commit", T.StringType(), True),  # version label
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),  # activation payload
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("last_lsn", T.LongType(), True),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "wf"), schema, key_cols=["repo", "path"], n_buckets=4
+    )
+    def activation(lsn, wf, ptype, version):
+        return dict(
+            lsn=lsn, ts=pd.Timestamp("2026-01-01"), op="update", repo=wf,
+            path=ptype, commit=version, lang="wf",
+            content=f"active={version};traffic=100.0",
+        )
+
+    runner = CdcRunner(spark, table, run_id="wf", mode="mor", salt_auto=False)
+    b1 = spark.createDataFrame(pd.DataFrame([
+        activation(1, "calib", "fits", "v1"),
+        activation(2, "stack", "fits", "v1"),
+    ]))
+    runner.apply_batch(b1, "act:1", 0, 2)
+    b2 = spark.createDataFrame(pd.DataFrame([
+        activation(3, "calib", "fits", "v2"),  # activate v2 → closes v1
+    ]))
+    runner.apply_batch(b2, "act:2", 2, 3)
+    state = table.read().toPandas().sort_values("repo").reset_index(drop=True)
+    assert list(state["commit"]) == ["v2", "v1"]  # calib flipped, stack kept
+
+    # same batch id re-applied → skipped, snapshot unchanged
+    snap_before = table.current_snapshot().snapshot_id
+    rep = runner.apply_batch(b2, "act:2", 2, 3)
+    assert rep.status == "skipped"
+    assert table.current_snapshot().snapshot_id == snap_before
+
+    # reactivating the active version (new lsn) converges to same content
+    b3 = spark.createDataFrame(pd.DataFrame([
+        activation(4, "calib", "fits", "v2"),
+    ]))
+    runner.apply_batch(b3, "act:3", 3, 4)
+    state2 = table.read().toPandas().sort_values("repo").reset_index(drop=True)
+    assert list(state2["commit"]) == ["v2", "v1"]
+    assert list(state2["content_sha256"]) == list(state["content_sha256"])
+
+    # rollback = activating the older version again
+    b4 = spark.createDataFrame(pd.DataFrame([
+        activation(5, "calib", "fits", "v1"),
+    ]))
+    runner.apply_batch(b4, "act:4", 4, 5)
+    assert list(
+        table.read().toPandas().sort_values("repo")["commit"]
+    ) == ["v1", "v1"]

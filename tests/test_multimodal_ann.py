@@ -122,3 +122,53 @@ def test_lsh_multitable_recall_vs_bruteforce(spark, sf_dir):
          1 for p in probe_ids if keys[p] & keys[exact[p][0]]
     )
     assert hits >= 10  # >=50% top-1 recall (expected ~80%)
+
+
+def test_bucketed_dedup_recall_vs_exact_allpairs(spark, sf_dir):
+    """The REGISTERED embedding near-dup query is the bucketed LSH →
+    exact-refine pipeline; the O(n²) all-pairs variant survives only here
+    as its recall oracle. Bucketed results must be a subset of the exact
+    pairs (refine uses the same tau) with high recall on strong pairs."""
+    from astro_data_pipeline_spark import registry
+    from astro_data_pipeline_spark.textops.similarity import (
+        embedding_cosine_pairs_exact,
+    )
+
+    got = registry.get("dedup_embedding_cosine_pairs").fn(spark, sf_dir).toPandas()
+    exact = embedding_cosine_pairs_exact(spark, sf_dir).toPandas()
+    got_pairs = set(zip(got["left_id"], got["right_id"]))
+    exact_pairs = set(zip(exact["left_id"], exact["right_id"]))
+    assert got_pairs <= exact_pairs  # no false positives past the refine
+    strong = exact[exact["cos_sim"] >= 0.7]
+    strong_pairs = set(zip(strong["left_id"], strong["right_id"]))
+    if strong_pairs:
+        recall = len(got_pairs & strong_pairs) / len(strong_pairs)
+        assert recall >= 0.9, recall
+    # and the overall candidate set is far below n^2
+    assert len(got_pairs) <= len(exact_pairs)
+
+
+def test_simhash_fingerprint_properties(spark):
+    """Relational SimHash: identical texts → identical fingerprints;
+    one-token edits → small Hamming distance; disjoint token sets →
+    near-random (~32-bit) distance."""
+    import pandas as pd
+
+    from astro_data_pipeline_spark.textops.dedup import simhash64_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base.replace("lazy", "sleepy", 1)
+    other = "completely different vocabulary everywhere nothing shared " * 8
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [base, base, edited, other]})
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash64_fingerprints(docs).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert fps[1] == fps[2]
+    assert ham(fps[1], fps[3]) <= 12
+    assert ham(fps[1], fps[4]) >= 16

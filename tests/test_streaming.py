@@ -176,3 +176,31 @@ def test_stateful_lww_changelog_converges_to_oracle(spark, tmp_path, fixture_met
     # tombstones carry no payload
     dead = last[~last["alive"]]
     assert dead["content_sha256"].isna().all()
+
+
+def test_streaming_progress_listener_one_row_per_epoch(spark, tmp_path, fixture_meta):
+    """The StreamingQueryListener progress surface (reference analog:
+    monitor_processing_jobs' 30 s poll loop,
+    telescope_data_processing.py:210-293) must record exactly one
+    progress row per applied epoch, with input-row counts that sum to
+    the log size."""
+    from astro_data_pipeline_spark.streaming.progress import recording_listener
+
+    table = _new_table(spark, tmp_path)
+    with recording_listener(spark) as rec:
+        reports = stream_replay_available_now(
+            spark,
+            _glob(fixture_meta),
+            table,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            run_id="progress-test",
+        )
+        n_epochs = len(reports)
+        progress = rec.wait_for(n_epochs)
+    applied = [p for p in progress if p["num_input_rows"] > 0]
+    assert len(applied) == n_epochs, progress
+    epochs = [p["epoch"] for p in applied]
+    assert len(set(epochs)) == len(epochs)  # one row per epoch
+    total_rows = sum(p["num_input_rows"] for p in applied)
+    assert total_rows == fixture_meta["n_events"]
+    assert all("triggerExecution" in p["duration_ms"] for p in applied)
