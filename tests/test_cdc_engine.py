@@ -103,6 +103,23 @@ def test_replay_matches_oracle(spark, tmp_path, fixture_meta, oracle_state, mode
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_prefilter_replay_equals_oracle(spark, tmp_path, fixture_meta, oracle_state):
+    """Both replay strategies — the opt-in winner pre-filter (losers
+    dropped before the content shuffle) and the default canonical fused
+    collapse — must land the identical final state. The fixture log has
+    deletes (null-content winners), duplicate deliveries of winning LSNs,
+    and delete→reinsert chains, so this pins the pre-filter's
+    no-false-negative claim."""
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    CdcRunner(
+        spark, table, run_id="r1", mode="mor", prefilter_winners=True
+    ).replay(events, n_batches=5)
+    pd.testing.assert_frame_equal(
+        _final_state(table), _normalize(oracle_state), check_dtype=False
+    )
+
+
 def test_mor_compaction_preserves_state(spark, tmp_path, fixture_meta, oracle_state):
     table = _new_table(spark, tmp_path)
     events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
