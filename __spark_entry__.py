@@ -53,6 +53,10 @@ _GATE_PRIORITY = [
     # -- 2. new this round ---------------------------------------------
     "scalar_photometric_calibration",
     "cdc_workflow_activation",
+    "img_fits_header_roundtrip",
+    "img_calibration_pipeline",
+    "img_cosmic_ray_stats",
+    "img_quality_scores",
     # -- 3. changed this round -----------------------------------------
     "sort_keyset_pagination_page3",
     "agg_approx_distinct_users",

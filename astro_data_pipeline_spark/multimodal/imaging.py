@@ -1,0 +1,632 @@
+"""P1–P6 per-record image transforms — real vectorized kernels.
+
+The reference's heavy per-record operators (SURVEY.md §2.9) run Java
+loops over ``float[][]`` pixels inside one JVM. The Spark restatement
+runs the same *algorithms* as NumPy array kernels inside Arrow-batched
+``mapInPandas``: the outer loop is per image (exactly like the
+reference's per-file dispatch), every pixel operation is a vectorized
+array expression — never a per-pixel Python loop.
+
+Reference semantics mirrored (file:line cites against
+``application/image-processor/.../service/FitsProcessingService.java``):
+
+- P1 bias subtraction — overscan strip (first 50 columns) mean,
+  subtracted without clamping (:1335-1376).
+- P2 dark subtraction — bias proxy from the 50×50 corner, subtract,
+  clamp at 0 (:323-358); scaled variant multiplies by an
+  exposure-derived scale factor (:1199-1222).
+- P3 flat-field — mode-vs-median normalization (mode wins when >0 and
+  within 30% of median), instrument gain × sqrt(exposure) correction,
+  5σ bad-pixel replacement with the mean, 3×3 mean smoothing
+  (:382-461, :463-493).
+- P4 cosmic-ray removal — L.A.Cosmic (van Dokkum 2001, PASP 113, 1420):
+  4-neighbor Laplacian clipped at 0, MAD-robust noise sigma, 5×5-median
+  fine-structure test, 8-neighbor-median contrast test, ≤4 iterations,
+  masked pixels replaced by the median of clean neighbors (:505-724).
+- P5 quality scoring — SNR, gradient-based seeing FWHM, 5σ limiting
+  magnitude, stellarity from thresholded source shape analysis, and
+  the weighted 0–100 combined score (:761-1010).
+- P6 format encode/decode — an actual FITS layout (public format:
+  2880-byte blocks of 80-char header cards, big-endian float32 data):
+  SIMPLE/BITPIX/NAXIS/NAXIS1/NAXIS2/INSTRUME/FILTER/EXPTIME + HISTORY
+  provenance cards, written and parsed with pure NumPy (:212-272,
+  :981-1010) — no external FITS library needed.
+
+Input rasters are synthesized deterministically per image id (seeded
+counter-based Philox generator — identical on any executor, any
+partition order): flat sky background + Gaussian read noise + a few
+star-like 2-D Gaussian sources + injected single-pixel cosmic-ray
+spikes. No external data, per the small-scale synthesis contract.
+
+Scale design: each image is independent — the operator is
+embarrassingly parallel over rows, no shuffle anywhere before the
+final (tiny) per-instrument rollup; only (doc_id) crosses into the
+kernel and a dozen scalar metrics come back, so at 100 TB the Arrow
+boundary moves metadata, not pixels, except inside the executor-local
+kernel. Group-by rollups run on the scalar outputs (bytes/row ≈ 100).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources import load_table
+
+INSTRUMENTS = ("WFC3", "NIRCAM", "MIRI", "GENERIC")
+FILTERS = ("F606W", "F814W-NARROW", "F160W")
+
+# L.A.Cosmic parameters (reference defaults, FitsProcessingService.java:508-512)
+SIGCLIP = 5.0
+OBJLIM = 5.0
+SIGFRAC = 0.3
+NITER = 4
+
+
+# ----------------------------------------------------------- synth raster
+
+
+def image_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata rows derived from ``documents`` — doc_id keys a
+    deterministic (instrument, filter, exptime, width, height) tuple,
+    all pure ANSI-SQL expressions so DuckDB can recompute them."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(3)) == 0  # the 'image' stripe of media_table
+    )
+    instr = F.element_at(
+        F.array(*[F.lit(i) for i in INSTRUMENTS]),
+        (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+    )
+    filt = F.element_at(
+        F.array(*[F.lit(fl) for fl in FILTERS]),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        instr.alias("instrument"),
+        filt.alias("filter"),
+        (F.pmod("doc_id", F.lit(7)) * 30 + 30).cast("double").alias("exptime"),
+        ((F.pmod("doc_id", F.lit(3)) + 2) * 64).cast("int").alias("width"),
+        ((F.pmod("doc_id", F.lit(2)) + 2) * 48).cast("int").alias("height"),
+    )
+
+
+def synth_raster(doc_id: int, width: int, height: int) -> np.ndarray:
+    """Deterministic synthetic exposure: sky + read noise + point
+    sources + cosmic-ray spikes. Philox is counter-based — the same
+    (doc_id) yields the same pixels on every executor."""
+    rng = np.random.Generator(np.random.Philox(key=int(doc_id)))
+    sky = 200.0 + float(rng.uniform(-20, 20))
+    img = rng.normal(sky, 8.0, size=(height, width))
+    # star-like 2-D Gaussians (FWHM ~2-4 px)
+    yy, xx = np.mgrid[0:height, 0:width]
+    for _ in range(int(rng.integers(3, 9))):
+        cx = float(rng.uniform(5, width - 5))
+        cy = float(rng.uniform(5, height - 5))
+        amp = float(rng.uniform(300, 3000))
+        sig = float(rng.uniform(0.9, 1.8))
+        img += amp * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig**2)))
+    # cosmic rays: single hot pixels, far sharper than any PSF
+    n_crays = int(rng.integers(2, 12))
+    cy = rng.integers(1, height - 1, size=n_crays)
+    cx = rng.integers(1, width - 1, size=n_crays)
+    img[cy, cx] += rng.uniform(4000, 20000, size=n_crays)
+    return img.astype(np.float64)
+
+
+# ------------------------------------------------------- array primitives
+
+
+def _mean3(img: np.ndarray) -> np.ndarray:
+    """3×3 mean filter (ImageJ ``smooth()``), edge-replicated."""
+    p = np.pad(img, 1, mode="edge")
+    return (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:] +
+        p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:] +
+        p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    ) / 9.0
+
+
+def _median_filter(img: np.ndarray, radius: int) -> np.ndarray:
+    """(2r+1)² median filter via a stacked-shift median — one
+    ``np.median`` over a (k², H, W) stack, no per-pixel loop."""
+    k = 2 * radius + 1
+    p = np.pad(img, radius, mode="edge")
+    h, w = img.shape
+    stack = np.empty((k * k, h, w), dtype=img.dtype)
+    idx = 0
+    for dy in range(k):
+        for dx in range(k):
+            stack[idx] = p[dy : dy + h, dx : dx + w]
+            idx += 1
+    return np.median(stack, axis=0)
+
+
+def _neighbor_stack(img: np.ndarray) -> np.ndarray:
+    """(8, H, W) stack of the 8 neighbors (edge-replicated)."""
+    p = np.pad(img, 1, mode="edge")
+    h, w = img.shape
+    offs = [(dy, dx) for dy in range(3) for dx in range(3) if (dy, dx) != (1, 1)]
+    return np.stack([p[dy : dy + h, dx : dx + w] for dy, dx in offs])
+
+
+def _laplacian_pos(img: np.ndarray) -> np.ndarray:
+    """van Dokkum 4-neighbor Laplacian, negative responses clipped to 0
+    (FitsProcessingService.java:626-651)."""
+    p = np.pad(img, 1, mode="edge")
+    h, w = img.shape
+    lap = (
+        4.0 * img
+        - p[:-2, 1:-1] - p[2:, 1:-1] - p[1:-1, :-2] - p[1:-1, 2:]
+    )
+    out = np.maximum(lap, 0.0)
+    # reference computes interior pixels only; borders stay 0
+    out[0, :] = out[-1, :] = 0.0
+    out[:, 0] = out[:, -1] = 0.0
+    return out
+
+
+def _mad_sigma(img: np.ndarray) -> float:
+    """Robust noise: MAD of (img − smooth3) × 1.4826
+    (calculateNoiseStatistics, :730-758)."""
+    resid = np.abs(img - _mean3(img))
+    return float(np.median(resid) * 1.4826)
+
+
+def _histogram_mode(img: np.ndarray) -> float:
+    """Histogram-bin mode (ImageJ ``ImageStatistics.mode`` analog):
+    midpoint of the fullest of 256 equal-width bins."""
+    lo, hi = float(img.min()), float(img.max())
+    if hi <= lo:
+        return lo
+    hist, edges = np.histogram(img, bins=256, range=(lo, hi))
+    b = int(np.argmax(hist))
+    return float((edges[b] + edges[b + 1]) / 2.0)
+
+
+# ----------------------------------------------------------- P1-P3 kernels
+
+
+def bias_level_overscan(img: np.ndarray) -> float:
+    """P1 bias estimate: mean of the first 50 columns (overscan strip,
+    calculateBiasLevel :1356-1376)."""
+    return float(img[:, : min(50, img.shape[1])].mean())
+
+
+def bias_level_corner(img: np.ndarray) -> float:
+    """P2 bias proxy: mean of the ≤50×50 corner (calculateBiasLevel
+    :341-358)."""
+    return float(img[: min(50, img.shape[0]), : min(50, img.shape[1])].mean())
+
+
+def dark_subtract(img: np.ndarray) -> tuple[np.ndarray, float]:
+    """P2: subtract the corner bias estimate, clamp at 0 (:323-340)."""
+    bias = bias_level_corner(img)
+    return np.maximum(img - bias, 0.0), bias
+
+
+def gain_correction(instrument: str, filt: str, exptime: float) -> float:
+    """P3 gain: instrument base × narrowband bump × sqrt(exposure)
+    (calculateGainCorrection :463-493)."""
+    base = {"WFC3": 2.0, "WFPC2": 2.0, "NIRCAM": 1.5, "MIRI": 1.5}.get(
+        instrument.upper(), 1.0
+    )
+    if "narrow" in filt.lower():
+        base *= 1.2
+    return base * float(np.sqrt(exptime if exptime > 0 else 1.0))
+
+
+def flat_field(
+    img: np.ndarray, instrument: str, filt: str, exptime: float
+) -> tuple[np.ndarray, float, float, int]:
+    """P3: mode-vs-median normalization, gain division, 5σ bad-pixel
+    replacement, 3×3 smoothing (:382-461). Returns
+    (corrected, norm_value, gain, n_bad_pixels)."""
+    median = float(np.median(img))
+    mode = _histogram_mode(img)
+    norm = mode if (mode > 0 and abs(mode - median) < 0.3 * median) else median
+    gain = gain_correction(instrument, filt, exptime)
+    total = norm * gain
+    n_bad = 0
+    out = img.copy()
+    if total > 0:
+        out = out / total
+        mean, std = float(out.mean()), float(out.std())
+        thresh = mean + 5.0 * std
+        bad = ~np.isfinite(out) | (out > thresh)
+        n_bad = int(bad.sum())
+        out[bad] = mean
+    return _mean3(out), norm, gain, n_bad
+
+
+# ------------------------------------------------------------- P4 kernel
+
+
+def remove_cosmic_rays(img: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """P4 L.A.Cosmic (van Dokkum 2001), ≤4 iterations (:505-724).
+
+    Each iteration, fully vectorized: Laplacian edge candidates above
+    sigclip·σ, fine-structure candidates (img − median5) above
+    sigfrac·sigclip·σ, each gated by the 8-neighbor-median contrast
+    test; detected pixels replaced by the median of non-detected
+    neighbors. Returns (cleaned, n_cosmic_rays, n_iterations)."""
+    out = img.copy()
+    mask = np.zeros(img.shape, dtype=bool)
+    total = 0
+    iters = 0
+    interior = np.zeros(img.shape, dtype=bool)
+    interior[1:-1, 1:-1] = True
+    for _ in range(NITER):
+        iters += 1
+        sigma = _mad_sigma(out)
+        if sigma <= 0:
+            break
+        lap = _laplacian_pos(out)
+        fine = np.abs(out - _median_filter(out, 2))
+        neigh = _neighbor_stack(out)
+        local_med = np.median(neigh, axis=0)
+        contrast = (out - local_med) / sigma
+        cand = (
+            ((lap > SIGCLIP * sigma) & (contrast > OBJLIM))
+            | ((fine > SIGFRAC * SIGCLIP * sigma) & (contrast > OBJLIM * 0.5))
+        ) & interior & ~mask
+        n_new = int(cand.sum())
+        if n_new == 0:
+            break
+        mask |= cand
+        total += n_new
+        # clean: median of non-masked neighbors (cleanCosmicRays :697-724)
+        neigh_mask = _neighbor_stack(mask.astype(np.float64)) > 0.5
+        clean_vals = np.ma.masked_array(neigh, mask=neigh_mask)
+        repl = np.ma.median(clean_vals, axis=0).filled(local_med)
+        out[mask] = repl[mask]
+    return out, total, iters
+
+
+# ------------------------------------------------------------- P5 kernel
+
+
+def _label_components(detected: np.ndarray, max_iter: int = 64) -> np.ndarray:
+    """4-connected component labels via vectorized min-label
+    propagation (bounded iterations — sources are a few pixels wide,
+    so convergence is fast; 0 = background)."""
+    h, w = detected.shape
+    labels = np.where(
+        detected, np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w), 0
+    )
+    for _ in range(max_iter):
+        p = np.pad(labels, 1, mode="constant")
+        stack = np.stack(
+            [p[1:-1, 1:-1], p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:]]
+        ).astype(np.float64)
+        stack[stack == 0] = np.inf
+        nxt = np.where(detected, np.min(stack, axis=0), np.inf)
+        nxt = np.where(np.isinf(nxt), 0, nxt).astype(np.int64)
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    return labels
+
+
+def stellarity_index(img: np.ndarray) -> tuple[float, int]:
+    """P5 stellarity (calculateStellarityIndex :849-940): subtract the
+    median background, threshold at 3× the MAD-sigma, label sources,
+    and combine per-source circularity × compactness × aspect-ratio
+    weighted by sqrt(area) (3 ≤ area ≤ 1000 px, circularity ≥ 0.3 —
+    the reference's ParticleAnalyzer window). The particle measures
+    use bbox-derived perimeter/Feret approximations (documented
+    simplification of ImageJ's polygon tracer). Returns
+    (stellarity 0..1, n_sources)."""
+    background = float(np.median(img))
+    resid = img - background
+    sigma = float(np.median(np.abs(resid)) * 1.4826)
+    if sigma <= 0:
+        return 0.0, 0
+    labels = _label_components(resid > 3.0 * sigma)
+    ids, counts = np.unique(labels[labels > 0], return_counts=True)
+    if not len(ids):
+        return 0.0, 0
+    total, n_valid = 0.0, 0
+    ys, xs = np.nonzero(labels)
+    lab_flat = labels[ys, xs]
+    order = np.argsort(lab_flat)
+    ys, xs, lab_flat = ys[order], xs[order], lab_flat[order]
+    bounds = np.searchsorted(lab_flat, ids)
+    bounds = np.append(bounds, len(lab_flat))
+    for i, (lid, area) in enumerate(zip(ids, counts)):
+        if area < 3 or area > 1000:
+            continue
+        sy = ys[bounds[i] : bounds[i + 1]]
+        sx = xs[bounds[i] : bounds[i + 1]]
+        bh = int(sy.max() - sy.min() + 1)
+        bw = int(sx.max() - sx.min() + 1)
+        perimeter = 2.0 * (bh + bw)  # bbox perimeter approximation
+        feret = float(np.hypot(bh, bw))  # bbox diagonal ≈ Feret diameter
+        circularity = min(4.0 * np.pi * area / (perimeter**2), 1.0)
+        if circularity < 0.3:
+            continue
+        compactness = 4.0 * np.pi * area / (perimeter**2)
+        aspect = area / (feret**2 * np.pi / 4.0)
+        total += circularity * compactness * aspect * np.sqrt(area)
+        n_valid += 1
+    if n_valid == 0:
+        return 0.0, 0
+    return float(np.clip(total / n_valid, 0.0, 1.0)), n_valid
+
+
+def quality_metrics(img: np.ndarray) -> dict:
+    """P5 combined quality (calculateImageQuality :761-802,
+    calculateCombinedQualityScore :985-1000)."""
+    mean, std = float(img.mean()), float(img.std())
+    median = float(np.median(img))
+    mode = _histogram_mode(img)
+    background = mode if mode > 0 else median
+    dynamic = float(img.max() - img.min())
+    snr = (mean - background) / std if std > 0 else 0.0
+    # seeing via gradient-magnitude edge strength (estimateSeeing :806-818)
+    gy, gx = np.gradient(img)
+    edge_strength = float(np.hypot(gx, gy).mean())
+    seeing = max(0.5, 3.0 - edge_strength / 1000.0)
+    # 5σ limiting magnitude (calculateLimitingMagnitude :820-830)
+    aperture = np.pi * seeing * seeing
+    lim = 25.0 - 2.5 * np.log10(max(5.0 * std, 1e-9) / np.sqrt(aperture))
+    lim = float(np.clip(lim, 15.0, 30.0))
+    stell, n_src = stellarity_index(img)
+    score = (
+        min(20.0, snr * 2.0)
+        + max(0.0, 20.0 - seeing * 5.0)
+        + (lim - 15.0) * 2.0
+        + stell * 15.0
+        + min(15.0, np.log10(max(dynamic, 1e-9)) * 5.0)
+    )
+    return {
+        "snr": snr,
+        "seeing_fwhm": seeing,
+        "limiting_mag": lim,
+        "stellarity": stell,
+        "n_sources": n_src,
+        "quality_score": float(np.clip(score, 0.0, 100.0)),
+    }
+
+
+# ------------------------------------------------------------- P6 codec
+
+
+def fits_encode(img: np.ndarray, header: dict, history: list[str]) -> bytes:
+    """Write an actual FITS byte stream (public layout): 80-char header
+    cards in 2880-byte blocks, then big-endian float32 pixels padded to
+    a 2880 multiple (generateOutputFits :981-1010; provenance HISTORY
+    cards :996-1000)."""
+    h, w = img.shape
+    cards = [
+        "SIMPLE  =                    T / conforms to FITS standard",
+        "BITPIX  =                  -32 / 32-bit IEEE float",
+        "NAXIS   =                    2 / number of axes",
+        f"NAXIS1  = {w:>20d} / width",
+        f"NAXIS2  = {h:>20d} / height",
+        f"INSTRUME= '{header['instrument']:<8s}' / instrument",
+        f"FILTER  = '{header['filter']:<8s}' / filter",
+        f"EXPTIME = {header['exptime']:>20.1f} / exposure seconds",
+    ]
+    cards += [f"HISTORY {hline}" for hline in history]
+    cards.append("END")
+    head = "".join(c[:80].ljust(80) for c in cards)
+    head = head.ljust(((len(head) + 2879) // 2880) * 2880)
+    data = img.astype(">f4").tobytes()
+    data = data.ljust(((len(data) + 2879) // 2880) * 2880, b"\x00")
+    return head.encode("ascii") + data
+
+
+def fits_decode(payload: bytes) -> tuple[np.ndarray, dict, int]:
+    """Parse the header cards (until END), then the pixel block
+    (loadFitsFile :212-272). Returns (pixels, header, n_cards)."""
+    header: dict = {}
+    n_cards = 0
+    pos = 0
+    done = False
+    while not done:
+        block = payload[pos : pos + 2880].decode("ascii")
+        pos += 2880
+        for i in range(0, len(block), 80):
+            card = block[i : i + 80]
+            n_cards += 1
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if key == "HISTORY":
+                header.setdefault("history", []).append(card[8:].strip())
+                continue
+            if "=" not in card:
+                continue
+            val = card[9:].split("/")[0].strip()
+            if "'" in val:
+                header[key] = val.strip("' ")
+            elif val in ("T", "F"):  # FITS logical
+                header[key] = val == "T"
+            else:
+                header[key] = float(val)
+    h, w = int(header["NAXIS2"]), int(header["NAXIS1"])
+    img = (
+        np.frombuffer(payload[pos : pos + 4 * h * w], dtype=">f4")
+        .reshape(h, w)
+        .astype(np.float64)
+    )
+    return img, header, n_cards
+
+
+# ---------------------------------------------------------- batch kernel
+
+
+PIPELINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("instrument", T.StringType()),
+        T.StructField("filter", T.StringType()),
+        T.StructField("exptime", T.DoubleType()),
+        T.StructField("naxis1", T.LongType()),
+        T.StructField("naxis2", T.LongType()),
+        T.StructField("n_header_cards", T.LongType()),
+        T.StructField("bias_overscan", T.DoubleType()),
+        T.StructField("bias_corner", T.DoubleType()),
+        T.StructField("flat_norm", T.DoubleType()),
+        T.StructField("gain", T.DoubleType()),
+        T.StructField("n_bad_pixels", T.LongType()),
+        T.StructField("n_cosmic_rays", T.LongType()),
+        T.StructField("cr_iterations", T.LongType()),
+        T.StructField("snr", T.DoubleType()),
+        T.StructField("seeing_fwhm", T.DoubleType()),
+        T.StructField("limiting_mag", T.DoubleType()),
+        T.StructField("stellarity", T.DoubleType()),
+        T.StructField("n_sources", T.LongType()),
+        T.StructField("quality_score", T.DoubleType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+def _process_one(row) -> dict:
+    img = synth_raster(row.doc_id, row.width, row.height)
+    payload = fits_encode(
+        img,
+        {"instrument": row.instrument, "filter": row.filter, "exptime": row.exptime},
+        history=["Processed by astro_data_pipeline_spark"],
+    )
+    decoded, header, n_cards = fits_decode(payload)
+    # float32 round trip: compare at float32 precision
+    roundtrip_ok = bool(
+        np.array_equal(decoded.astype(np.float32), img.astype(np.float32))
+        and header["INSTRUME"] == row.instrument
+        and header["FILTER"] == row.filter
+        and float(header["EXPTIME"]) == float(row.exptime)
+    )
+    bias_o = bias_level_overscan(decoded)
+    dark, bias_c = dark_subtract(decoded)
+    flat, norm, gain, n_bad = flat_field(
+        dark, row.instrument, row.filter, row.exptime
+    )
+    cleaned, n_crays, iters = remove_cosmic_rays(decoded)
+    q = quality_metrics(cleaned)
+    return {
+        "doc_id": int(row.doc_id),
+        "instrument": row.instrument,
+        "filter": row.filter,
+        "exptime": float(row.exptime),
+        "naxis1": int(header["NAXIS1"]),
+        "naxis2": int(header["NAXIS2"]),
+        "n_header_cards": n_cards,
+        "bias_overscan": bias_o,
+        "bias_corner": bias_c,
+        "flat_norm": norm,
+        "gain": gain,
+        "n_bad_pixels": n_bad,
+        "n_cosmic_rays": n_crays,
+        "cr_iterations": iters,
+        "roundtrip_ok": roundtrip_ok,
+        **q,
+    }
+
+
+def process_images(catalog: DataFrame) -> DataFrame:
+    """The full P1–P6 pipeline as Arrow-batched ``mapInPandas``: only
+    catalog metadata crosses into Python; pixels live and die inside
+    the executor-local kernel; ~100 bytes of metrics come back."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([_process_one(r) for r in pdf.itertuples()])
+
+    cols = ["doc_id", "instrument", "filter", "exptime", "width", "height"]
+    slim = catalog.select(*cols)
+    # The kernel is CPU-bound and each image independent; the input rows
+    # are ~50 bytes of metadata, so a round-robin repartition to the
+    # session's parallelism is a near-free shuffle that keeps every core
+    # busy even when the catalog arrives as a handful of file splits.
+    n = slim.sparkSession.sparkContext.defaultParallelism
+    return slim.repartition(n).mapInPandas(gen, schema=PIPELINE_SCHEMA)
+
+
+# --------------------------------------------------------------- queries
+
+
+_CATALOG_ORACLE_BODY = """
+    SELECT doc_id,
+           ['WFC3','NIRCAM','MIRI','GENERIC'][(doc_id % 4) + 1] AS instrument,
+           ['F606W','F814W-NARROW','F160W'][(doc_id % 3) + 1] AS filter,
+           CAST((doc_id % 7) * 30 + 30 AS DOUBLE) AS exptime,
+           CAST(((doc_id % 3) + 2) * 64 AS BIGINT) AS naxis1,
+           CAST(((doc_id % 2) + 2) * 48 AS BIGINT) AS naxis2
+    FROM documents WHERE (doc_id % 3) = 0
+"""
+
+
+@query(
+    "img_fits_header_roundtrip",
+    oracle=f"""
+    SELECT doc_id, instrument, filter, exptime, naxis1, naxis2,
+           TRUE AS roundtrip_ok
+    FROM ({_CATALOG_ORACLE_BODY})
+    """,
+)
+def img_fits_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 under the DuckDB oracle: every image encodes to real FITS
+    bytes and decodes back — header keys (NAXIS1/NAXIS2/INSTRUME/
+    FILTER/EXPTIME) must equal the catalog's deterministic values and
+    the float32 pixel round trip must be exact. The oracle recomputes
+    the expected header from doc_id arithmetic; ``roundtrip_ok`` is
+    asserted inside the plan (any mismatch breaks the row match)."""
+    out = process_images(image_catalog(spark, sf_dir))
+    return out.select(
+        "doc_id", "instrument", "filter", "exptime",
+        "naxis1", "naxis2", "roundtrip_ok",
+    )
+
+
+@query("img_calibration_pipeline")  # rows-only: pixel kernels aren't SQL
+def img_calibration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P3 per-image calibration metrics (bias levels, flat
+    normalization, gain, bad-pixel count). Driver check is rows-only;
+    the kernel values are pinned against independent recomputes in
+    tests/test_imaging.py."""
+    out = process_images(image_catalog(spark, sf_dir))
+    return out.select(
+        "doc_id", "instrument", "bias_overscan", "bias_corner",
+        "flat_norm", "gain", "n_bad_pixels",
+    )
+
+
+@query("img_cosmic_ray_stats")  # rows-only: iterative kernel isn't SQL
+def img_cosmic_ray_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 rollup: cosmic-ray hits found/cleaned per instrument, mean
+    L.A.Cosmic iterations to converge. Aggregates run on kernel scalar
+    outputs — the shuffle moves ~4 numbers per image."""
+    out = process_images(image_catalog(spark, sf_dir))
+    return (
+        out.groupBy("instrument")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_cosmic_rays").alias("total_cosmic_rays"),
+            F.avg("cr_iterations").alias("avg_iterations"),
+            F.avg("n_cosmic_rays").alias("avg_crays_per_image"),
+        )
+        .orderBy("instrument")
+    )
+
+
+@query("img_quality_scores")  # rows-only: pixel kernels aren't SQL
+def img_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 per-image quality metrics + 0-100 combined score, worst
+    first — the reference surfaces these per processing job."""
+    out = process_images(image_catalog(spark, sf_dir))
+    return out.select(
+        "doc_id", "snr", "seeing_fwhm", "limiting_mag",
+        "stellarity", "n_sources", "quality_score",
+    ).orderBy("quality_score", "doc_id")

@@ -1,0 +1,198 @@
+"""P1–P6 imaging kernel tests: FITS codec round trip, calibration
+semantics against hand-computed values, L.A.Cosmic behavior (spikes
+flagged, stars spared), stellarity labeling, quality bounds, and the
+Spark plumbing (payload never scanned, determinism across runs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from astro_data_pipeline_spark.multimodal import imaging as I
+
+
+# ------------------------------------------------------------- P6 codec
+
+
+def test_fits_roundtrip_exact():
+    img = np.arange(12, dtype=np.float64).reshape(3, 4) * 1.5
+    hdr = {"instrument": "WFC3", "filter": "F606W", "exptime": 120.0}
+    payload = I.fits_encode(img, hdr, history=["step one", "step two"])
+    # real FITS layout: 2880-byte blocks, SIMPLE leads
+    assert len(payload) % 2880 == 0
+    assert payload[:8] == b"SIMPLE  "
+    decoded, header, n_cards = I.fits_decode(payload)
+    assert np.array_equal(decoded.astype(np.float32), img.astype(np.float32))
+    assert header["INSTRUME"] == "WFC3"
+    assert header["FILTER"] == "F606W"
+    assert header["EXPTIME"] == 120.0
+    assert header["NAXIS1"] == 4 and header["NAXIS2"] == 3
+    assert header["SIMPLE"] is True
+    assert header["history"] == ["step one", "step two"]
+    assert n_cards == 11  # 8 required + 2 HISTORY + END
+
+
+def test_fits_pixels_big_endian_float32():
+    img = np.array([[1.0, 2.0], [3.0, 65000.25]])
+    payload = I.fits_encode(img, {"instrument": "X", "filter": "Y", "exptime": 1.0}, [])
+    data_start = len(payload) - 2880
+    pix = np.frombuffer(payload[data_start : data_start + 16], dtype=">f4")
+    assert pix.tolist() == [1.0, 2.0, 3.0, 65000.25]
+
+
+# ----------------------------------------------------------- P1/P2 bias
+
+
+def test_bias_levels_hand_computed():
+    # 4x60 image: columns 0..59 hold their column index in every row
+    img = np.tile(np.arange(60, dtype=np.float64), (4, 1))
+    # P1 overscan strip = first 50 columns -> mean(0..49) = 24.5
+    assert I.bias_level_overscan(img) == pytest.approx(24.5)
+    # P2 corner = rows 0..3 x cols 0..49 (height < 50) -> same here
+    assert I.bias_level_corner(img) == pytest.approx(24.5)
+
+
+def test_dark_subtract_clamps_at_zero():
+    img = np.full((60, 60), 100.0)
+    img[55, 55] = 10.0  # below the bias estimate
+    out, bias = I.dark_subtract(img)
+    assert bias == pytest.approx(100.0)
+    assert out.min() == 0.0  # clamped, never negative
+    assert out[55, 55] == 0.0
+
+
+# --------------------------------------------------------------- P3 flat
+
+
+def test_gain_correction_reference_table():
+    # WFC3 narrowband, exptime 4 -> 2.0 * 1.2 * sqrt(4) = 4.8
+    assert I.gain_correction("WFC3", "F814W-NARROW", 4.0) == pytest.approx(4.8)
+    assert I.gain_correction("NIRCAM", "F160W", 1.0) == pytest.approx(1.5)
+    assert I.gain_correction("UNKNOWN", "F606W", 0.0) == pytest.approx(1.0)
+
+
+def test_flat_field_normalizes_and_replaces_bad_pixels():
+    rng = np.random.Generator(np.random.Philox(key=7))
+    img = rng.normal(100.0, 1.0, size=(64, 64))
+    img[10, 10] = 1e9  # hot pixel far above the 5-sigma threshold
+    out, norm, gain, n_bad = I.flat_field(img, "GENERIC", "F606W", 1.0)
+    assert norm == pytest.approx(100.0, rel=0.05)  # mode ~ median ~ 100
+    assert gain == pytest.approx(1.0)
+    assert n_bad >= 1
+    assert np.isfinite(out).all()
+    # after normalization the image sits near 1.0, hot pixel gone
+    assert abs(float(np.median(out)) - 1.0) < 0.1
+    assert out.max() < 1e6
+
+
+# ------------------------------------------------------------ P4 lacosmic
+
+
+def test_lacosmic_flags_spikes_not_stars():
+    rng = np.random.Generator(np.random.Philox(key=11))
+    img = rng.normal(200.0, 5.0, size=(96, 128))
+    yy, xx = np.mgrid[0:96, 0:128]
+    # one broad star (PSF sigma 2.0 - smooth, must NOT be flagged)
+    img += 4000.0 * np.exp(-(((xx - 60) ** 2 + (yy - 40) ** 2) / (2 * 2.0**2)))
+    star_free = img.copy()
+    # five single-pixel cosmic rays
+    spikes = [(10, 10), (20, 100), (70, 30), (80, 110), (50, 5)]
+    for y, x in spikes:
+        img[y, x] += 8000.0
+    cleaned, n_crays, iters = I.remove_cosmic_rays(img)
+    assert n_crays >= len(spikes)  # every injected spike found
+    assert 1 <= iters <= I.NITER
+    for y, x in spikes:  # spike removed back to ~local level
+        assert abs(cleaned[y, x] - star_free[y, x]) < 200.0
+    # the star survives: its peak is still prominent
+    assert cleaned[40, 60] > 2000.0
+
+
+def test_lacosmic_false_positive_rate_bounded():
+    """On pure Gaussian noise the contrast test admits only a small
+    tail-probability trickle (the reference's thresholds behave
+    identically — it too stops only when an iteration finds nothing).
+    The rate must stay a fraction of a percent per pixel, and cleaning
+    must not distort the image statistics."""
+    rng = np.random.Generator(np.random.Philox(key=13))
+    img = rng.normal(100.0, 3.0, size=(64, 64))
+    cleaned, n_crays, iters = I.remove_cosmic_rays(img)
+    assert n_crays <= 0.03 * img.size  # < 3% of pixels over all 4 iters
+    assert iters <= I.NITER
+    assert float(cleaned.std()) == pytest.approx(float(img.std()), rel=0.1)
+    assert float(cleaned.mean()) == pytest.approx(100.0, abs=1.0)
+
+
+# ---------------------------------------------------------- P5 stellarity
+
+
+def test_label_components_counts_blobs():
+    det = np.zeros((20, 20), dtype=bool)
+    det[2:5, 2:5] = True  # blob A (9 px)
+    det[10:13, 14:17] = True  # blob B (9 px)
+    labels = I._label_components(det)
+    ids = np.unique(labels[labels > 0])
+    assert len(ids) == 2
+    assert (labels[2:5, 2:5] == labels[2, 2]).all()
+    assert labels[2, 2] != labels[10, 14]
+
+
+def test_stellarity_detects_point_sources():
+    rng = np.random.Generator(np.random.Philox(key=17))
+    img = rng.normal(100.0, 2.0, size=(96, 96))
+    yy, xx = np.mgrid[0:96, 0:96]
+    for cx, cy in [(20, 20), (60, 40), (80, 80)]:
+        img += 500.0 * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 1.2**2)))
+    stell, n_src = I.stellarity_index(img)
+    assert n_src >= 3
+    assert 0.0 <= stell <= 1.0
+
+
+def test_quality_score_bounds():
+    rng = np.random.Generator(np.random.Philox(key=19))
+    q = I.quality_metrics(rng.normal(150.0, 10.0, size=(64, 96)))
+    assert 0.0 <= q["quality_score"] <= 100.0
+    assert 15.0 <= q["limiting_mag"] <= 30.0
+    assert q["seeing_fwhm"] >= 0.5
+    assert 0.0 <= q["stellarity"] <= 1.0
+
+
+# ------------------------------------------------------------ determinism
+
+
+def test_synth_raster_deterministic():
+    a = I.synth_raster(42, 128, 96)
+    b = I.synth_raster(42, 128, 96)
+    assert np.array_equal(a, b)
+    assert a.shape == (96, 128)
+    assert not np.array_equal(a, I.synth_raster(43, 128, 96))
+
+
+# ------------------------------------------------------- Spark plumbing
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_scan_never_reads_text(spark):
+    """The image pipeline must prune everything but doc_id from the
+    documents scan — pixels are synthesized in the kernel, so a plan
+    that drags `text` through the Arrow boundary ships megabytes for
+    nothing."""
+    out = I.process_images(I.image_catalog(spark, SF))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    explained = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ReadSchema: struct<doc_id:bigint>" in explained, explained
+
+
+def test_pipeline_rows_and_determinism(spark):
+    df1 = I.process_images(I.image_catalog(spark, SF)).toPandas()
+    df2 = I.process_images(I.image_catalog(spark, SF)).toPandas()
+    a = df1.sort_values("doc_id").reset_index(drop=True)
+    b = df2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # bit-identical across runs and partitionings
+    assert a["roundtrip_ok"].all()
+    assert (a["n_cosmic_rays"] >= 1).all()  # every synth image has spikes
+    assert a["quality_score"].between(0, 100).all()
