@@ -42,8 +42,11 @@ HEADLINE = [
     "dedup_exact_by_sha",
     "dedup_jaccard_shingle_pairs",
     "dedup_minhash_lsh_candidates",
+    "dedup_simhash_hamming_buckets",
     "sim_cosine_topk_bruteforce",
     "text_quality_scores",
+    "scalar_photometric_calibration",
+    "img_quality_scores",
 ]
 
 
