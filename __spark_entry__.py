@@ -51,6 +51,9 @@ _GATE_PRIORITY = [
     "grouped_series_stats_per_user",
     "grouped_periodogram_peak",
     # -- 2. new this round ---------------------------------------------
+    "cdc_incremental_changes",
+    "cdc_resume_from_checkpoint",
+    "cdc_schema_evolution_audit",
     "scalar_photometric_calibration",
     "cdc_workflow_activation",
     "img_fits_header_roundtrip",

@@ -136,8 +136,7 @@ _E2E_DIR = _os_mod.path.join(
 )
 _E2E_PARAMS = dict(n_repos=40, n_keys=4000, n_events=20000, seed=42)
 
-_E2E_ORACLE = f"""
-WITH ev AS (
+_EV_SQL = f"""
     SELECT * FROM read_parquet(
         ['{_E2E_DIR}/change_events_v1.parquet',
          '{_E2E_DIR}/change_events_v2.parquet'],
@@ -145,6 +144,11 @@ WITH ev AS (
     WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL
       AND path IS NOT NULL AND lsn IS NOT NULL
       AND (content IS NOT NULL OR op = 'delete')
+"""
+
+_E2E_ORACLE = f"""
+WITH ev AS (
+{_EV_SQL}
 ), w AS (
     SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
     FROM ev
@@ -185,6 +189,32 @@ except OSError as _e:
     _warnings.warn(f"e2e fixture generation deferred: {_e}", stacklevel=1)
 
 
+def _materialize(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Collect + re-create: the scratch table directory vanishes with the
+    context manager, so the result must leave the lake before it does."""
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _scratch_lake(spark: SparkSession, td: str):
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ..lakehouse import LakeTable
+    from . import apply as A
+
+    return LakeTable.create(
+        spark, _os.path.join(td, "lake"), T.StructType(A.BASE_TABLE_FIELDS),
+        A.KEY_COLS, n_buckets=16,
+    )
+
+
+_STATE_COLS = [
+    "repo", "path", "commit", "lang", "lang_meta", "content_sha256", "last_lsn",
+]
+
+
 @query("cdc_replay_end_to_end", oracle=_E2E_ORACLE)
 def cdc_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE ENGINE ITSELF under the DuckDB oracle: a full micro-batch replay
@@ -200,32 +230,18 @@ def cdc_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sf_dir`` is unused: the log lives at a fixed path so the static
     oracle SQL reads the identical input.
     """
-    import os as _os
     import tempfile as _tempfile
 
-    from pyspark.sql import types as T
-
-    from ..lakehouse import LakeTable
     from ..session import scratch_tmpdir_base
-    from . import apply as A
     from .runner import CdcRunner, read_event_log
 
     meta = _ensure_e2e_fixture()
     events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
     with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
-        table = LakeTable.create(
-            spark, _os.path.join(td, "lake"), T.StructType(A.BASE_TABLE_FIELDS),
-            A.KEY_COLS, n_buckets=16,
-        )
+        table = _scratch_lake(spark, td)
         CdcRunner(spark, table, run_id="e2e", mode="mor").replay(events, n_batches=4)
         table.compact()
-        out = table.read().select(
-            "repo", "path", "commit", "lang", "lang_meta",
-            "content_sha256", "last_lsn",
-        )
-        # materialize before the table's directory vanishes
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(spark, table.read().select(*_STATE_COLS))
 
 
 @query("cdc_streaming_replay_end_to_end", oracle=_E2E_ORACLE)
@@ -241,29 +257,101 @@ def cdc_streaming_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFra
     import os as _os
     import tempfile as _tempfile
 
-    from pyspark.sql import types as T
-
-    from ..lakehouse import LakeTable
     from ..session import scratch_tmpdir_base
     from ..streaming.replay import stream_replay_available_now
-    from . import apply as A
 
     meta = _ensure_e2e_fixture()
     glob = _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
     with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
-        table = LakeTable.create(
-            spark, _os.path.join(td, "lake"), T.StructType(A.BASE_TABLE_FIELDS),
-            A.KEY_COLS, n_buckets=16,
-        )
+        table = _scratch_lake(spark, td)
         stream_replay_available_now(
             spark, glob, table, _os.path.join(td, "ckpt"), run_id="e2e-stream",
         )
-        out = table.read().select(
-            "repo", "path", "commit", "lang", "lang_meta",
-            "content_sha256", "last_lsn",
+        return _materialize(spark, table.read().select(*_STATE_COLS))
+
+
+@query("cdc_resume_from_checkpoint", oracle=_E2E_ORACLE)
+def cdc_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once RESUME under the DuckDB oracle (north rule: 'resumable
+    from checkpoint'): the replay is killed mid-run after 2 of 4 batches
+    commit, then a brand-new runner (a restarted job) replays the same log
+    — it must recognize the 2 durably committed batch manifests in the
+    snapshot chain, skip them, apply only the remainder, and converge to
+    the byte-identical final state the single uninterrupted replay
+    produces (same oracle as ``cdc_replay_end_to_end``). In-plan asserts
+    pin the skip behavior: a silent re-apply would double-apply events and
+    break the hash match. Reference analog: Airflow task retry over the
+    staging→catalog ingest (batch_processing_dag.py retries + the
+    processing_jobs ledger)."""
+    import tempfile as _tempfile
+
+    from ..session import scratch_tmpdir_base
+    from .runner import CdcRunner, KilledError, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        table = _scratch_lake(spark, td)
+        killed = False
+        try:
+            CdcRunner(spark, table, run_id="e2e-resume", mode="mor").replay(
+                events, n_batches=4, fail_after=2
+            )
+        except KilledError:
+            killed = True
+        assert killed, "kill switch did not fire"
+        assert len(table.committed_batch_ids()) == 2, "expected 2 committed batches"
+        reports = CdcRunner(spark, table, run_id="e2e-resume", mode="mor").replay(
+            events, n_batches=4
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        statuses = sorted(r.status for r in reports)
+        assert statuses == ["applied", "applied", "skipped", "skipped"], statuses
+        table.compact()
+        return _materialize(spark, table.read().select(*_STATE_COLS))
+
+
+@query(
+    "cdc_schema_evolution_audit",
+    oracle=f"""
+    WITH state AS ({_E2E_ORACLE})
+    SELECT lang,
+           count(*) AS n_rows,
+           count(lang_meta) AS n_post_evolution,
+           count(*) - count(lang_meta) AS n_pre_evolution
+    FROM state GROUP BY lang
+    """,
+)
+def cdc_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution surfaced as a driver-checked result: the
+    change log grows a ``lang_meta`` column mid-stream (fixture evolution
+    boundary); the engine promotes it with a metadata-only ``add-columns``
+    commit and every pre-evolution winner reads back null while every
+    post-evolution winner carries its value. The audit groups the final
+    replayed state by lang and counts both populations — wrong null
+    backfill, a dropped column, or a wrongly-rewritten old file all break
+    the hash match. Reference analog: the V2 migration adding nullable
+    metadata columns over live tables (V2_2__Add_Workflow_Versioning_
+    Support.sql) without rewriting existing rows."""
+    import tempfile as _tempfile
+
+    from ..session import scratch_tmpdir_base
+    from .runner import CdcRunner, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        table = _scratch_lake(spark, td)
+        CdcRunner(spark, table, run_id="e2e-evo", mode="mor").replay(events, n_batches=4)
+        audit = (
+            table.read()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count("lang_meta").alias("n_post_evolution"),
+                (F.count("*") - F.count("lang_meta")).alias("n_pre_evolution"),
+            )
+        )
+        return _materialize(spark, audit)
 
 
 @query(
@@ -357,3 +445,75 @@ def cdc_workflow_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("seq").over(w).alias("deactivated_seq"),
         F.lead("seq").over(w).isNull().alias("is_active"),
     )
+
+
+# Deterministic mid-log cut for the incremental-read query: the fixture's
+# schema-evolution boundary LSN (frozen params seed=42 → always 120010;
+# asserted against meta.json at query time). The oracle SQL interpolates
+# the literal; the Spark side replays phase 1 (lsn <= cut), snapshots,
+# then phase 2, so the diff straddles the evolution boundary.
+_INCR_CUT_LSN = 120010
+
+_INCR_ORACLE = f"""
+WITH ev AS (
+{_EV_SQL}
+), wall AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+        FROM ev
+    ) WHERE rn = 1
+), wcut AS (
+    SELECT repo, path, (op <> 'delete') AS alive FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+        FROM ev WHERE lsn <= {_INCR_CUT_LSN}
+    ) WHERE rn = 1
+)
+SELECT w.repo, w.path,
+       CASE WHEN w.op = 'delete' THEN 'delete'
+            WHEN coalesce(c.alive, FALSE) THEN 'update'
+            ELSE 'insert' END AS change_type,
+       CASE WHEN w.op = 'delete' THEN NULL ELSE w.lsn END AS last_lsn,
+       CASE WHEN w.op = 'delete' THEN NULL ELSE sha256(w.content) END AS content_sha256,
+       CASE WHEN w.op = 'delete' THEN NULL ELSE w.lang END AS lang,
+       CASE WHEN w.op = 'delete' THEN NULL ELSE w.lang_meta END AS lang_meta
+FROM wall w LEFT JOIN wcut c USING (repo, path)
+WHERE w.lsn > {_INCR_CUT_LSN}
+  AND NOT (w.op = 'delete' AND NOT coalesce(c.alive, FALSE))
+"""
+
+
+@query("cdc_incremental_changes", oracle=_INCR_ORACLE)
+def cdc_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read between two snapshots (Iceberg incremental-scan /
+    CDC-changelog analog) under the DuckDB oracle: replay phase 1 of the
+    log (lsn <= evolution boundary), remember the snapshot, replay phase 2,
+    then ask the TABLE — not the log — what changed: ``LakeTable.changes``
+    scans only the delta files the phase-2 commits appended (O(changed
+    rows)), LWW-nets them per key, and classifies insert/update/delete
+    against a bucket-pruned probe of the old snapshot. The oracle computes
+    the same diff from the raw events (state at cut vs final state). The
+    cut IS the schema-evolution boundary, so every upsert in the diff must
+    carry the promoted ``lang_meta`` column — an incremental reader
+    downstream sees the evolved schema. Deletes of keys that never existed
+    at the cut net out to nothing on both sides."""
+    import tempfile as _tempfile
+
+    from ..session import scratch_tmpdir_base
+    from .runner import CdcRunner, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    assert int(meta["evolution_lsn"]) == _INCR_CUT_LSN, (
+        f"fixture evolution boundary moved: {meta['evolution_lsn']}"
+    )
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        table = _scratch_lake(spark, td)
+        runner = CdcRunner(spark, table, run_id="e2e-incr", mode="mor")
+        runner.replay(events.filter(F.col("lsn") <= _INCR_CUT_LSN), n_batches=2)
+        s_from = table.current_snapshot().snapshot_id
+        runner.replay(events.filter(F.col("lsn") > _INCR_CUT_LSN), n_batches=2)
+        out = table.changes(s_from).select(
+            "repo", "path", "change_type", "last_lsn",
+            "content_sha256", "lang", "lang_meta",
+        )
+        return _materialize(spark, out)

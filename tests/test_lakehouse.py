@@ -133,3 +133,64 @@ def test_point_lookup_reads_one_bucket(spark, table):
     assert scanned and all(f"_bucket={b}/" in f or f"_bucket%3D{b}/" in f for f in scanned)
 
     assert table.read_key({"repo": "r1", "path": "nope"}).count() == 0
+
+
+# ----------------------------------------------------------- incremental read
+
+
+def _changes_map(df):
+    return {
+        (r["repo"], r["path"]): (r["change_type"], r["v"]) for r in df.collect()
+    }
+
+
+def test_changes_classifies_insert_update_delete(spark, table):
+    table.merge_mor(_updates(spark, [("r1", "a", 1, "insert"), ("r1", "b", 1, "insert")]))
+    s1 = table.current_snapshot().snapshot_id
+    table.merge_mor(_updates(spark, [("r1", "a", 2, "update"), ("r2", "c", 1, "insert")]))
+    table.merge_mor(_updates(spark, [("r1", "b", 0, "delete"), ("r2", "c", 5, "update")]))
+    got = _changes_map(table.changes(s1))
+    assert got == {
+        ("r1", "a"): ("update", 2),
+        ("r1", "b"): ("delete", None),   # tombstones carry null values
+        ("r2", "c"): ("insert", 5),      # insert+update nets to one insert
+    }
+
+
+def test_changes_nets_out_flip_flops_and_ghost_deletes(spark, table):
+    table.merge_mor(_updates(spark, [("r1", "a", 1, "insert")]))
+    s1 = table.current_snapshot().snapshot_id
+    # delete of a key that never existed at s1 → nothing
+    table.merge_mor(_updates(spark, [("zz", "zz", 0, "delete")]))
+    # delete then reinsert of an existing key → one update
+    table.merge_mor(_updates(spark, [("r1", "a", 0, "delete")]))
+    table.merge_mor(_updates(spark, [("r1", "a", 9, "insert")]))
+    got = _changes_map(table.changes(s1))
+    assert got == {("r1", "a"): ("update", 9)}
+
+
+def test_changes_empty_range_and_full_range(spark, table):
+    table.merge_mor(_updates(spark, [("r1", "a", 1, "insert")]))
+    s = table.current_snapshot().snapshot_id
+    assert table.changes(s).count() == 0
+    # from the table's creation snapshot, everything is an insert
+    got = _changes_map(table.changes(1))
+    assert got == {("r1", "a"): ("insert", 1)}
+
+
+def test_changes_tolerates_in_range_compaction(spark, table):
+    table.merge_mor(_updates(spark, [("r1", "a", 1, "insert")]))
+    s1 = table.current_snapshot().snapshot_id
+    table.merge_mor(_updates(spark, [("r1", "a", 2, "update"), ("r2", "c", 1, "insert")]))
+    table.compact()  # folds deltas; files stay on disk until expiry
+    table.merge_mor(_updates(spark, [("r2", "c", 3, "update")]))
+    got = _changes_map(table.changes(s1))
+    assert got == {("r1", "a"): ("update", 2), ("r2", "c"): ("insert", 3)}
+
+
+def test_changes_rejects_cow_history_and_non_ancestor(spark, table):
+    table.merge_mor(_updates(spark, [("r1", "a", 1, "insert")]))
+    s1 = table.current_snapshot().snapshot_id
+    table.merge(_updates(spark, [("r1", "a", 2, "update")]))  # CoW commit
+    with pytest.raises(ValueError, match="copy-on-write"):
+        table.changes(s1)
