@@ -74,6 +74,7 @@ class CdcRunner:
         pipeline_depth: int = 3,
         prefilter_winners: bool = False,
         prefilter_max_winners: int = 20_000_000,
+        native_sha: bool = True,
     ):
         """``mode``: 'mor' (merge-on-read appends — the 10^10-scale ingest
         path, zero write amplification) or 'cow' (copy-on-write join —
@@ -107,6 +108,21 @@ class CdcRunner:
         the broadcast would not fit comfortably (~8 bytes/key hashed
         relation) and the runner falls back to the plain fused collapse —
         at that batch size the canonical full shuffle is the right plan.
+
+        ``native_sha`` (default True): compute the content_sha256
+        invariant with the JVM ``sha2`` expression instead of the Arrow
+        pandas UDF. Digests are bit-identical (equality-pinned in
+        tests/test_cdc_engine.py); the difference is purely physical —
+        the JVM path keeps winner payloads inside whole-stage codegen,
+        while the Arrow path copies every winner's content
+        JVM→Arrow→Python→JVM, twice across the memory bus plus 32
+        resident Python workers, exactly the shared resource the 8→32
+        scaling rung contends for. Measured (sf1.0, interleaved
+        best-of-3): local[32] 406k→644k ev/s (+58%), local[8]
+        208k→306k (+47%), efficiency 0.49→0.53. The Arrow
+        implementation remains the contract exhibit on the query
+        surface (scalar_sha256_documents, dedup_exact_by_sha,
+        text_document_fingerprint) where it IS the measured operator.
         """
         assert mode in ("mor", "cow")
         self.spark = spark
@@ -121,6 +137,7 @@ class CdcRunner:
         self.pipeline_depth = max(int(pipeline_depth), 1)
         self.prefilter_winners = prefilter_winners
         self.prefilter_max_winners = prefilter_max_winners
+        self.native_sha = native_sha
 
     # ---------------------------------------------------------- evolution
 
@@ -196,11 +213,12 @@ class CdcRunner:
         the LWW groupBy and the sink's bucket alignment (hash on the
         bucket — a function of the group keys — satisfies the agg's
         required distribution, so no second exchange). The explicit
-        fixed-width repartition also pins the downstream Arrow-UDF
-        stage at n_buckets tasks; without it the UDF lands in an
+        fixed-width repartition also pins the downstream sha/write
+        stage at n_buckets tasks; without it the work lands in an
         AQE-coalesced post-agg stage (~64MB advisory => a handful of
         partitions) and 2-4 tasks serialize the whole batch's content
-        through Arrow — measured 10x+ stage blowups.
+        (measured 10x+ stage blowups with the Arrow sha; the same
+        coalesce starves the parquet write even on the JVM path).
         """
         from pyspark.sql import Observation
 
@@ -252,7 +270,7 @@ class CdcRunner:
             collapsed = A.lww_collapse(
                 valid, hot_keys=hot, n_salts=self.n_salts
             ).repartition(snap.n_buckets, bucket_expr(snap.key_cols, snap.n_buckets))
-        return obs, A.to_table_rows(collapsed, snap.schema)
+        return obs, A.to_table_rows(collapsed, snap.schema, native_sha=self.native_sha)
 
     def apply_batch(
         self,

@@ -179,7 +179,7 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             "MEMORY-BANDWIDTH-bound from ~8 cores up on this box: a pure-CPU\n"
             "control (32 busy processes) scales ~linearly to 32 cores, while\n"
             "the replay — string decode + one bucket-aligned content shuffle +\n"
-            "Arrow sha256 + parquet encode over ~2 KB rows — hit the same\n"
+            "sha256 + parquet encode over ~2 KB rows — hit the same\n"
             "~290-306k events/s at local[8] and local[32] under the default\n"
             "lz4 shuffle codec. GC was ruled out by JMX collection-time probes\n"
             "(<3% of wall); spark.task.cpus experiments showed local[32]\n"
@@ -225,15 +225,34 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             "  more CPU): throughput drops at BOTH core counts (8: 289k ->\n"
             "  225k; 32: 482k -> 371k ev/s, interleaved best-of-6 in fresh\n"
             "  JVMs) and efficiency is unchanged (0.416 -> 0.412).\n\n"
-            "With the exchange this small, no shuffle-side change can move\n"
-            "the 8 -> 32 ratio: the bytes that saturate the bus are the\n"
-            "decoded-string working set each task materializes from parquet\n"
-            "and re-encodes on write — traffic that 4 separate executor\n"
-            "hosts carry on 4 separate buses. The criterion therefore\n"
-            "passes where cores add bandwidth (2 -> 8: 0.829) and is\n"
-            "host-topology-limited, not plan-limited, at 8 -> 32 on one\n"
-            "socket; per the alternative acceptance path the residual delta\n"
-            "is quantified above by direct bytes/event measurement.\n\n"
+            "The attack that DID move the ratio targeted the working-set\n"
+            "traffic itself, not the exchange:\n\n"
+            "- Attack 3, drop the Arrow sha round trip. The content_sha256\n"
+            "  invariant moved from the Arrow pandas UDF to the JVM `sha2`\n"
+            "  expression (digests bit-identical, equality-pinned in\n"
+            "  tests/test_cdc_engine.py). The Arrow path copied every\n"
+            "  winner's payload JVM->Arrow->Python->JVM — two extra\n"
+            "  memory-bus passes plus 32 resident Python workers — exactly\n"
+            "  the shared resource the top rung contends for. Interleaved\n"
+            "  best-of-3, sf1.0, in-process A/B (scripts/ab_replay.py\n"
+            "  sha_arrow vs sha_native): local[32] 406.6k -> 644.3k ev/s\n"
+            "  (+58%); local[8] 208.5k -> 306.6k (+47%); the asymmetric\n"
+            "  gain lifts 8->32 efficiency. `native_sha=True` is now the\n"
+            "  engine default; the Arrow implementation remains the\n"
+            "  measured operator on the query surface\n"
+            "  (scalar_sha256_documents, dedup_exact_by_sha,\n"
+            "  text_document_fingerprint), where it is the contract\n"
+            "  exhibit for Arrow-batched UDF transforms.\n\n"
+            "With the exchange measured small and the Python boundary gone\n"
+            "(the whole replay plan is now JVM whole-stage codegen), the\n"
+            "remaining 8 -> 32 gap is the decoded-string working set each\n"
+            "task materializes from parquet and re-encodes on write —\n"
+            "traffic that 4 separate executor hosts carry on 4 separate\n"
+            "buses. The criterion passes where cores add bandwidth (2 -> 8)\n"
+            "and is host-topology-limited, not plan-limited, at 8 -> 32 on\n"
+            "one socket; per the alternative acceptance path the residual\n"
+            "delta is quantified above by direct bytes/event measurement\n"
+            "and the three controlled attacks.\n\n"
             "```json\n" + json.dumps(summaries, indent=2) + "\n```\n"
         )
     return summaries
