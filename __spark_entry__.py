@@ -51,6 +51,7 @@ _GATE_PRIORITY = [
     "grouped_series_stats_per_user",
     "grouped_periodogram_peak",
     # -- 2. new this round ---------------------------------------------
+    "dedup_duplicate_clusters",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",
     "cdc_schema_evolution_audit",
