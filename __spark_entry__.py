@@ -52,6 +52,9 @@ _GATE_PRIORITY = [
     "grouped_periodogram_peak",
     # -- 2. new this round ---------------------------------------------
     "dedup_duplicate_clusters",
+    "sample_hash_split_assignments",
+    "sample_balanced_mixture",
+    "text_benchmark_contamination",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",
     "cdc_schema_evolution_audit",

@@ -1,0 +1,210 @@
+"""Corpus sampling + decontamination operators for training-data pipelines.
+
+Three operators a large-scale pretraining pipeline runs constantly:
+
+- deterministic hash-split (train/val/test assignment that is stable
+  across reruns and machines — no randomness, no state),
+- data-mixture balancing (downsample every stratum to the rarest
+  stratum's share via a per-stratum keep-rate, applied as a hash
+  threshold so the pass is a pure map — NO shuffle of the corpus),
+- benchmark decontamination (flag documents sharing long word n-grams
+  with an evaluation/benchmark set — the standard n-gram-overlap
+  contamination check).
+
+All three are deterministic and expressed identically in the DuckDB
+oracle. The shared uniform hash is the first 8 hex chars of
+``md5(cast(doc_id as string))`` read as a u32 — portable between Spark
+(`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+(``('0x' || substr(md5(x),1,8))::BIGINT``), uniform in [0, 2^32).
+
+Reference analog: the reference partitions its catalog workload with
+deterministic modulo routing (db_performance_test.py batch routing) and
+validates staging subsets before promotion; restated here as the
+sampling primitives a 10^10-document corpus actually needs.
+
+Scale design: hash-split and mixture sampling are shuffle-free maps
+(the only aggregation is a per-stratum count — a few hundred rows —
+broadcast back). Decontamination explodes corpus n-grams ONCE and
+joins them against a broadcast benchmark n-gram set, so the corpus
+never shuffles; cost is O(corpus tokens) map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# u32 in [0, 2^32) from the doc key — identical in Spark and DuckDB.
+_U32_MAX = float(2**32)
+
+
+def _u32(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def _u32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+# --------------------------------------------------------------- split
+
+_TRAIN_HI = int(0.90 * _U32_MAX)
+_VAL_HI = int(0.95 * _U32_MAX)
+
+
+@query(
+    "sample_hash_split_assignments",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_u32_sql('doc_id')} < {_TRAIN_HI} THEN 'train'
+                WHEN {_u32_sql('doc_id')} < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_hash_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by key hash. Stable
+    across reruns, machines, and partitionings (a property random
+    splits lack); a pure map — zero shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = _u32(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(u < F.lit(_TRAIN_HI), "train")
+        .when(u < F.lit(_VAL_HI), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ------------------------------------------------------------- mixture
+
+
+@query(
+    "sample_balanced_mixture",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+    r AS (SELECT lang, (min(cnt) OVER ()) * 1.0 / cnt AS keep_rate FROM c)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (lang)
+    WHERE {_u32_sql('d.doc_id')} < keep_rate * {_U32_MAX!r}
+    """,
+)
+def sample_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture balancing: downsample every language stratum to
+    (approximately) the rarest language's row count, via per-stratum
+    keep-rate applied as a deterministic hash threshold.
+
+    Scale shape: pass 1 aggregates per-lang counts (output = #langs
+    rows, trivially small); pass 2 broadcast-joins the rates back and
+    filters map-side. The corpus itself NEVER shuffles — the exact
+    rank-per-stratum alternative (row_number window per lang) would
+    shuffle all 10^10 rows on a skewed key for a marginally tighter
+    count. Selection is reproducible: the same doc survives on any
+    cluster, any partitioning, any run."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("min_cnt"))
+    rates = counts.join(F.broadcast(mn)).select(
+        "lang", (F.col("min_cnt") / F.col("cnt")).alias("keep_rate")
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_u32(F.col("doc_id")) < F.col("keep_rate") * F.lit(_U32_MAX))
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ------------------------------------------------------ decontamination
+
+# Long n-grams are the contamination signal (short ones hit boilerplate);
+# production corpora use 8-13, sized so a match is vanishingly unlikely by
+# chance. The synthetic documents fixture averages ~54 tokens with overlap
+# engineered at shingle scale, so 4 is the length at which the check is
+# non-trivially exercised here — the plan is length-independent.
+# Benchmark membership is synthesized deterministically from the key
+# space so the check is self-contained.
+_NGRAM_LEN = 4
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> "benchmark/eval" document
+
+_NGRAM_SQL = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tokens) - {_NGRAM_LEN - 1}, 0)),
+               i -> array_to_string(tokens[i:i+{_NGRAM_LEN - 1}], ' ')))) AS ngram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+          FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def _ngrams(docs: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct _NGRAM_LEN-word n-grams (codegen array ops)."""
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    parts = ", ".join(f"tokens[i+{j}]" for j in range(_NGRAM_LEN))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(tokens) - {_NGRAM_LEN}, -1)),"
+                    f" i -> concat_ws(' ', {parts}))"
+                )
+            )
+        ).alias("ngram"),
+    )
+
+
+@query(
+    "text_benchmark_contamination",
+    oracle=f"""
+    WITH ng AS ({_NGRAM_SQL}),
+    bench AS (
+        SELECT DISTINCT ngram FROM ng WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, ngram FROM ng WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY 1),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_hit_ngrams
+        FROM corpus c JOIN bench b USING (ngram)
+        GROUP BY 1
+    )
+    SELECT h.doc_id, h.n_hit_ngrams, s.n_ngrams,
+           round(h.n_hit_ngrams * 1.0 / s.n_ngrams, 4) AS contamination_ratio
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with the benchmark/eval set (doc_id % 97 == 0 stands
+    in for the external benchmark — deterministic, self-contained).
+
+    Scale shape: benchmark n-grams are small (eval sets are millions of
+    rows, not billions) -> broadcast; the corpus side explodes n-grams
+    ONCE and probes the broadcast hash map map-side, so the only
+    shuffle is the per-doc hit count on (doc_id) — slim rows, after the
+    broadcast join has already discarded every non-matching n-gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    ng = _ngrams(docs)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = ng.filter(is_bench).select("ngram").distinct()
+    corpus = ng.filter(~is_bench)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hit_ngrams",
+        "n_ngrams",
+        F.round(F.col("n_hit_ngrams") / F.col("n_ngrams"), 4).alias(
+            "contamination_ratio"
+        ),
+    )
