@@ -55,6 +55,7 @@ _GATE_PRIORITY = [
     "sample_hash_split_assignments",
     "sample_balanced_mixture",
     "text_benchmark_contamination",
+    "cdc_streaming_windowed_op_mix",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",
     "cdc_schema_evolution_audit",

@@ -270,6 +270,55 @@ def cdc_streaming_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFra
         return _materialize(spark, table.read().select(*_STATE_COLS))
 
 
+_WINDOWED_ORACLE = f"""
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           op, count(*) AS n_events
+    FROM (
+        SELECT * FROM read_parquet(
+            ['{_E2E_DIR}/change_events_v1.parquet',
+             '{_E2E_DIR}/change_events_v2.parquet'],
+            union_by_name=true)
+    )
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@query("cdc_streaming_windowed_op_mix", oracle=_WINDOWED_ORACLE)
+def cdc_streaming_windowed_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time WINDOWED aggregation on the streaming path, under the
+    DuckDB oracle (SURVEY.md §2.11 late-data/watermark row): the WAL tail
+    drains through ``stream_windowed_op_counts`` (tumbling 1-minute
+    windows + 2-minute watermark — the reference's scheduled op-mix
+    quality SQL, data_quality_monitoring.py:123-142, as a push-based
+    stream). Complete output mode makes the drained result equal to the
+    batch aggregate, which is what the SQL oracle states; the
+    append-mode semantics this operator exists for — state eviction at
+    the watermark, late-row merge inside it — are pinned separately in
+    tests/test_streaming.py::test_stream_windowed_op_counts_with_watermark.
+    """
+    import os as _os
+
+    from ..streaming.replay import event_log_stream, stream_windowed_op_counts
+
+    meta = _ensure_e2e_fixture()
+    glob = _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
+    stream = event_log_stream(spark, glob).filter(F.col("ts").isNotNull())
+    agg = stream_windowed_op_counts(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("op_mix_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return _materialize(spark, spark.table("op_mix_gate"))
+    finally:
+        q.stop()
+
+
 @query("cdc_resume_from_checkpoint", oracle=_E2E_ORACLE)
 def cdc_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once RESUME under the DuckDB oracle (north rule: 'resumable
