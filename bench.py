@@ -47,6 +47,8 @@ HEADLINE = [
     "text_quality_scores",
     "scalar_photometric_calibration",
     "img_quality_scores",
+    "sample_balanced_mixture",
+    "text_benchmark_contamination",
 ]
 
 

@@ -40,6 +40,44 @@ def test_components_nonconvergence_guard(spark):
         connected_components(chain, max_iter=1)
 
 
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 30, 18), (8, 50, 60), (9, 40, 39)])
+def test_components_match_union_find_on_random_graphs(spark, seed, n_nodes, n_edges):
+    """Seeded random graphs (sparse, dense, and near-critical) vs a
+    pure-Python union-find oracle — pins the distributed algorithm on
+    topologies the fixture never produces (long chains, rings, hubs)."""
+    import random
+
+    rng = random.Random(seed)
+    pairs = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    nodes_with_edges = {n for e in pairs for n in e}
+    want = {}
+    for comp_nodes in ({n for n in nodes_with_edges if find(n) == r}
+                       for r in {find(n) for n in nodes_with_edges}):
+        m = min(comp_nodes)
+        for n in comp_nodes:
+            want[n] = m
+
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(_edges(spark, pairs), max_iter=30).collect()
+    }
+    assert got == want
+
+
 def test_cluster_query_is_closed_and_canonical(spark, sf_dir):
     """Every cluster member's canonical id is a member of the same
     cluster, is its minimum, and cluster_size counts the members —
