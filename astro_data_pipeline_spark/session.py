@@ -57,8 +57,12 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(min(cpus * 2, 64)))
         )
+    # SPARK_GRAFT_MASTER overrides the thread-local stand-in, e.g.
+    # local-cluster[4,8,8192] for REAL separate executor JVMs (the
+    # north rule's N-vs-4N *executors* shape) or spark://host:7077.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # ~cores shuffle partitions locally; AQE coalesces further at runtime.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

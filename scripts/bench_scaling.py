@@ -72,20 +72,42 @@ def _build_pyfiles_zip() -> str:
     return out
 
 
-def submit_one(cpus: int, sf: float, n_batches: int, trials: int = 2) -> dict:
-    out_json = os.path.join(REPO, ".bench", f"scale-{cpus}.json")
+def submit_one(
+    cpus: int,
+    sf: float,
+    n_batches: int,
+    trials: int = 2,
+    executors: int | None = None,
+    exec_cores: int = 4,
+    exec_mem_mb: int = 7168,
+) -> dict:
+    """One fresh-JVM ladder run. Thread mode: --master local[cpus].
+    Executor mode (``executors`` set): --master local-cluster[N,C,M] —
+    REAL separate executor JVMs, the north rule's N-vs-4N-executors
+    deployment shape; ``cpus`` is then the total core count N*C."""
+    tag = f"exec{executors}x{exec_cores}" if executors else str(cpus)
+    out_json = os.path.join(REPO, ".bench", f"scale-{tag}.json")
     if os.path.exists(out_json):
         os.remove(out_json)
     zip_path = _build_pyfiles_zip()
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    if executors:
+        master = f"local-cluster[{executors},{exec_cores},{exec_mem_mb}]"
+        env["SPARK_GRAFT_MASTER"] = master
+        driver_mem = "16g"
+    else:
+        master = f"local[{cpus}]"
+        driver_mem = "48g"
     cmd = [
         _spark_submit(),
-        "--master", f"local[{cpus}]",
+        "--master", master,
         "--py-files", zip_path,
-        "--conf", "spark.driver.memory=48g",
+        "--conf", f"spark.driver.memory={driver_mem}",
     ]
+    if executors:
+        cmd += ["--conf", f"spark.executor.memory={exec_mem_mb}m"]
     # extra core confs (e.g. spark.io.compression.codec — not settable at
     # runtime) for cross-JVM A/B experiments
     for kv in os.environ.get("SPARK_GRAFT_SUBMIT_CONF", "").split(","):
@@ -97,7 +119,7 @@ def submit_one(cpus: int, sf: float, n_batches: int, trials: int = 2) -> dict:
         "--n-batches", str(n_batches), "--trials", str(trials),
         "--out", out_json,
     ]
-    print(f"[scaling] spark-submit local[{cpus}] ...", file=sys.stderr)
+    print(f"[scaling] spark-submit {master} ...", file=sys.stderr)
     subprocess.run(cmd, check=True, env=env, cwd=REPO,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     with open(out_json) as f:
@@ -151,8 +173,13 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             "|---|---|---|---|\n"
         )
         for r in rows:
+            label = (
+                f"local-cluster[{r['executors']},{r['exec_cores']}] ({r['cpus']} cores)"
+                if r.get("executors")
+                else f"local[{r['cpus']}]"
+            )
             f.write(
-                f"| local[{r['cpus']}] | {r['cdc_replay_sec']} | {r['cdc_events_per_sec']:,} "
+                f"| {label} | {r['cdc_replay_sec']} | {r['cdc_events_per_sec']:,} "
                 f"| {r.get('cdc_events_per_sec_compacted', float('nan')):,} |\n"
             )
         f.write("\n")
@@ -280,8 +307,17 @@ def main() -> None:
         type=int,
         action="append",
         dest="pairs",
-        help="N 4N core pair; repeatable (default: 2 8 and 8 32)",
+        help="N 4N core pair; repeatable (default: 2 8 and 8 32). With "
+        "--executors these are EXECUTOR counts, not core counts.",
     )
+    ap.add_argument(
+        "--executors",
+        action="store_true",
+        help="scale separate executor JVMs (local-cluster[N,C,M]) instead "
+        "of local[] threads — the north rule's N-vs-4N-executors shape",
+    )
+    ap.add_argument("--exec-cores", type=int, default=4)
+    ap.add_argument("--exec-mem-mb", type=int, default=7168)
     args = ap.parse_args()
     if not args.pairs:
         args.pairs = [[2, 8], [8, 32]]
@@ -305,7 +341,8 @@ def main() -> None:
             if c not in cores:
                 cores.append(c)
     def best_path(c: int) -> str:
-        return os.path.join(REPO, ".bench", f"scale-best-{c}-sf{args.sf}.json")
+        tag = f"exec{c}x{args.exec_cores}" if args.executors else str(c)
+        return os.path.join(REPO, ".bench", f"scale-best-{tag}-sf{args.sf}.json")
 
     best: dict[int, dict] = {}
     if args.reuse:
@@ -315,13 +352,25 @@ def main() -> None:
                     best[c] = json.load(f)
     for _ in range(args.rounds):
         for c in cores:
-            r = submit_one(c, args.sf, args.n_batches, trials=args.trials)
+            if args.executors:
+                r = submit_one(
+                    c * args.exec_cores, args.sf, args.n_batches,
+                    trials=args.trials, executors=c,
+                    exec_cores=args.exec_cores, exec_mem_mb=args.exec_mem_mb,
+                )
+                r["executors"] = c
+                r["exec_cores"] = args.exec_cores
+            else:
+                r = submit_one(c, args.sf, args.n_batches, trials=args.trials)
             if c not in best or r["cdc_events_per_sec"] > best[c]["cdc_events_per_sec"]:
                 best[c] = r
                 with open(best_path(c), "w") as f:
                     json.dump(r, f)
     pairs = [(best[n], best[n4]) for n, n4 in args.pairs]
-    summaries = write_report(pairs, args.sf, os.path.join(REPO, "BENCH", "BASELINE.md"))
+    report = os.path.join(
+        REPO, "BENCH", "BASELINE-executors.md" if args.executors else "BASELINE.md"
+    )
+    summaries = write_report(pairs, args.sf, report)
     print(json.dumps(summaries))
 
 
