@@ -56,6 +56,9 @@ _GATE_PRIORITY = [
     "sample_balanced_mixture",
     "text_benchmark_contamination",
     "cdc_streaming_windowed_op_mix",
+    "cdc_json_wal_source",
+    "text_repetition_filter",
+    "text_pii_redaction",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",
     "cdc_schema_evolution_audit",

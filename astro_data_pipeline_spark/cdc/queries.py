@@ -566,3 +566,71 @@ def cdc_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_sha256", "lang", "lang_meta",
         )
         return _materialize(spark, out)
+
+
+_WAL_ENVELOPE_SCHEMA = (
+    "key BIGINT, op STRING, ts_ms BIGINT, "
+    "after STRUCT<user_id: BIGINT, event_type: STRING, value: DOUBLE, props: STRING>"
+)
+
+
+@query(
+    "cdc_json_wal_source",
+    oracle="""
+    SELECT event_id,
+           CASE CAST(event_id % 3 AS INTEGER)
+                WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS op,
+           epoch_ms(ts) AS ts_ms,
+           user_id, event_type, value, props
+    FROM events
+    WHERE event_id % 97 <> 0
+    """,
+)
+def cdc_json_wal_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S10 JSON binlog-tail source: parse Debezium-style change
+    envelopes ``{"key","op","ts_ms","after":{...}}`` with an explicit
+    schema and PERMISSIVE corrupt-record quarantine (reference analog:
+    the staging-ingest JSON parse in DataIngestionService).
+
+    The raw WAL strings are built in-plan from the events table
+    (``to_json`` over a struct — deterministic, no fixture files), with
+    a corrupt stripe (event_id mod 97) whose envelope is truncated mid
+    object. ``from_json`` yields NULL for that stripe, the quarantine
+    filter drops it, and the oracle selects the complement directly from
+    parquet — so the gate proves schema-on-read parsing, not the
+    round-trip. All JVM codegen: the envelope parse happens scan-side on
+    each executor; at 10^10 events the source is embarrassingly
+    partitioned with zero shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    op = F.element_at(
+        F.array(F.lit("c"), F.lit("u"), F.lit("d")),
+        F.pmod("event_id", F.lit(3)).cast("int") + 1,
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.col("event_id").alias("key"),
+            op.alias("op"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.struct("user_id", "event_type", "value", "props").alias("after"),
+        )
+    )
+    # corrupt stripe: mangle the head so Jackson rejects the record
+    raw = F.when(
+        F.pmod("event_id", F.lit(97)) == 0,
+        F.concat(F.lit("!corrupt!"), F.col("envelope")),
+    ).otherwise(F.col("envelope"))
+    wal = events.select("event_id", envelope.alias("envelope")).select(
+        raw.alias("raw")
+    )
+    parsed = wal.select(
+        F.from_json("raw", _WAL_ENVELOPE_SCHEMA, {"mode": "PERMISSIVE"}).alias("e")
+    )
+    return parsed.filter(F.col("e.key").isNotNull()).select(
+        F.col("e.key").alias("event_id"),
+        F.col("e.op").alias("op"),
+        F.col("e.ts_ms").alias("ts_ms"),
+        F.col("e.after.user_id").alias("user_id"),
+        F.col("e.after.event_type").alias("event_type"),
+        F.col("e.after.value").alias("value"),
+        F.col("e.after.props").alias("props"),
+    )

@@ -136,3 +136,154 @@ def text_document_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.col("text").isNotNull()).select(
         "doc_id", sha256_arrow(normalized).alias("fingerprint")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '' AND
+              len(regexp_split_to_array(trim(text), '\s+')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    ),
+    cnt AS (
+        SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ),
+    agg AS (
+        SELECT doc_id, max(c) AS top_bigram_cnt, sum(c) AS n_bigrams
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(a.top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+           round(a.top_bigram_cnt * 1.0 / a.n_bigrams, 4) AS top_bigram_frac,
+           round(len(list_distinct(k.t)) * 1.0 / len(k.t), 4) AS distinct_token_ratio,
+           CAST(a.top_bigram_cnt * 1.0 / a.n_bigrams > 0.05
+                OR len(list_distinct(k.t)) * 1.0 / len(k.t) < 0.2 AS BOOLEAN)
+               AS is_repetitive
+    FROM agg a JOIN toks k USING (doc_id)
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    word-bigram mass held by the single most frequent bigram, plus the
+    distinct-token ratio; documents dominated by one repeated phrase (or
+    with a tiny vocabulary) are flagged. Token pairing is a zero-shuffle
+    array ``zip_with`` of the token list against itself shifted by one;
+    the only shuffle is the (doc_id, bigram) count. At corpus scale the
+    per-doc fan-out is bounded by document length and the aggregation is
+    map-side combinable — same shape as the shingle dedup index."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+        .filter(F.size("tokens") >= 2)
+        .select("doc_id", "tokens")
+    )
+    n = F.size("tokens")
+    bigrams = toks.select(
+        "doc_id",
+        (F.size(F.array_distinct("tokens")) / n).alias("distinct_token_ratio_raw"),
+        F.explode(
+            F.zip_with(
+                F.slice("tokens", 1, n - 1),
+                F.slice("tokens", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bigrams.groupBy("doc_id", "distinct_token_ratio_raw", "bigram").agg(
+        F.count("*").alias("c")
+    )
+    agg = cnt.groupBy("doc_id", "distinct_token_ratio_raw").agg(
+        F.max("c").alias("top_bigram_cnt"), F.sum("c").alias("n_bigrams")
+    )
+    top_frac = F.col("top_bigram_cnt") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("top_bigram_cnt").cast("long").alias("top_bigram_cnt"),
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        F.round("distinct_token_ratio_raw", 4).alias("distinct_token_ratio"),
+        ((top_frac > 0.05) | (F.col("distinct_token_ratio_raw") < 0.2)).alias(
+            "is_repetitive"
+        ),
+    )
+
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\b555-0[0-9]{3}\b"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=rf"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com for details'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' or call 555-0'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       ELSE '' END AS raw
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_PAT}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_PAT}')) AS INTEGER) AS n_phones,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted
+    FROM enriched
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: count and redact email / phone
+    patterns with JVM ``regexp_replace`` (whole-stage codegen, no
+    Python). The fixture text contains no PII, so a deterministic
+    enrichment stripe (doc_id mod 5 → email, mod 7 → phone) is appended
+    in-plan on BOTH the Spark and oracle side; the gate then checks the
+    extraction counts and the redacted text byte-for-byte. Patterns are
+    kept in the Java∩RE2 common subset so both engines compile them
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.pmod("doc_id", F.lit(5)) == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 0,
+            F.concat(
+                F.lit(" or call 555-0"),
+                F.lpad(F.pmod("doc_id", F.lit(1000)).cast("string"), 3, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    enriched = docs.filter(F.col("text").isNotNull()).select("doc_id", raw.alias("raw"))
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PHONE_PAT), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+        ).alias("redacted"),
+    )
