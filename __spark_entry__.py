@@ -59,6 +59,8 @@ _GATE_PRIORITY = [
     "cdc_json_wal_source",
     "text_repetition_filter",
     "text_pii_redaction",
+    "sample_pack_sequences",
+    "text_tfidf_top_terms",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",
     "cdc_schema_evolution_audit",

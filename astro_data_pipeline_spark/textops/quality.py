@@ -287,3 +287,78 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("raw", _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf_cnt FROM toks GROUP BY doc_id, term
+    ),
+    doclen AS (
+        SELECT doc_id, sum(tf_cnt) AS doc_len FROM tf GROUP BY doc_id
+    ),
+    df AS (
+        SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf_cnt,
+               t.tf_cnt * 10000.0 / (l.doc_len * d.doc_freq) AS score
+        FROM tf t JOIN doclen l USING (doc_id) JOIN df d USING (term)
+    )
+    SELECT doc_id, term, CAST(tf_cnt AS BIGINT) AS tf_cnt,
+           round(score, 6) AS score, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by tf-idf (inverse-df
+    weighted term frequency). The score is a pure rational —
+    ``tf * 10000 / (doc_len * doc_freq)`` — instead of the classic
+    ``tf * ln(N/df)``: IEEE division of the same integers is bit-identical
+    across engines, where ``ln`` is libm-dependent and would make the
+    cross-engine hash flaky near ties. Ties break on the term string.
+
+    Scale shape: tf is one map-side-combinable (doc_id, term) count; the
+    document-frequency table is vocabulary-sized (≪ corpus) and joins
+    broadcast; the top-3 is a bounded per-doc window, partitioned by
+    doc_id — no global window, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df_tbl), "term")
+        .withColumn(
+            "score", F.col("tf_cnt") * 10000.0 / (F.col("doc_len") * F.col("doc_freq"))
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf_cnt").cast("long").alias("tf_cnt"),
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

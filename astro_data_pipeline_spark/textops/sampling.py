@@ -31,7 +31,7 @@ never shuffles; cost is O(corpus tokens) map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -207,4 +207,64 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hit_ngrams") / F.col("n_ngrams"), 4).alias(
             "contamination_ratio"
         ),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per training pack
+_PACK_SHARDS = 16
+
+
+@query(
+    "sample_pack_sequences",
+    oracle=rf"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS offset,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM sized
+    """,
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign each document a byte
+    offset inside a fixed token budget ({_PACK_BUDGET}/pack) so the
+    tokenize-and-concat writer downstream can emit fixed-length training
+    examples without a driver-side loop.
+
+    Scale shape: the prefix sum is computed INSIDE a shard (here
+    ``doc_id % {_PACK_SHARDS}``; production uses a hash of the grouping
+    key) — a partitioned window, never the global-ordered single-task
+    window. Shards are independent, so 1000 executors pack 1000 shards
+    concurrently; pack_id is the exclusive prefix sum integer-divided by
+    the budget, which lets a doc straddle two packs exactly the way the
+    concat-then-split tokenizer does."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.filter(F.col("text").isNotNull() & (F.trim("text") != "")).select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        offset.cast("long").alias("offset"),
+        F.floor(offset / _PACK_BUDGET).cast("long").alias("pack_id"),
     )
