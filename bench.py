@@ -49,6 +49,10 @@ HEADLINE = [
     "img_quality_scores",
     "sample_balanced_mixture",
     "text_benchmark_contamination",
+    "cdc_json_wal_source",
+    "text_repetition_filter",
+    "sample_pack_sequences",
+    "text_tfidf_top_terms",
 ]
 
 

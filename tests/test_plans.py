@@ -242,3 +242,28 @@ def test_lsn_range_prunes_row_groups(spark, tmp_path):
     p = plan(df)
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert any("GreaterThan(lsn" in ln for ln in pushed), pushed
+
+
+def test_json_wal_source_has_no_shuffle(spark):
+    """The WAL envelope parse is scan-side per-executor work: at 10^10
+    events any Exchange in the source would shuffle the whole log."""
+    df = registry.get("cdc_json_wal_source").fn(spark, SF)
+    assert "Exchange" not in plan(df, "simple")
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """The packing prefix-sum must run per shard — a global-ordered
+    window would single-task the whole corpus."""
+    df = registry.get("sample_pack_sequences").fn(spark, SF)
+    p = plan(df, "simple")
+    assert "Window" in p
+    # every window spec must carry the shard partition key
+    win_lines = [ln for ln in p.splitlines() if "Window" in ln and "windowspec" not in ln]
+    assert all("shard" in ln for ln in win_lines), win_lines
+
+
+def test_tfidf_doc_freq_joins_broadcast(spark):
+    """The vocabulary-sized document-frequency table must broadcast;
+    tf (corpus-sized) must never be on the build side twice."""
+    df = registry.get("text_tfidf_top_terms").fn(spark, SF)
+    assert "BroadcastHashJoin" in plan(df, "simple")
