@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     "text_pii_redaction",
     "sample_pack_sequences",
     "text_tfidf_top_terms",
+    "cdc_time_travel_read",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",
     "cdc_schema_evolution_audit",

@@ -634,3 +634,55 @@ def cdc_json_wal_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.after.value").alias("value"),
         F.col("e.after.props").alias("props"),
     )
+
+
+from .runner import lsn_ranges as _lsn_ranges
+
+# LSN high bound of micro-batch 2 of 4 over the e2e fixture (fixture LSNs
+# are 10,20,...,n_events*10) — the deterministic snapshot boundary the
+# time-travel read pins to, shared by the query and its static oracle.
+_TT_CUTOFF = _lsn_ranges(10, _E2E_PARAMS["n_events"] * 10, 4)[1][1]
+
+_TT_ORACLE = f"""
+WITH ev AS (
+{_EV_SQL}
+), w AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM ev WHERE lsn <= {_TT_CUTOFF}
+)
+SELECT repo, path, "commit", lang,
+       sha256(content) AS content_sha256,
+       lsn AS last_lsn
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@query("cdc_time_travel_read", oracle=_TT_ORACLE)
+def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 time travel under the oracle gate: replay the full 20k-event
+    log, then read the table AS OF the snapshot batch 2 committed — the
+    result must equal an LWW collapse of only the events with
+    ``lsn <= batch-2 high bound``, proving snapshots are immutable,
+    consistent cut points (later batches must not leak in). The as-of
+    read carries the PRE-evolution schema (the lang_meta column arrives
+    with batch 3), which is why this query projects the v1 columns —
+    schema time travel, not just data. Reference analog: snapshot
+    retention / archive reads (S7), `IntermediateStorageService` session
+    history."""
+    import tempfile as _tempfile
+
+    from ..session import scratch_tmpdir_base
+    from .runner import CdcRunner, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        table = _scratch_lake(spark, td)
+        reports = CdcRunner(spark, table, run_id="tt", mode="mor").replay(
+            events, n_batches=4
+        )
+        applied = [r for r in reports if r.status == "applied"]
+        (batch2,) = [r for r in applied if r.lsn_hi == _TT_CUTOFF]
+        snap = table._read_snapshot(batch2.snapshot_id)
+        cols = [c for c in _STATE_COLS if c != "lang_meta"]
+        return _materialize(spark, table.read(snapshot=snap).select(*cols))
