@@ -329,16 +329,24 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, where ``ln`` is libm-dependent and would make the
     cross-engine hash flaky near ties. Ties break on the term string.
 
-    Scale shape: tf is one map-side-combinable (doc_id, term) count; the
-    document-frequency table is vocabulary-sized (≪ corpus) and joins
-    broadcast; the top-3 is a bounded per-doc window, partitioned by
-    doc_id — no global window, no all-pairs."""
+    Scale shape: tf is one map-side-combinable (doc_id, term) count,
+    materialized ONCE behind a localCheckpoint barrier — without it
+    Catalyst plans three independent corpus scans (one per branch), 3×
+    the dominant cost at 100 TB. The document-frequency table is
+    vocabulary-sized (≪ corpus) and joins broadcast (map-side combine
+    absorbs hot stopword terms — a window-over-term formulation would
+    skew); the top-3 is a bounded per-doc window, partitioned by doc_id
+    — no global window, no all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
         .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf_cnt"))
+        .localCheckpoint(eager=False)
+    )
     doclen = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     scored = (
