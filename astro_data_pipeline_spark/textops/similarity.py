@@ -206,7 +206,16 @@ def _dedup_lsh_oracle() -> str:
 
 def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(left_id, right_id) candidate pairs from multi-table hyperplane
-    LSH (OR-construction) with seeded-constant planes."""
+    LSH (OR-construction) with seeded-constant planes.
+
+    Scale shape: the bucket assignment evaluates L·k d-dim dot products
+    per row — by far the dominant cost — so the slim (vec_id, table_id,
+    bucket) table is materialized ONCE behind a localCheckpoint barrier.
+    Without it Catalyst plans the full signature expression on BOTH
+    sides of the self-join (exchange reuse only kicks in when AQE keeps
+    the subtrees identical, which the post-join aliasing here defeats),
+    doubling the dominant cost at corpus scale. The checkpoint is 3 ints
+    × L·n rows — negligible next to the embeddings it summarizes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -233,7 +242,7 @@ def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments = emb.select(
         "vec_id",
         F.posexplode(F.array(*table_buckets)).alias("table_id", "bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a = assignments.select(
         F.col("vec_id").alias("left_id"), "table_id", "bucket"
     )
@@ -288,7 +297,12 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids here are the first C corpus vectors — a deterministic
     stand-in for the k-means-on-sample fit a production build would run
     (the assignment/search machinery is identical either way). The
-    centroid set broadcasts; assignment is one scan of the corpus."""
+    centroid set broadcasts; assignment is one scan of the corpus.
+
+    The slim (vec_id, cell) table is materialized behind a
+    localCheckpoint barrier: the consumer joins it twice (probe side +
+    candidate side), and without the barrier Catalyst re-plans the
+    C-cosine argmax scan per use — C× the corpus-scan cost, twice."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -305,6 +319,7 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
+        .localCheckpoint(eager=False)
     )
 
 
