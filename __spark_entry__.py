@@ -61,6 +61,11 @@ _GATE_PRIORITY = [
     "text_pii_redaction",
     "sample_pack_sequences",
     "text_tfidf_top_terms",
+    "text_chunk_sliding_windows",
+    "text_winnowing_fingerprints",
+    "sample_token_budget_per_source",
+    "dedup_cluster_representatives",
+    "text_unigram_rarity_score",
     "cdc_time_travel_read",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",

@@ -69,7 +69,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import relational, windows, joins, aggregations, spatial  # noqa: F401
     from .cdc import queries as cdc_queries  # noqa: F401
-    from .textops import dedup, similarity, quality, cluster, sampling  # noqa: F401
+    from .textops import dedup, similarity, quality, cluster, sampling, chunking  # noqa: F401
     from .multimodal import binary, imaging  # noqa: F401
     from .operators import grouped_analytics  # noqa: F401
 

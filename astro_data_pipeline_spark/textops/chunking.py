@@ -1,0 +1,187 @@
+"""Document chunking + fingerprint sampling for training-data pipelines.
+
+Two operators every pretraining/RAG corpus build runs per document:
+
+- **sliding-window chunking** — split each document into fixed-size
+  token windows with overlap (the tokenize-for-context-length pass and
+  the retrieval-chunking pass are the same relational shape),
+- **winnowing-style fingerprint sampling** — sample a deterministic
+  ~1/(2w-1) subset of k-gram hashes per document (local-minimum
+  selection, the symmetric-window variant of Schleimer/Wilkerson/Aiken
+  "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+  for plagiarism / exact-substring-overlap detection at corpus scale.
+
+Reference analog: the reference tiles large FITS mosaics into
+fixed-size overlapping cutouts before per-tile processing
+(application/image-processor ProcessingService tile dispatch); chunking
+restates that tiling over text. Fingerprinting is the text analog of
+its source-extraction "pick stable local extrema" detection pass.
+
+Scale design (100 TB): both operators are ZERO-SHUFFLE maps. Chunking
+derives every chunk from the row's own token array (one generator
+explode, no window, no join). Fingerprinting computes the windowed
+minimum *inside* the row's gram-hash array with higher-order functions
+— the per-position window never leaves the row, so there is no
+(doc_id, pos)-keyed exchange of O(corpus-tokens) gram rows — and
+explodes only the selected ~1/(2w-1) fingerprints. Hashes are the
+md5-u32 construction shared with textops.sampling, portable verbatim
+to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from .sampling import _u32_sql
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+_WIN_K = 3  # words per k-gram
+_WIN_W = 4  # selection window radius (min over [p-(w-1), p+(w-1)])
+
+
+@query(
+    "text_chunk_sliding_windows",
+    oracle=rf"""
+    WITH sized AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                               i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}))
+                AS BIGINT) AS n_chunk_tokens,
+           sha256(array_to_string(
+               list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                          i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' '))
+               AS chunk_sha256
+    FROM sized,
+         UNNEST(generate_series(0, CAST((n_tokens - 1) // {_CHUNK_STRIDE} AS BIGINT)))
+         AS t(i)
+    """,
+)
+def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size sliding-window chunking: 64-token chunks every 48
+    tokens (16-token overlap), one row per (doc, chunk) with the
+    chunk's sha256 so a downstream chunk-level dedup can run without
+    re-materializing text.
+
+    Scale shape: pure map + generator explode — chunk boundaries are a
+    closed-form function of the row's own token count, so there is no
+    window, no join, no shuffle; 1000 executors chunk 1000 partitions
+    independently and output size is O(corpus tokens / stride)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.filter(F.col("text").isNotNull() & (F.trim("text") != "")).select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    )
+    sized = sized.withColumn("n_tokens", F.size("toks"))
+    exploded = sized.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n_tokens") - 1) / _CHUNK_STRIDE))
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_STRIDE + 1
+    chunk = F.slice(F.col("toks"), start, _CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.sha2(F.array_join(chunk, " "), 256).alias("chunk_sha256"),
+    )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=rf"""
+    WITH sized AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               {_u32_sql(
+                   "array_to_string(list_slice(toks, i, i + " + str(_WIN_K - 1) + "), ' ')"
+               )} AS gram_hash
+        FROM sized, UNNEST(generate_series(1, n_tokens - {_WIN_K - 1})) AS t(i)
+        WHERE n_tokens >= {_WIN_K}
+    ),
+    sel AS (
+        SELECT doc_id, pos, gram_hash,
+               min({{'h': gram_hash, 'p': pos}}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {_WIN_W - 1} PRECEDING AND {_WIN_W - 1} FOLLOWING
+               ) AS m
+        FROM grams
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram_hash
+    FROM sel WHERE m.h = gram_hash AND m.p = pos
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints: hash every 3-word
+    gram, keep a gram iff its (hash, pos) key is the minimum over the
+    symmetric window of the 3 grams on either side — the
+    local-minimum selection variant of SIGMOD'03 winnowing. Expected
+    density 1/(2w-1); any shared run of ~w+k words between two documents
+    shares a selected fingerprint, so substring-overlap detection joins
+    these samples instead of all grams.
+
+    Scale shape: the selection window is evaluated INSIDE each row's
+    gram-hash array with higher-order functions (aggregate over the
+    clamped index window), so — unlike the window-function formulation
+    the DuckDB oracle uses — no O(corpus-grams) rows are ever shuffled
+    to sort by (doc_id, pos); only the ~1/(2w-1) surviving fingerprints
+    explode. Zero exchanges in the plan (asserted in test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= _WIN_K)
+    )
+    # per-row gram-hash array: hs[i] = u32(md5(gram at 1-based pos i))
+    hs = F.expr(
+        f"""transform(sequence(1, n_tokens - {_WIN_K - 1}),
+                i -> cast(conv(substring(
+                        md5(array_join(slice(toks, i, {_WIN_K}), ' ')),
+                        1, 8), 16, 10) as bigint))"""
+    )
+    with_hs = sized.select("doc_id", hs.alias("hs"), F.size(hs).alias("ng"))
+    # selected positions: p such that (hs[p], p) is the min over the
+    # clamped window [p-(w-1), p+(w-1)] — computed in-row, no shuffle
+    sel = F.expr(
+        f"""filter(sequence(1, ng), p ->
+                aggregate(
+                    sequence(greatest(1, p - {_WIN_W - 1}),
+                             least(ng, p + {_WIN_W - 1})),
+                    named_struct('h', cast(9223372036854775807 as bigint),
+                                 'p', cast(0 as int)),
+                    (acc, q) -> IF(element_at(hs, q) < acc.h
+                                   OR (element_at(hs, q) = acc.h AND q < acc.p),
+                                   named_struct('h', element_at(hs, q),
+                                                'p', cast(q as int)),
+                                   acc)
+                ).p = p)"""
+    )
+    return (
+        with_hs.select("doc_id", "hs", F.explode(sel).alias("pos"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.element_at("hs", F.col("pos").cast("int")).alias("gram_hash"),
+        )
+    )

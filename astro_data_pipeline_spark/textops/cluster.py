@@ -163,3 +163,58 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("canonical_doc_id"))
     )
+
+
+_REP_SQL = f"""
+    WITH comp AS ({_CLUSTER_SQL}),
+    scored AS (
+        SELECT c.canonical_doc_id, c.doc_id, c.cluster_size, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY c.canonical_doc_id
+                   ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+               sum(d.n_chars) OVER (
+                   PARTITION BY c.canonical_doc_id) AS total_chars
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT canonical_doc_id AS cluster_id,
+           doc_id AS rep_doc_id,
+           n_chars AS rep_n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM scored WHERE rn = 1
+"""
+
+
+@query("dedup_cluster_representatives", oracle=_REP_SQL)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection after clustering: for every duplicate
+    cluster keep the single document a dedup pass would retain — the
+    longest member (max n_chars, ties to the smallest doc_id), with the
+    cluster's size and total character mass for shrinkage accounting.
+    This is the second half of real near-dup dedup: pairs -> clusters ->
+    ONE canonical row per cluster (the reference's repeated-observation
+    collapse keeps the best-quality observation the same way).
+
+    Scale shape: clusters join to the documents table on doc_id for
+    n_chars only (column-pruned probe; text never moves), then one
+    per-cluster top-1 window over cluster-sized groups — bounded
+    partitions, no global ordering anywhere."""
+    clusters = dedup_duplicate_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = clusters.join(docs, "doc_id")
+    wrank = Window.partitionBy("canonical_doc_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wsum = Window.partitionBy("canonical_doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("total_chars", F.sum("n_chars").over(wsum))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("canonical_doc_id").alias("cluster_id"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -370,3 +370,64 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "text_unigram_rarity_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf_cnt FROM toks GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT term, CAST(sum(tf_cnt) AS BIGINT) AS corpus_cnt FROM tf GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(sum(t.tf_cnt) AS BIGINT) AS doc_len,
+           CAST(sum(t.tf_cnt * v.corpus_cnt) AS BIGINT) AS sum_corpus_cnt,
+           round(sum(t.tf_cnt * v.corpus_cnt) * 1.0 / sum(t.tf_cnt), 4)
+               AS mean_token_df
+    FROM tf t JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: score each document by the mean corpus
+    frequency of its tokens (with multiplicity) — the rational-arithmetic
+    stand-in for mean log-probability under the corpus unigram LM (the
+    two rank documents identically up to Jensen-gap; rational keeps the
+    cross-engine hash bit-stable, the same trade text_tfidf_top_terms
+    makes). Low score = rare/garbled vocabulary, high = stopword soup;
+    both tails are what a quality filter drops.
+
+    Scale shape: identical to tf-idf — one (doc_id, term) map-side-
+    combinable count materialized ONCE behind a checkpoint barrier, a
+    vocabulary-sized aggregate broadcast back onto it, one final
+    groupBy(doc_id). The corpus scans once; hot stopword terms are
+    absorbed by partial aggregation, never a skewed window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull() & (F.trim("text") != "")).select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf_cnt").cast("long").alias("corpus_cnt"))
+    return (
+        tf.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf_cnt").cast("long").alias("doc_len"),
+            F.sum(F.col("tf_cnt") * F.col("corpus_cnt")).cast("long").alias("sum_corpus_cnt"),
+            F.round(
+                F.sum(F.col("tf_cnt") * F.col("corpus_cnt"))
+                / F.sum("tf_cnt"),
+                4,
+            ).alias("mean_token_df"),
+        )
+    )

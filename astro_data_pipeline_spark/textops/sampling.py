@@ -268,3 +268,64 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         offset.cast("long").alias("offset"),
         F.floor(offset / _PACK_BUDGET).cast("long").alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------- token budget
+
+_SOURCE_TOKEN_BUDGET = 800  # tokens retained per source stratum
+
+
+@query(
+    "sample_token_budget_per_source",
+    oracle=rf"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               {_u32_sql('doc_id')} AS h
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    run AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_tokens
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens, running_tokens
+    FROM run WHERE running_tokens <= {_SOURCE_TOKEN_BUDGET}
+    """,
+)
+def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsampling: keep documents per source stratum, in
+    deterministic hash order, until the stratum's cumulative token count
+    reaches a fixed budget — how a pretraining mixture caps each source
+    at an absolute token allocation (budgets are absolute, so the output
+    is invariant to corpus growth; rerunning on a bigger crawl keeps the
+    SAME prefix of documents plus any budget still unspent).
+
+    Scale shape: the window runs over the slim (doc_id, source,
+    n_tokens, hash) projection — the text payload never shuffles; the
+    kept doc_ids semi-join back to the corpus map-side. One stratum =
+    one window partition; a production run over few huge strata splits
+    each into hash sub-shards with per-shard budgets (the same
+    prefix-sum plan sample_pack_sequences uses) to keep partitions
+    bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.filter(F.col("text").isNotNull() & (F.trim("text") != "")).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        _u32(F.col("doc_id")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("running_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("running_tokens") <= _SOURCE_TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "running_tokens")
+    )

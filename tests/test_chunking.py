@@ -1,0 +1,106 @@
+"""Behavioral properties of chunking + winnowing fingerprints.
+
+The DuckDB value comparison runs in test_queries_vs_oracle; here we pin
+the properties the oracle can't express: chunk coverage/overlap
+invariants, fingerprint determinism, and the shared-substring detection
+guarantee that makes winnowing useful for overlap mining.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from astro_data_pipeline_spark.textops.chunking import (
+    _CHUNK_STRIDE,
+    _WIN_K,
+    _WIN_W,
+    text_chunk_sliding_windows,
+    text_winnowing_fingerprints,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs_dir(tmp_path, rows):
+    """Write a miniature documents table shaped like the testdata one."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["unit"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_chunks_cover_every_token_with_fixed_overlap(spark):
+    out = text_chunk_sliding_windows(spark, SF)
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+    )
+    agg = (
+        out.groupBy("doc_id")
+        .agg(
+            F.max(F.col("chunk_start") + F.col("n_chunk_tokens") - 1).alias("covered"),
+            F.count("*").alias("n_chunks"),
+            F.min("n_chunk_tokens").alias("min_len"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert agg
+    for r in agg:
+        # last chunk reaches the final token; no chunk is empty
+        assert r["covered"] == r["n"], r
+        assert r["min_len"] >= 1
+        # chunk count matches the closed form
+        assert r["n_chunks"] == (r["n"] - 1) // _CHUNK_STRIDE + 1, r
+
+
+def test_winnowing_detects_shared_substring(spark, tmp_path):
+    """Any two documents sharing a long token run must share at least one
+    selected fingerprint hash — the detection guarantee fingerprint
+    sampling exists for. The shared run is embedded at DIFFERENT offsets
+    so position alignment can't help."""
+    shared = " ".join(f"shared{i}" for i in range(4 * _WIN_W + _WIN_K))
+    a = "alpha beta " + shared + " gamma delta epsilon"
+    b = " ".join(f"pre{i}" for i in range(7)) + " " + shared
+    c = " ".join(f"uniq{i}" for i in range(40))  # no overlap control
+    sf = _docs_dir(tmp_path, [(1, a), (2, b), (3, c)])
+    fp = text_winnowing_fingerprints(spark, sf).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    assert by_doc[1] & by_doc[2], "shared run produced no common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_is_deterministic_and_subsampled(spark):
+    q = text_winnowing_fingerprints
+    a = sorted(map(tuple, q(spark, SF).collect()))
+    b = sorted(map(tuple, q(spark, SF).collect()))
+    assert a == b
+    # density: selected fingerprints are a strict subsample of grams —
+    # expectation 1/(2w-1); allow a generous band around it
+    n_grams = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            F.greatest(
+                F.size(F.split(F.trim("text"), r"\s+")) - (_WIN_K - 1), F.lit(0)
+            ).alias("g")
+        )
+        .agg(F.sum("g"))
+        .collect()[0][0]
+    )
+    density = len(a) / n_grams
+    lo, hi = 0.3 / (2 * _WIN_W - 1), 3.0 / (2 * _WIN_W - 1)
+    assert lo <= density <= hi, density

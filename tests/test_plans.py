@@ -267,3 +267,33 @@ def test_tfidf_doc_freq_joins_broadcast(spark):
     tf (corpus-sized) must never be on the build side twice."""
     df = registry.get("text_tfidf_top_terms").fn(spark, SF)
     assert "BroadcastHashJoin" in plan(df, "simple")
+
+
+def test_chunking_and_winnowing_have_no_shuffle(spark):
+    """Both per-document text operators must stay pure map + generator:
+    chunk boundaries and fingerprint selection are derived from the
+    row's own token array, so ANY Exchange in the plan means a
+    corpus-sized shuffle crept in."""
+    for name in ("text_chunk_sliding_windows", "text_winnowing_fingerprints"):
+        p = plan(registry.get(name).fn(spark, SF))
+        assert "Exchange" not in p, (name, p)
+
+
+def test_token_budget_window_reads_pruned_projection(spark):
+    """The per-source prefix-sum window must shuffle only the slim
+    (doc_id, source, n_tokens, hash) projection — the scan may read the
+    text column to size it, but no other payload column survives."""
+    p = plan(registry.get("sample_token_budget_per_source").fn(spark, SF))
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("lang" not in ln and "n_chars" not in ln for ln in schemas), schemas
+    # window partitioned by source, not a global-order window
+    assert "hashpartitioning(source" in p, p
+
+
+def test_unigram_rarity_vocab_joins_broadcast(spark):
+    """The vocabulary aggregate is vocab-sized (<< corpus) and must come
+    back onto the tf table as a broadcast join, never a sort-merge
+    shuffle of corpus-token rows."""
+    p = plan(registry.get("text_unigram_rarity_score").fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
