@@ -8,6 +8,7 @@ expression trees, no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -204,45 +205,93 @@ def _dedup_lsh_oracle() -> str:
     """
 
 
+def _table_buckets_udf():
+    """Arrow-batched pandas UDF: embedding -> array of L bucket ids.
+
+    One (batch × dim) @ (dim × L·k) float64 matmul per Arrow batch
+    computes every hyperplane dot product at once. The relational
+    formulation of the same math (L·k literal-array zip_with/aggregate
+    trees = 2048 literal nodes) costs ~5 s of Catalyst analysis + janino
+    compilation PER PLAN — a fixed cost that dwarfs the actual work and
+    is re-paid on every query build. The planes are the identical
+    md5-seeded ±1 constants the DuckDB oracle inlines; the sign test is
+    applied to round(dot, 4) exactly as the oracle does, so the two
+    engines bucket identically on non-degenerate data."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        _seeded_planes(_DEDUP_N_TABLES, _DEDUP_N_PLANES, _EMB_DIM), dtype=np.float64
+    )  # (L*k, dim)
+    weights = np.array([1 << j for j in range(_DEDUP_N_PLANES)], dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def table_buckets(emb: pd.Series) -> pd.Series:
+        e = np.vstack(emb.to_numpy())  # (n, dim)
+        dots = e @ planes.T  # (n, L*k)
+        bits = (np.round(dots, 4) >= 0).reshape(
+            len(e), _DEDUP_N_TABLES, _DEDUP_N_PLANES
+        )
+        buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, L)
+        return pd.Series(list(buckets))
+
+    return table_buckets
+
+
+def _pair_cosine_udf():
+    """Arrow-batched pandas UDF: (left_emb, right_emb) -> round(cos, 4).
+
+    The per-pair relational cosine (zip_with + three aggregate HOFs) is
+    interpreted, never codegen'd — at ~10 µs/pair it dominates the
+    refine stage once candidates reach corpus scale. One einsum per
+    Arrow batch does the same math vectorized."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(left: pd.Series, right: pd.Series) -> pd.Series:
+        le = np.vstack(left.to_numpy())
+        re_ = np.vstack(right.to_numpy())
+        dots = np.einsum("ij,ij->i", le, re_)
+        norms = np.linalg.norm(le, axis=1) * np.linalg.norm(re_, axis=1)
+        return pd.Series(np.round(dots / norms, 4))
+
+    return pair_cosine
+
+
 def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(left_id, right_id) candidate pairs from multi-table hyperplane
     LSH (OR-construction) with seeded-constant planes.
 
-    Scale shape: the bucket assignment evaluates L·k d-dim dot products
-    per row — by far the dominant cost — so the slim (vec_id, table_id,
-    bucket) table is materialized ONCE behind a localCheckpoint barrier.
-    Without it Catalyst plans the full signature expression on BOTH
-    sides of the self-join (exchange reuse only kicks in when AQE keeps
-    the subtrees identical, which the post-join aliasing here defeats),
-    doubling the dominant cost at corpus scale. The checkpoint is 3 ints
-    × L·n rows — negligible next to the embeddings it summarizes."""
+    Scale shape: bucket assignment is ONE Arrow-batched matmul pass over
+    the corpus (see _table_buckets_udf — the all-literal relational
+    formulation pays seconds of plan compilation per query), spread
+    across the cluster by an explicit round-robin repartition (embedding
+    files are few and large; without it one task signs the whole
+    corpus). The slim (vec_id, table_id, bucket) table is then
+    repartitioned BY THE JOIN KEY and materialized once behind a
+    localCheckpoint barrier: both sides of the bucket self-join read the
+    same pre-partitioned checkpoint, so the expensive signature work
+    runs once and the join needs no further exchange of its own."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    planes = _seeded_planes(_DEDUP_N_TABLES, _DEDUP_N_PLANES, _EMB_DIM)
-    table_buckets = []
-    for t in range(_DEDUP_N_TABLES):
-        bits = []
-        for j in range(_DEDUP_N_PLANES):
-            plane = F.array(
-                *[F.lit(float(v)) for v in planes[t * _DEDUP_N_PLANES + j]]
-            )
-            dot = F.aggregate(
-                F.zip_with(F.col("embedding"), plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(
-                F.when(F.round(dot, 4) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-            )
-        bucket = bits[0]
-        for b in bits[1:]:
-            bucket = bucket + b
-        table_buckets.append(bucket.cast("int"))
-    assignments = emb.select(
-        "vec_id",
-        F.posexplode(F.array(*table_buckets)).alias("table_id", "bucket"),
-    ).localCheckpoint(eager=False)
+    n_parts = spark.sparkContext.defaultParallelism
+    assignments = (
+        emb.repartition(n_parts)
+        .select(
+            "vec_id",
+            F.posexplode(_table_buckets_udf()(F.col("embedding"))).alias(
+                "table_id", "bucket"
+            ),
+        )
+        # explicit partition COUNT: the assignments table is tiny (3 ints
+        # × L·n) but the bucket self-join EXPANDS it ~bucket-occupancy×;
+        # a size-based AQE coalesce here would funnel the expansion
+        # through 1-2 tasks, so pin the fan-out by key AND number
+        .repartition(n_parts, "table_id", "bucket")
+        .localCheckpoint(eager=False)
+    )
     a = assignments.select(
         F.col("vec_id").alias("left_id"), "table_id", "bucket"
     )
@@ -281,7 +330,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "left_id",
             "right_id",
-            F.round(_cosine(F.col("l_emb"), F.col("r_emb")), 4).alias("cos_sim"),
+            _pair_cosine_udf()(F.col("l_emb"), F.col("r_emb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
     )

@@ -53,6 +53,12 @@ HEADLINE = [
     "text_repetition_filter",
     "sample_pack_sequences",
     "text_tfidf_top_terms",
+    "text_chunk_sliding_windows",
+    "text_winnowing_fingerprints",
+    "sample_token_budget_per_source",
+    "text_unigram_rarity_score",
+    "dedup_embedding_cosine_pairs",
+    "sim_ivf_topk_cell_search",
 ]
 
 
