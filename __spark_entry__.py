@@ -66,6 +66,8 @@ _GATE_PRIORITY = [
     "sample_token_budget_per_source",
     "dedup_cluster_representatives",
     "text_unigram_rarity_score",
+    "agg_doclen_percentiles",
+    "dedup_substring_overlap_pairs",
     "cdc_time_travel_read",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",

@@ -254,3 +254,38 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
+
+
+@query(
+    "agg_doclen_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum percentiles of document length — the length-
+    distribution audit a corpus build runs per language before choosing
+    truncation/packing budgets. Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share the linear-interpolation definition, so the
+    values hash-match at 4 dp.
+
+    Scale note: exact percentile aggregates a value→count map per
+    group, so it is safe exactly when the metric's cardinality is
+    bounded — true for integer char/token lengths (~10^5 distinct
+    values at any corpus size), which keeps partial-aggregate state
+    tiny at 10^10 docs. For unbounded continuous metrics the same query
+    shape swaps in approx_percentile (a constant-size mergeable sketch,
+    the agg_approx_distinct_users trade)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.element_at(pct, 1), 4).alias("p50"),
+        F.round(F.element_at(pct, 2), 4).alias("p90"),
+        F.round(F.element_at(pct, 3), 4).alias("p99"),
+    )

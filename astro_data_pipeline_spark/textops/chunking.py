@@ -102,10 +102,10 @@ def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_winnowing_fingerprints",
-    oracle=rf"""
-    WITH sized AS (
+# winnowing selection as a reusable CTE chain: `fingerprints` is the
+# (doc_id, pos, gram_hash) table both winnowing queries build on
+_WINNOW_CTE = rf"""
+    sized AS (
         SELECT doc_id,
                regexp_split_to_array(trim(text), '\s+') AS toks,
                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
@@ -126,9 +126,19 @@ def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN {_WIN_W - 1} PRECEDING AND {_WIN_W - 1} FOLLOWING
                ) AS m
         FROM grams
+    ),
+    fingerprints AS (
+        SELECT doc_id, pos, gram_hash
+        FROM sel WHERE m.h = gram_hash AND m.p = pos
     )
-    SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram_hash
-    FROM sel WHERE m.h = gram_hash AND m.p = pos
+"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_CTE}
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram_hash FROM fingerprints
     """,
 )
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,4 +194,68 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("long").alias("pos"),
             F.element_at("hs", F.col("pos").cast("int")).alias("gram_hash"),
         )
+    )
+
+
+_OVERLAP_DF_CAP = 20  # drop fingerprint hashes present in more docs
+_OVERLAP_MIN_SHARED = 2  # pairs must share >= this many fingerprints
+
+
+@query(
+    "dedup_substring_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_CTE},
+    fp AS (
+        SELECT DISTINCT doc_id, gram_hash FROM fingerprints
+    ),
+    rare AS (
+        SELECT gram_hash FROM fp GROUP BY 1 HAVING count(*) <= {_OVERLAP_DF_CAP}
+    ),
+    posting AS (
+        SELECT f.doc_id, f.gram_hash FROM fp f JOIN rare r USING (gram_hash)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM posting a JOIN posting b
+      ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_OVERLAP_MIN_SHARED}
+    """,
+)
+def dedup_substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring overlap mining: document pairs sharing >= 2
+    winnowing fingerprints — the MOSS-style plagiarism/copy detector,
+    and the exact-substring complement to the Jaccard/MinHash whole-doc
+    near-dup miners (a 60-word verbatim quote inside two otherwise
+    unrelated documents is invisible to whole-doc Jaccard but shares
+    ~8 fingerprints here).
+
+    Scale shape: the standard inverted-index discipline of the shingle
+    miner — fingerprints are already a ~1/(2w-1) sample of grams, the
+    df-cap drops boilerplate hashes so per-hash fan-out is bounded at
+    cap² pairs, and the slim deduped (doc_id, gram_hash) posting table
+    is repartitioned BY THE JOIN KEY and checkpointed once so the
+    in-row winnowing pass runs a single time and the self-join needs no
+    further exchange (the dedup_lsh_candidate_pairs lesson: without the
+    explicit partition count AQE coalesces the tiny posting table and
+    serializes the expanding join)."""
+    fp = (
+        text_winnowing_fingerprints(spark, sf_dir)
+        .select("doc_id", "gram_hash")
+        .distinct()
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    fp = fp.repartition(n_parts, "gram_hash").localCheckpoint(eager=False)
+    rare = fp.groupBy("gram_hash").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _OVERLAP_DF_CAP
+    )
+    posting = fp.join(rare.select("gram_hash"), "gram_hash")
+    a = posting.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _OVERLAP_MIN_SHARED)
     )

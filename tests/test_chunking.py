@@ -104,3 +104,23 @@ def test_winnowing_is_deterministic_and_subsampled(spark):
     density = len(a) / n_grams
     lo, hi = 0.3 / (2 * _WIN_W - 1), 3.0 / (2 * _WIN_W - 1)
     assert lo <= density <= hi, density
+
+
+def test_substring_overlap_pairs_find_the_quote(spark, tmp_path):
+    """A verbatim quote embedded in two otherwise-unrelated documents
+    must surface as an overlap pair; unrelated docs must not pair."""
+    from astro_data_pipeline_spark.textops.chunking import (
+        dedup_substring_overlap_pairs,
+    )
+
+    quote = " ".join(f"quote{i}" for i in range(8 * _WIN_W))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(12)) + " " + quote),
+        (2, quote + " " + " ".join(f"b{i}" for i in range(12))),
+        (3, " ".join(f"c{i}" for i in range(60))),
+    ]
+    sf = _docs_dir(tmp_path, rows)
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in dedup_substring_overlap_pairs(spark, sf).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2, got
+    assert all(3 not in k for k in got), got
