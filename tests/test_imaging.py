@@ -196,3 +196,41 @@ def test_pipeline_rows_and_determinism(spark):
     assert a["roundtrip_ok"].all()
     assert (a["n_cosmic_rays"] >= 1).all()  # every synth image has spikes
     assert a["quality_score"].between(0, 100).all()
+
+
+def test_median_network_matches_np_median():
+    """The min/max selection network behind _median_filter must equal
+    np.median exactly: exhaustive 0/1-principle check at n=9 (all 512
+    inputs — proves the n=9 network for every total order) plus
+    randomized float checks at n=9 and n=25 on the real filter."""
+    import numpy as np
+
+    from astro_data_pipeline_spark.multimodal.imaging import (
+        _median_filter,
+        _median_network,
+    )
+
+    net9 = _median_network(9)
+    bits = ((np.arange(512)[None, :] >> np.arange(9)[:, None]) & 1).astype(np.uint8)
+    v = bits.copy()
+    for i, j in net9:
+        lo = np.minimum(v[i], v[j])
+        v[j] = np.maximum(v[i], v[j])
+        v[i] = lo
+    assert np.array_equal(v[4], (bits.sum(axis=0) > 4).astype(np.uint8))
+
+    rng = np.random.default_rng(11)
+    for radius in (1, 2):
+        img = rng.normal(200, 50, (37, 41)).astype(np.float32)
+        k = 2 * radius + 1
+        p = np.pad(img, radius, mode="edge")
+        stack = np.stack(
+            [
+                p[dy : dy + 37, dx : dx + 41]
+                for dy in range(k)
+                for dx in range(k)
+            ]
+        )
+        assert np.array_equal(
+            _median_filter(img, radius), np.median(stack, axis=0).astype(np.float32)
+        )
