@@ -175,11 +175,16 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: fraction of
     word-bigram mass held by the single most frequent bigram, plus the
     distinct-token ratio; documents dominated by one repeated phrase (or
-    with a tiny vocabulary) are flagged. Token pairing is a zero-shuffle
-    array ``zip_with`` of the token list against itself shifted by one;
-    the only shuffle is the (doc_id, bigram) count. At corpus scale the
-    per-doc fan-out is bounded by document length and the aggregation is
-    map-side combinable — same shape as the shingle dedup index."""
+    with a tiny vocabulary) are flagged.
+
+    Scale shape: every statistic is per-document, so the whole operator
+    is computed IN-ROW — bigrams via a zip_with of the token list
+    against itself shifted by one, the top-bigram count as the longest
+    run in the array_sort'ed bigram list (one aggregate HOF) — and the
+    plan has ZERO exchanges (asserted in test_plans.py). The previous
+    formulation exploded every corpus bigram into a (doc_id, bigram)
+    groupBy: a corpus-token-sized shuffle of strings to compute numbers
+    each row already owned."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
@@ -188,27 +193,41 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tokens")
     )
     n = F.size("tokens")
-    bigrams = toks.select(
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice("tokens", 1, n - 1),
+            F.slice("tokens", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    sized = toks.select(
         "doc_id",
         (F.size(F.array_distinct("tokens")) / n).alias("distinct_token_ratio_raw"),
-        F.explode(
-            F.zip_with(
-                F.slice("tokens", 1, n - 1),
-                F.slice("tokens", 2, n - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("bigram"),
+        bigrams.alias("bs"),
     )
-    cnt = bigrams.groupBy("doc_id", "distinct_token_ratio_raw", "bigram").agg(
-        F.count("*").alias("c")
+    # longest run in the sorted bigram array = max multiplicity
+    top_cnt = F.expr(
+        """aggregate(bs,
+               named_struct('prev', cast(null as string),
+                            'run', cast(0 as bigint),
+                            'best', cast(0 as bigint)),
+               (acc, x) -> IF(x <=> acc.prev,
+                   named_struct('prev', x, 'run', acc.run + 1L,
+                                'best', greatest(acc.best, acc.run + 1L)),
+                   named_struct('prev', x, 'run', 1L,
+                                'best', greatest(acc.best, 1L))),
+               acc -> acc.best)"""
     )
-    agg = cnt.groupBy("doc_id", "distinct_token_ratio_raw").agg(
-        F.max("c").alias("top_bigram_cnt"), F.sum("c").alias("n_bigrams")
+    agg = sized.select(
+        "doc_id",
+        "distinct_token_ratio_raw",
+        F.size("bs").cast("long").alias("n_bigrams"),
+        top_cnt.alias("top_bigram_cnt"),
     )
     top_frac = F.col("top_bigram_cnt") / F.col("n_bigrams")
     return agg.select(
         "doc_id",
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "n_bigrams",
         F.col("top_bigram_cnt").cast("long").alias("top_bigram_cnt"),
         F.round(top_frac, 4).alias("top_bigram_frac"),
         F.round("distinct_token_ratio_raw", 4).alias("distinct_token_ratio"),

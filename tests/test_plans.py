@@ -297,3 +297,10 @@ def test_unigram_rarity_vocab_joins_broadcast(spark):
     p = plan(registry.get("text_unigram_rarity_score").fn(spark, SF), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_repetition_filter_has_no_shuffle(spark):
+    """All repetition statistics are per-document and computed in-row;
+    an Exchange means the corpus-bigram shuffle came back."""
+    p = plan(registry.get("text_repetition_filter").fn(spark, SF))
+    assert "Exchange" not in p, p
