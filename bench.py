@@ -59,6 +59,8 @@ HEADLINE = [
     "text_unigram_rarity_score",
     "dedup_embedding_cosine_pairs",
     "sim_ivf_topk_cell_search",
+    "dedup_substring_overlap_pairs",
+    "agg_doclen_percentiles",
 ]
 
 
