@@ -227,6 +227,8 @@ def _table_buckets_udf():
 
     @pandas_udf("array<int>")
     def table_buckets(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
         e = np.vstack(emb.to_numpy())  # (n, dim)
         dots = e @ planes.T  # (n, L*k)
         bits = (np.round(dots, 4) >= 0).reshape(
@@ -250,6 +252,8 @@ def _pair_cosine_udf():
 
     @pandas_udf("double")
     def pair_cosine(left: pd.Series, right: pd.Series) -> pd.Series:
+        if left.empty:
+            return pd.Series([], dtype=float)
         le = np.vstack(left.to_numpy())
         re_ = np.vstack(right.to_numpy())
         dots = np.einsum("ij,ij->i", le, re_)
