@@ -68,6 +68,7 @@ _GATE_PRIORITY = [
     "text_unigram_rarity_score",
     "agg_doclen_percentiles",
     "dedup_substring_overlap_pairs",
+    "text_quality_filter_verdict",
     "cdc_time_travel_read",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",

@@ -450,3 +450,120 @@ def text_unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_token_df"),
         )
     )
+
+
+_MIN_TOKENS = 10
+_MAX_TOKENS = 1000
+_MIN_STOPWORD = 0.01
+_MAX_TOP_BIGRAM = 0.05
+_MIN_DISTINCT = 0.2
+
+
+@query(
+    "text_quality_filter_verdict",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(tokens) AS n_tok,
+               len(list_filter(tokens, t -> t IN ({_STOP_SQL}))) * 1.0
+                   / len(tokens) AS stop_ratio,
+               len(list_distinct(tokens)) * 1.0 / len(tokens) AS distinct_ratio,
+               CASE WHEN len(tokens) >= 2 THEN (
+                   SELECT max(c) * 1.0 / (len(tokens) - 1) FROM (
+                       SELECT count(*) AS c
+                       FROM unnest(list_transform(range(1, len(tokens)),
+                                   i -> tokens[i] || ' ' || tokens[i + 1])) AS u(bg)
+                       GROUP BY bg
+                   )
+               ) ELSE 0.0 END AS top_bigram_frac
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE
+               WHEN n_tok < {_MIN_TOKENS} THEN 'too_short'
+               WHEN n_tok > {_MAX_TOKENS} THEN 'too_long'
+               WHEN top_bigram_frac > {_MAX_TOP_BIGRAM} THEN 'repetitive'
+               WHEN distinct_ratio < {_MIN_DISTINCT} THEN 'low_vocab'
+               WHEN stop_ratio < {_MIN_STOPWORD} THEN 'no_stopwords'
+               ELSE 'ok'
+           END AS reason,
+           CASE
+               WHEN n_tok < {_MIN_TOKENS} THEN 'too_short'
+               WHEN n_tok > {_MAX_TOKENS} THEN 'too_long'
+               WHEN top_bigram_frac > {_MAX_TOP_BIGRAM} THEN 'repetitive'
+               WHEN distinct_ratio < {_MIN_DISTINCT} THEN 'low_vocab'
+               WHEN stop_ratio < {_MIN_STOPWORD} THEN 'no_stopwords'
+               ELSE 'ok'
+           END = 'ok' AS keep
+    FROM feat
+    """,
+)
+def text_quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled quality-filter pass: one verdict row per document
+    with `keep` and the FIRST failing rule as `reason` (length bounds →
+    repetition → vocabulary → stopword floor) — the decision table a
+    corpus build applies before tokenization, with reason codes for the
+    drop-rate dashboard.
+
+    Scale shape: every feature is per-document and computed IN-ROW in
+    one scan (stopword/distinct ratios via array HOFs, top-bigram mass
+    via the sorted-bigram longest-run aggregate) — zero exchanges,
+    plan-asserted; the corpus is filtered in a single codegen'd map."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size("tokens")
+    n_stop = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(stop_arr, t)))
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice("tokens", 1, n_tok - 1),
+            F.slice("tokens", 2, n_tok - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    sized = toks.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (n_stop / n_tok).alias("stop_ratio"),
+        (F.size(F.array_distinct("tokens")) / n_tok).alias("distinct_ratio"),
+        bigrams.alias("bs"),
+    )
+    top_cnt = F.expr(
+        """aggregate(bs,
+               named_struct('prev', cast(null as string),
+                            'run', cast(0 as bigint),
+                            'best', cast(0 as bigint)),
+               (acc, x) -> IF(x <=> acc.prev,
+                   named_struct('prev', x, 'run', acc.run + 1L,
+                                'best', greatest(acc.best, acc.run + 1L)),
+                   named_struct('prev', x, 'run', 1L,
+                                'best', greatest(acc.best, 1L))),
+               acc -> acc.best)"""
+    )
+    feat = sized.select(
+        "doc_id",
+        "n_tok",
+        "stop_ratio",
+        "distinct_ratio",
+        F.when(F.col("n_tok") >= 2, top_cnt / (F.col("n_tok") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+    reason = (
+        F.when(F.col("n_tok") < _MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("n_tok") > _MAX_TOKENS, F.lit("too_long"))
+        .when(F.col("top_bigram_frac") > _MAX_TOP_BIGRAM, F.lit("repetitive"))
+        .when(F.col("distinct_ratio") < _MIN_DISTINCT, F.lit("low_vocab"))
+        .when(F.col("stop_ratio") < _MIN_STOPWORD, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return feat.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )

@@ -304,3 +304,10 @@ def test_repetition_filter_has_no_shuffle(spark):
     an Exchange means the corpus-bigram shuffle came back."""
     p = plan(registry.get("text_repetition_filter").fn(spark, SF))
     assert "Exchange" not in p, p
+
+
+def test_quality_verdict_has_no_shuffle(spark):
+    """The assembled filter verdict is one in-row decision table — any
+    Exchange means a per-doc feature regressed to an aggregation."""
+    p = plan(registry.get("text_quality_filter_verdict").fn(spark, SF))
+    assert "Exchange" not in p, p
