@@ -139,23 +139,28 @@ _NGRAM_SQL = f"""
 """
 
 
+def _ngram_array() -> F.Column:
+    """Distinct _NGRAM_LEN-word n-grams of a `tokens` array column.
+    Docs shorter than the n-gram length yield an EMPTY array — the
+    guard must be a CASE, not greatest(hi, -1): Spark's `sequence`
+    runs DESCENDING when start > stop, so sequence(0, -1) = [0, -1]
+    and the transform would emit spurious partial grams."""
+    parts = ", ".join(f"tokens[i+{j}]" for j in range(_NGRAM_LEN))
+    return F.expr(
+        f"""CASE WHEN size(tokens) >= {_NGRAM_LEN}
+               THEN array_distinct(transform(
+                        sequence(0, size(tokens) - {_NGRAM_LEN}),
+                        i -> concat_ws(' ', {parts})))
+               ELSE array() END"""
+    )
+
+
 def _ngrams(docs: DataFrame) -> DataFrame:
     """doc_id -> exploded distinct _NGRAM_LEN-word n-grams (codegen array ops)."""
     toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
     )
-    parts = ", ".join(f"tokens[i+{j}]" for j in range(_NGRAM_LEN))
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, greatest(size(tokens) - {_NGRAM_LEN}, -1)),"
-                    f" i -> concat_ws(' ', {parts}))"
-                )
-            )
-        ).alias("ngram"),
-    )
+    return toks.select("doc_id", F.explode(_ngram_array()).alias("ngram"))
 
 
 @query(
@@ -186,17 +191,24 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: benchmark n-grams are small (eval sets are millions of
     rows, not billions) -> broadcast; the corpus side explodes n-grams
-    ONCE and probes the broadcast hash map map-side, so the only
-    shuffle is the per-doc hit count on (doc_id) — slim rows, after the
-    broadcast join has already discarded every non-matching n-gram."""
+    ONCE (the per-doc n-gram total is computed IN-ROW as the distinct
+    array's size, not by re-exploding the corpus a second time) and
+    probes the broadcast hash map map-side, so the only shuffle is the
+    per-doc hit count on (doc_id) — slim rows, after the broadcast join
+    has already discarded every non-matching n-gram."""
     docs = load_table(spark, sf_dir, "documents")
     ng = _ngrams(docs)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = ng.filter(is_bench).select("ngram").distinct()
-    corpus = ng.filter(~is_bench)
-    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    sizes = (
+        docs.filter(F.col("text").isNotNull() & ~is_bench)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+        .select("doc_id", F.size(_ngram_array()).alias("n_ngrams"))
+        .filter(F.col("n_ngrams") > 0)
+    )
     hits = (
-        corpus.join(F.broadcast(bench), "ngram")
+        ng.filter(~is_bench)
+        .join(F.broadcast(bench), "ngram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_ngrams"))
     )

@@ -72,3 +72,30 @@ def test_contamination_flags_known_overlap(spark):
 def test_contamination_benchmark_side_broadcasts(spark):
     df = registry.get("text_benchmark_contamination").fn(spark, SF)
     assert "BroadcastHashJoin" in plan(df, "simple")
+
+
+def test_ngrams_empty_for_short_docs(spark):
+    """Docs shorter than the n-gram length must yield ZERO n-grams —
+    Spark's sequence() runs descending when start > stop, so a naive
+    greatest(hi, -1) guard silently emits partial grams."""
+    import pandas as pd
+
+    from astro_data_pipeline_spark.textops.sampling import _NGRAM_LEN, _ngrams
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "one two",  # < _NGRAM_LEN tokens
+                    " ".join(f"t{i}" for i in range(_NGRAM_LEN)),  # exactly
+                    " ".join(f"t{i}" for i in range(_NGRAM_LEN + 2)),
+                ],
+            }
+        )
+    )
+    got = _ngrams(docs).groupBy("doc_id").count().toPandas()
+    cnt = dict(zip(got["doc_id"], got["count"]))
+    assert 1 not in cnt
+    assert cnt[2] == 1
+    assert cnt[3] == 3
