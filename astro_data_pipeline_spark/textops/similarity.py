@@ -2,8 +2,12 @@
 
 Brute-force cosine top-k as the exactness baseline; a deterministic
 random-hyperplane LSH bucketing as the scale path (candidates within a
-bucket only). Vector math is pure ``F.zip_with`` / ``F.aggregate`` — JVM
-expression trees, no Python in the hot path.
+bucket only). Per-probe vector math is ``F.zip_with`` / ``F.aggregate``
+JVM expression trees; the two corpus-scale hot loops — the L·k-plane
+bucket signature and the candidate-pair cosine refine — are Arrow-batched
+pandas UDFs doing one matmul/einsum per batch (the all-literal relational
+formulation costs seconds of Catalyst analysis + janino compilation per
+plan and evaluates interpreted; see _table_buckets_udf/_pair_cosine_udf).
 """
 
 from __future__ import annotations
