@@ -69,6 +69,7 @@ _GATE_PRIORITY = [
     "agg_doclen_percentiles",
     "dedup_substring_overlap_pairs",
     "text_quality_filter_verdict",
+    "cdc_streaming_stateful_changelog",
     "cdc_time_travel_read",
     "cdc_incremental_changes",
     "cdc_resume_from_checkpoint",

@@ -319,6 +319,58 @@ def cdc_streaming_windowed_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame
         q.stop()
 
 
+@query("cdc_streaming_stateful_changelog", oracle=_E2E_ORACLE)
+def cdc_streaming_stateful_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator under the full DuckDB oracle
+    (SURVEY.md §2.11 state store): the WAL tail drains through the
+    ``applyInPandasWithState`` keyed LWW state machine
+    (streaming/stateful.py — per-key (last_lsn, alive, sha) carried in
+    Spark's checkpointed state store across micro-batches, tombstones
+    retained), and the changelog's last emission per key, alive keys
+    only, must equal the batch replay's final state byte-for-byte. The
+    same validation predicate the batch apply uses runs as a stateless
+    pre-filter, so both paths see the identical event stream."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..session import scratch_tmpdir_base
+    from ..streaming.replay import event_log_stream
+    from ..streaming.stateful import stateful_current_state_changelog
+    from .apply import valid_predicate
+
+    meta = _ensure_e2e_fixture()
+    glob = _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
+    stream = event_log_stream(spark, glob, max_files_per_trigger=1).filter(
+        valid_predicate()
+    )
+    changelog = stateful_current_state_changelog(stream)
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        name = "stateful_gate_" + _os.path.basename(td).replace("-", "_")
+        q = (
+            changelog.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(td, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(name)
+        w = Window.partitionBy("repo", "path").orderBy(F.desc("last_lsn"))
+        final = (
+            emitted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .filter(F.col("alive"))
+            .select(
+                "repo", "path", "commit", "lang", "lang_meta",
+                "content_sha256", "last_lsn",
+            )
+        )
+        out = _materialize(spark, final)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 @query("cdc_resume_from_checkpoint", oracle=_E2E_ORACLE)
 def cdc_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once RESUME under the DuckDB oracle (north rule: 'resumable
