@@ -458,6 +458,75 @@ class LakeTable:
         self._commit_hint(snap.snapshot_id)
         return snap
 
+    def rebucket(self, n_buckets: int, summary: dict | None = None) -> Snapshot:
+        """Partition-spec evolution (Iceberg bucket-count change): rewrite
+        the CURRENT net state under a new bucket count as one commit.
+
+        Snapshots are self-describing — each carries its own
+        ``n_buckets`` — so time travel keeps reading pre-evolution
+        snapshots with their original layout and point-lookup pruning,
+        while every future MERGE buckets by the new spec. MoR deltas
+        fold in during the rewrite (the new snapshot starts delta-free).
+        Cost is one full rewrite of live data, the same bill Iceberg
+        pays to rewrite into a new partition spec — paid once, amortized
+        over the pruning/parallelism the new count buys as a table grows
+        past its original layout."""
+        cur = self.current_snapshot()
+        assert cur is not None, "table has no committed snapshot"
+        if n_buckets == cur.n_buckets:
+            return cur
+        assert n_buckets >= 1
+        key_cols = cur.key_cols
+        commit_id = cur.snapshot_id + 1
+        result = (
+            self.read()
+            .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
+            .withColumn(TOMBSTONE_COL, F.lit(False))
+            .withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
+        )
+        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            result.repartition(n_buckets, F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[str]] = {}
+        per_bucket: list[dict] = []
+        for bk in range(n_buckets):
+            bdir = os.path.join(out_dir, f"{BUCKET_COL}={bk}")
+            rels = []
+            if os.path.isdir(bdir):
+                rels = [
+                    os.path.join(rel_dir, f"{BUCKET_COL}={bk}", fn)
+                    for fn in sorted(os.listdir(bdir))
+                    if fn.endswith(".parquet")
+                ]
+            if rels:
+                files[str(bk)] = rels
+            per_bucket.append({"partition_id": bk, "n_files": len(rels)})
+        snap = Snapshot(
+            snapshot_id=commit_id,
+            parent_id=cur.snapshot_id,
+            schema_json=cur.schema_json,
+            n_buckets=n_buckets,
+            key_cols=key_cols,
+            files=files,
+            delta_files={},
+            summary={
+                "operation": "rebucket",
+                "from_buckets": cur.n_buckets,
+                "to_buckets": n_buckets,
+                **(summary or {}),
+            },
+            timestamp_ms=int(time.time() * 1000),
+        )
+        self._write_snapshot(snap)
+        self._commit_hint(snap.snapshot_id)
+        self._append_lineage(snap, per_bucket, summary or {})
+        return snap
+
     # -------------------------------------------------------------- merge
 
     def merge(

@@ -194,3 +194,52 @@ def test_changes_rejects_cow_history_and_non_ancestor(spark, table):
     table.merge(_updates(spark, [("r1", "a", 2, "update")]))  # CoW commit
     with pytest.raises(ValueError, match="copy-on-write"):
         table.changes(s1)
+
+
+# -------------------------------------------------------- partition evolution
+
+
+def test_rebucket_preserves_state_and_evolves_layout(spark, table):
+    """Bucket-count evolution: the rewrite must preserve the net state
+    byte-for-byte, fold in MoR deltas, leave old snapshots readable with
+    their ORIGINAL layout (snapshots are self-describing), and make both
+    point lookups and subsequent merges use the new spec."""
+    from astro_data_pipeline_spark.lakehouse.table import bucket_expr
+
+    table.merge(_updates(spark, [("r1", f"p{i}", i, "insert") for i in range(20)]))
+    table.merge_mor(_updates(spark, [("r1", "p3", 33, "update"), ("r1", "p4", 0, "delete")]))
+    before = {(r["repo"], r["path"]): r["v"] for r in table.read().collect()}
+    old_snap = table.current_snapshot()
+
+    snap = table.rebucket(16)
+    assert snap.n_buckets == 16 and snap.delta_files == {}
+    assert snap.summary["from_buckets"] == 4 and snap.summary["to_buckets"] == 16
+    after = {(r["repo"], r["path"]): r["v"] for r in table.read().collect()}
+    assert after == before
+
+    # time travel: the pre-evolution snapshot reads with its own layout
+    assert {
+        (r["repo"], r["path"]): r["v"] for r in table.read(snapshot=old_snap).collect()
+    } == before
+    assert old_snap.n_buckets == 4
+
+    # point lookup prunes with the NEW spec
+    hit = table.read_key({"repo": "r1", "path": "p7"})
+    b = (
+        spark.createDataFrame([("r1", "p7")], "repo string, path string")
+        .select(bucket_expr(["repo", "path"], 16))
+        .collect()[0][0]
+    )
+    scanned = hit.inputFiles()
+    assert scanned and all(f"_bucket={b}/" in f or f"_bucket%3D{b}/" in f for f in scanned)
+    assert hit.collect()[0]["v"] == 7
+
+    # merges after the evolution bucket by the new spec and stay correct
+    table.merge(_updates(spark, [("r1", "p7", 77, "update"), ("r9", "x", 9, "insert")]))
+    got = {(r["repo"], r["path"]): r["v"] for r in table.read().collect()}
+    assert got[("r1", "p7")] == 77 and got[("r9", "x")] == 9
+    assert table.current_snapshot().n_buckets == 16
+
+    # idempotence: same count is a no-op returning the current snapshot
+    cur = table.current_snapshot()
+    assert table.rebucket(16).snapshot_id == cur.snapshot_id
