@@ -408,9 +408,17 @@ def _label_components(detected: np.ndarray, max_iter: int = 64) -> np.ndarray:
     for _ in range(max_iter):
         nxt = lab.copy()
         np.minimum.at(nxt, dst, lab[src])
+        # pointer jumping (path halving): every label is itself a detected
+        # pixel's id, so hop to THAT pixel's current label — turns the
+        # per-round propagation distance multiplicative, bounding rounds
+        # at O(log diameter) even for serpentine components instead of
+        # O(diameter)
+        nxt = np.minimum(nxt, nxt[np.searchsorted(flat, nxt - 1)])
         if np.array_equal(nxt, lab):
             break
         lab = nxt
+    else:
+        raise RuntimeError("component labeling did not converge")
     out[ys, xs] = lab
     return out
 

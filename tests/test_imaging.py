@@ -234,3 +234,70 @@ def test_median_network_matches_np_median():
         assert np.array_equal(
             _median_filter(img, radius), np.median(stack, axis=0).astype(np.float32)
         )
+
+
+def test_label_components_matches_bfs_flood_fill():
+    """Property: the vectorized sparse min-label propagation must equal an
+    independent BFS flood fill (same 4-connectivity, labels = component-min
+    initial id y*w+x+1) on arbitrary masks."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from astro_data_pipeline_spark.multimodal.imaging import _label_components
+
+    def bfs_labels(mask):
+        h, w = mask.shape
+        out = np.zeros((h, w), dtype=np.int64)
+        seen = np.zeros((h, w), dtype=bool)
+        for y in range(h):
+            for x in range(w):
+                if not mask[y, x] or seen[y, x]:
+                    continue
+                stack, comp = [(y, x)], []
+                seen[y, x] = True
+                while stack:
+                    cy, cx = stack.pop()
+                    comp.append((cy, cx))
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+                lab = min(py * w + px + 1 for py, px in comp)
+                for py, px in comp:
+                    out[py, px] = lab
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(2, 18),
+        st.integers(2, 18),
+        st.integers(0, 2**31 - 1),
+        st.floats(0.05, 0.6),
+    )
+    def check(h, w, seed, density):
+        rng = np.random.default_rng(seed)
+        mask = rng.random((h, w)) < density
+        got = _label_components(mask)
+        assert np.array_equal(got, bfs_labels(mask))
+
+    check()
+
+
+def test_label_components_serpentine_high_diameter():
+    """A single boustrophedon path of diameter ~H*W must still converge
+    (pointer jumping bounds rounds at O(log diameter), not O(diameter))."""
+    import numpy as np
+
+    from astro_data_pipeline_spark.multimodal.imaging import _label_components
+
+    h, w = 40, 41
+    mask = np.zeros((h, w), dtype=bool)
+    for r in range(0, h, 2):
+        mask[r, :] = True
+        if r + 1 < h:
+            mask[r + 1, w - 1 if (r // 2) % 2 == 0 else 0] = True
+    labels = _label_components(mask)
+    vals = labels[mask]
+    assert (vals == vals[0]).all() and vals[0] == 1
