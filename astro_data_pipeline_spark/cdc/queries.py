@@ -170,8 +170,12 @@ def _ensure_e2e_fixture() -> dict:
 
     meta_path = _os.path.join(_E2E_DIR, "meta.json")
     if _os.path.exists(meta_path):
-        with open(meta_path) as f:
-            return _json.load(f)
+        try:
+            with open(meta_path) as f:
+                return _json.load(f)
+        except ValueError:
+            # Truncated meta.json from a crashed prior run: regenerate.
+            _os.remove(meta_path)
     meta = generate_change_log(_E2E_DIR, **_E2E_PARAMS)
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
@@ -183,7 +187,7 @@ def _ensure_e2e_fixture() -> dict:
 # Failures surface as a warning (not a crash) and the queries retry.
 try:
     _ensure_e2e_fixture()
-except OSError as _e:
+except Exception as _e:  # noqa: BLE001 — import must never crash the registry
     import warnings as _warnings
 
     _warnings.warn(f"e2e fixture generation deferred: {_e}", stacklevel=1)
@@ -271,7 +275,7 @@ def cdc_streaming_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _WINDOWED_ORACLE = f"""
-    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+    SELECT epoch_ms(time_bucket(INTERVAL '1 minute', ts)) AS window_start_ms,
            op, count(*) AS n_events
     FROM (
         SELECT * FROM read_parquet(
@@ -298,6 +302,7 @@ def cdc_streaming_windowed_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame
     tests/test_streaming.py::test_stream_windowed_op_counts_with_watermark.
     """
     import os as _os
+    import uuid as _uuid
 
     from ..streaming.replay import event_log_stream, stream_windowed_op_counts
 
@@ -305,18 +310,29 @@ def cdc_streaming_windowed_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame
     glob = _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
     stream = event_log_stream(spark, glob).filter(F.col("ts").isNotNull())
     agg = stream_windowed_op_counts(stream, window="1 minute", watermark="2 minutes")
+    name = "op_mix_gate_" + _uuid.uuid4().hex[:12]
     q = (
         agg.writeStream.format("memory")
-        .queryName("op_mix_gate")
+        .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     try:
-        return _materialize(spark, spark.table("op_mix_gate"))
+        # Epoch-millis, not raw TIMESTAMP, so both engines hash the same
+        # representation (the repo-wide oracle convention).
+        out = spark.table(name).select(
+            F.unix_millis(F.col("window_start").cast("timestamp")).alias(
+                "window_start_ms"
+            ),
+            "op",
+            "n_events",
+        )
+        return _materialize(spark, out)
     finally:
         q.stop()
+        spark.catalog.dropTempView(name)
 
 
 @query("cdc_streaming_stateful_changelog", oracle=_E2E_ORACLE)

@@ -548,20 +548,24 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
     # pyarrow's ParquetFile takes a single concrete file — expand globs and
     # directories on the driver first (spark.read handles them natively,
     # the footer pass must match what the scan will read).
+    def _expand(p: str) -> list[str]:
+        # A segment may itself be a directory (Spark writes datasets as
+        # directories of part files, even when named '*.parquet').
+        if os.path.isdir(p):
+            return sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        return [p]
+
     files: list[str] = []
     for p in paths:
-        if os.path.isdir(p):
-            files.extend(
-                sorted(
-                    os.path.join(p, f)
-                    for f in os.listdir(p)
-                    if f.endswith(".parquet")
-                )
-            )
-        elif _glob.has_magic(p):
-            files.extend(sorted(f for f in _glob.glob(p) if not os.path.isdir(f)))
+        if _glob.has_magic(p):
+            for m in sorted(_glob.glob(p)):
+                files.extend(_expand(m))
         else:
-            files.append(p)
+            files.extend(_expand(p))
     if not files:
         raise FileNotFoundError(f"no parquet segments matched {paths!r}")
 

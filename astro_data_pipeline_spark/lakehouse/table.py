@@ -345,8 +345,10 @@ class LakeTable:
         Requirements (checked): ``from`` must be an ancestor of ``to``; the
         in-range commits must be metadata-only or merge-on-read (a CoW
         ``merge`` rewrites whole buckets and keeps no row-level changelog;
-        a ``compact`` in range is fine — it is logically idempotent and the
-        folded delta files stay on disk until ``expire_snapshots``)."""
+        a ``compact`` or ``rebucket`` in range is fine — both are logically
+        idempotent rewrites and the folded delta files stay on disk until
+        ``expire_snapshots``; across a ``rebucket`` the existence probe
+        skips bucket pruning because the spec changed)."""
         to_snap = (
             self._read_snapshot(to_snapshot_id)
             if to_snapshot_id is not None
@@ -357,7 +359,13 @@ class LakeTable:
         assert from_snap is not None, "unknown 'from' snapshot"
 
         # Walk to → from, collecting each in-range commit's own delta files.
+        # A rebucket in range folds deltas into base files but the pre-fold
+        # delta files stay on disk (like compact), so the row-level
+        # changelog survives; it DOES change the bucket spec, so bucket ids
+        # parsed from delta paths stop matching ``from``'s layout and the
+        # existence probe must fall back to an unpruned key scan.
         delta_rels: list[str] = []
+        spec_stable = True
         snap = to_snap
         while snap is not None and snap.snapshot_id > from_snapshot_id:
             op = snap.summary.get("operation")
@@ -366,6 +374,8 @@ class LakeTable:
                     "changes() needs merge-on-read history; snapshot "
                     f"{snap.snapshot_id} is a copy-on-write merge"
                 )
+            if snap.n_buckets != from_snap.n_buckets:
+                spec_stable = False
             if op == "merge-mor":
                 prefix = os.path.join("data", f"delta-{snap.snapshot_id}")
                 delta_rels += [
@@ -405,13 +415,20 @@ class LakeTable:
 
         # Prior-existence probe: only the buckets the deltas touched (read
         # straight off the partitioned delta paths), only the key columns.
-        touched = sorted(
-            {
-                int(seg.split("=", 1)[1])
-                for p in delta_rels
-                for seg in p.split(os.sep)
-                if seg.startswith(f"{BUCKET_COL}=")
-            }
+        # Pruning is valid only while every in-range snapshot shares
+        # ``from``'s bucket spec; across a rebucket the parsed ids belong
+        # to a different layout, so probe all buckets.
+        touched: list[int] | None = (
+            sorted(
+                {
+                    int(seg.split("=", 1)[1])
+                    for p in delta_rels
+                    for seg in p.split(os.sep)
+                    if seg.startswith(f"{BUCKET_COL}=")
+                }
+            )
+            if spec_stable
+            else None
         )
         prior = (
             self.read(snapshot=from_snap, buckets=touched)

@@ -84,16 +84,20 @@ def image_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(i) for i in INSTRUMENTS]),
         (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
     )
+    # doc_id is a multiple of 3 inside this stripe, so doc_id % 3 is a
+    # constant — derive filter/width from (doc_id div 3) % 3 instead, or
+    # two of the three filters (and all width variation) are unreachable.
+    tri = F.pmod(F.expr("doc_id div 3"), F.lit(3))
     filt = F.element_at(
         F.array(*[F.lit(fl) for fl in FILTERS]),
-        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        (tri + 1).cast("int"),
     )
     return docs.select(
         "doc_id",
         instr.alias("instrument"),
         filt.alias("filter"),
         (F.pmod("doc_id", F.lit(7)) * 30 + 30).cast("double").alias("exptime"),
-        ((F.pmod("doc_id", F.lit(3)) + 2) * 64).cast("int").alias("width"),
+        ((tri + 2) * 64).cast("int").alias("width"),
         ((F.pmod("doc_id", F.lit(2)) + 2) * 48).cast("int").alias("height"),
     )
 
@@ -541,6 +545,8 @@ def fits_decode(payload: bytes) -> tuple[np.ndarray, dict, int]:
     done = False
     while not done:
         block = payload[pos : pos + 2880].decode("ascii")
+        if not block:
+            raise ValueError("truncated FITS payload: no END card found")
         pos += 2880
         for i in range(0, len(block), 80):
             card = block[i : i + 80]
@@ -699,9 +705,9 @@ def process_images(catalog: DataFrame, parts: frozenset = ALL_PARTS) -> DataFram
 _CATALOG_ORACLE_BODY = """
     SELECT doc_id,
            ['WFC3','NIRCAM','MIRI','GENERIC'][(doc_id % 4) + 1] AS instrument,
-           ['F606W','F814W-NARROW','F160W'][(doc_id % 3) + 1] AS filter,
+           ['F606W','F814W-NARROW','F160W'][((doc_id // 3) % 3) + 1] AS filter,
            CAST((doc_id % 7) * 30 + 30 AS DOUBLE) AS exptime,
-           CAST(((doc_id % 3) + 2) * 64 AS BIGINT) AS naxis1,
+           CAST((((doc_id // 3) % 3) + 2) * 64 AS BIGINT) AS naxis1,
            CAST(((doc_id % 2) + 2) * 48 AS BIGINT) AS naxis2
     FROM documents WHERE (doc_id % 3) = 0
 """

@@ -84,6 +84,39 @@ def test_fixture_adversarial_properties(fixture_meta):
     assert top_share > 0.1
 
 
+# -------------------------------------------------------------- reader
+
+
+def test_read_event_log_expands_globs_and_directory_segments(
+    spark, tmp_path, fixture_meta
+):
+    """A WAL glob may match BOTH plain parquet files and Spark-written
+    dataset directories (named '*.parquet' but actually directories of
+    part files) — every segment must reach the scan, and the footer LSN
+    bounds must span all of them."""
+    import glob as _glob
+    import shutil
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    shutil.copy(fixture_meta["v1_path"], wal / "change_events_a.parquet")
+    # re-write v2 through Spark so the segment is a DIRECTORY
+    spark.read.parquet(fixture_meta["v2_path"]).coalesce(2).write.parquet(
+        str(wal / "change_events_b.parquet")
+    )
+    direct = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    globbed = read_event_log(spark, str(wal / "change_events_*.parquet"))
+    assert globbed.count() == direct.count()
+    lo, hi = globbed._adps_lsn_bounds
+    rlo, rhi = direct._adps_lsn_bounds
+    assert (lo, hi) == (rlo, rhi)
+    # sanity: the glob really did match a directory
+    assert any(
+        __import__("os").path.isdir(m)
+        for m in _glob.glob(str(wal / "change_events_*.parquet"))
+    )
+
+
 # -------------------------------------------------------------- replay
 
 

@@ -32,6 +32,17 @@ def test_fits_roundtrip_exact():
     assert n_cards == 11  # 8 required + 2 HISTORY + END
 
 
+def test_fits_decode_truncated_payload_raises():
+    """A payload with no END card (truncated header) must fail loudly,
+    not spin forever inside an executor task."""
+    img = np.zeros((2, 2))
+    payload = I.fits_encode(img, {"instrument": "X", "filter": "Y", "exptime": 1.0}, [])
+    with pytest.raises(ValueError, match="truncated"):
+        I.fits_decode(payload[:80])  # mid-header cut, END never seen
+    with pytest.raises(ValueError, match="truncated"):
+        I.fits_decode(b"")
+
+
 def test_fits_pixels_big_endian_float32():
     img = np.array([[1.0, 2.0], [3.0, 65000.25]])
     payload = I.fits_encode(img, {"instrument": "X", "filter": "Y", "exptime": 1.0}, [])

@@ -188,6 +188,34 @@ def test_changes_tolerates_in_range_compaction(spark, table):
     assert got == {("r1", "a"): ("update", 2), ("r2", "c"): ("insert", 3)}
 
 
+def test_changes_tolerates_in_range_rebucket(spark, table):
+    """A rebucket in (from, to] changes the bucket spec, so bucket ids
+    parsed from post-evolution delta paths must NOT prune the existence
+    probe against the old-layout ``from`` snapshot — a pre-existing key
+    updated after the rebucket is an update (not an insert) and its
+    delete must not vanish from the changelog.
+
+    Keys are chosen so every post-rebucket delta lands in a NEW-spec
+    bucket id (11/12/13) that does not exist in the old 4-bucket layout:
+    a pruned probe would come back empty and misclassify everything."""
+    table.merge_mor(
+        _updates(
+            spark,
+            [("r1", "i", 1, "insert"), ("r1", "d", 1, "insert"), ("r2", "j", 1, "insert")],
+        )
+    )
+    s1 = table.current_snapshot().snapshot_id
+    table.rebucket(16)  # folds deltas; spec 4 → 16
+    table.merge_mor(_updates(spark, [("r1", "i", 2, "update"), ("r2", "g", 1, "insert")]))
+    table.merge_mor(_updates(spark, [("r2", "j", 0, "delete")]))
+    got = _changes_map(table.changes(s1))
+    assert got == {
+        ("r1", "i"): ("update", 2),
+        ("r2", "g"): ("insert", 1),
+        ("r2", "j"): ("delete", None),
+    }
+
+
 def test_changes_rejects_cow_history_and_non_ancestor(spark, table):
     table.merge_mor(_updates(spark, [("r1", "a", 1, "insert")]))
     s1 = table.current_snapshot().snapshot_id
