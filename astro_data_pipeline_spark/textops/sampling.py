@@ -200,11 +200,15 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = _ngrams(docs)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench = ng.filter(is_bench).select("ngram").distinct()
+    # No n_ngrams > 0 filter: the inner join with `hits` already implies
+    # >=1 n-gram, and filtering on the aliased heavy expression makes
+    # Catalyst push the predicate BELOW the tokens projection, re-inlining
+    # split(trim(text)) into every lambda iteration of the n-gram
+    # transform (~200 re-splits per row, interpreted — measured 60x).
     sizes = (
         docs.filter(F.col("text").isNotNull() & ~is_bench)
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
         .select("doc_id", F.size(_ngram_array()).alias("n_ngrams"))
-        .filter(F.col("n_ngrams") > 0)
     )
     hits = (
         ng.filter(~is_bench)
