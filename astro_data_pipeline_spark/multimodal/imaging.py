@@ -216,6 +216,34 @@ def _median_filter(img: np.ndarray, radius: int) -> np.ndarray:
     return planes[n // 2].reshape(h, w)
 
 
+def _median_at(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, radius: int) -> np.ndarray:
+    """(2r+1)² median at the given pixel coordinates only — the same
+    selection network as `_median_filter` run over a (n, k) gather
+    instead of (n, H·W) planes, so patching a few thousand pixels costs
+    a few thousand comparator lanes instead of a full-image pass."""
+    k = 2 * radius + 1
+    n = k * k
+    net = _MEDIAN_NETS.get(n)
+    if net is None:
+        net = _MEDIAN_NETS[n] = _median_network(n)
+    h, w = img.shape
+    # edge replication == coordinate clipping: gather straight from the
+    # image instead of materializing a padded copy per call
+    cy = [np.clip(ys + d, 0, h - 1) for d in range(-radius, radius + 1)]
+    cx = [np.clip(xs + d, 0, w - 1) for d in range(-radius, radius + 1)]
+    vals = np.empty((n, len(ys)), dtype=img.dtype)
+    idx = 0
+    for dy in range(k):
+        for dx in range(k):
+            vals[idx] = img[cy[dy], cx[dx]]
+            idx += 1
+    for (i, j) in net:
+        lo = np.minimum(vals[i], vals[j])
+        vals[j] = np.maximum(vals[i], vals[j])
+        vals[i] = lo
+    return vals[n // 2]
+
+
 def _neighbor_stack(img: np.ndarray) -> np.ndarray:
     """(8, H, W) stack of the 8 neighbors (edge-replicated)."""
     p = np.pad(img, 1, mode="edge")
@@ -334,13 +362,29 @@ def remove_cosmic_rays(img: np.ndarray) -> tuple[np.ndarray, int, int]:
     interior[1:-1, 1:-1] = True
     h, w = img.shape
     offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+    med5: np.ndarray | None = None
+    prev_hy = prev_hx = None
     for _ in range(NITER):
         iters += 1
         sigma = _mad_sigma(out)
         if sigma <= 0:
             break
         lap = _laplacian_pos(out)
-        fine = np.abs(out - _median_filter(out, 2))
+        # The 5×5 median is the per-iteration cost center; between
+        # iterations `out` changes only at the pixels just cleaned, so
+        # the median changes only within radius 2 of them — patch those
+        # coordinates with the same selection network (bit-identical to
+        # a full recompute) instead of re-filtering the whole frame.
+        if med5 is None:
+            med5 = _median_filter(out, 2)
+        else:
+            dy, dx = np.mgrid[-2:3, -2:3]
+            ay = np.clip(prev_hy[:, None] + dy.ravel(), 0, h - 1)
+            ax = np.clip(prev_hx[:, None] + dx.ravel(), 0, w - 1)
+            flat = np.unique(ay.ravel() * w + ax.ravel())
+            ay, ax = flat // w, flat % w
+            med5[ay, ax] = _median_at(out, ay, ax, 2)
+        fine = np.abs(out - med5)
         # Coarse screen first (pure arithmetic); the 8-neighbor contrast
         # test then runs ONLY at screened pixels — a fraction of a
         # percent of the image — instead of a full-image median stack.
@@ -351,7 +395,11 @@ def remove_cosmic_rays(img: np.ndarray) -> tuple[np.ndarray, int, int]:
         if not len(ys):
             break
         neigh = np.stack([out[ys + dy, xs + dx] for dy, dx in offs])  # (8, n)
-        local_med = np.median(neigh, axis=0)
+        # median of 8 = mean of the two middle order statistics; one
+        # vectorized sort over the tiny axis beats np.median's per-column
+        # partition setup (bit-identical: same two elements averaged)
+        neigh.sort(axis=0)
+        local_med = 0.5 * (neigh[3] + neigh[4])
         contrast = (out[ys, xs] - local_med) / sigma
         hit = (coarse_lap[ys, xs] & (contrast > OBJLIM)) | (
             coarse_fine[ys, xs] & (contrast > OBJLIM * 0.5)
@@ -367,14 +415,21 @@ def remove_cosmic_rays(img: np.ndarray) -> tuple[np.ndarray, int, int]:
         # median over every neighbor
         nvals = np.stack([out[hy + dy, hx + dx] for dy, dx in offs])
         nmask = np.stack([mask[hy + dy, hx + dx] for dy, dx in offs])
-        fallback = np.median(nvals, axis=0)
-        nv = np.where(nmask, np.nan, nvals)
-        import warnings
-
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", category=RuntimeWarning)
-            repl = np.nanmedian(nv, axis=0)
-        out[hy, hx] = np.where(np.isnan(repl), fallback, repl).astype(np.float32)
+        # fallback: plain median of all 8 (mean of middle two of a sort)
+        order_all = np.sort(nvals, axis=0)
+        fallback = 0.5 * (order_all[3] + order_all[4])
+        # masked median without np.nanmedian's masked-array machinery:
+        # push masked values to +inf so the k unmasked values are the
+        # first k of the sort, then average order stats (k-1)//2 and
+        # k//2 — exactly what nanmedian computes (for odd k both indices
+        # coincide, and (x+x)/2 == x exactly in IEEE float)
+        k = (~nmask).sum(axis=0)
+        order = np.sort(np.where(nmask, np.inf, nvals), axis=0)
+        cols = np.arange(order.shape[1])
+        safe_k = np.maximum(k, 1)
+        repl = 0.5 * (order[(safe_k - 1) // 2, cols] + order[safe_k // 2, cols])
+        out[hy, hx] = np.where(k == 0, fallback, repl).astype(np.float32)
+        prev_hy, prev_hx = hy, hx
     return out.astype(np.float64), total, iters
 
 
