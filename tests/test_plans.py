@@ -311,3 +311,46 @@ def test_quality_verdict_has_no_shuffle(spark):
     Exchange means a per-doc feature regressed to an aggregation."""
     p = plan(registry.get("text_quality_filter_verdict").fn(spark, SF))
     assert "Exchange" not in p, p
+
+
+# --------------------------------------------------- registry-wide audit
+
+# Intentional nested-loop joins: a 1-row broadcast (global min joined
+# back onto per-stratum counts) and the documented exact-baseline
+# probe×corpus cross join. Everything else must justify itself here.
+_BNLJ_ALLOWED = {"sample_balanced_mixture", "sim_cosine_topk_bruteforce"}
+
+
+def test_registry_wide_plan_red_flags(spark):
+    """Every registered query's physical plan, swept for the three
+    structural patterns that are invisible at test SF and fatal at
+    100 TB: a cartesian product, an unintended nested-loop join, a
+    Filter whose condition inlines a higher-order-function lambda
+    (Catalyst pushed a predicate below a projection and re-inlined a
+    heavy array expression — subexpressions are NOT deduplicated inside
+    lambdas, measured 60× on text_benchmark_contamination), and a
+    window function ordered over an unpartitioned spec (single-task
+    global sort)."""
+    import re
+
+    bad: dict[str, list[str]] = {}
+    for name in registry.all_queries():
+        p = plan(registry.get(name).fn(spark, SF))
+        f = []
+        if "CartesianProduct" in p:
+            f.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
+            f.append("BroadcastNestedLoopJoin")
+        for m in re.finditer(r"^\(\d+\) Filter\s*$", p, re.M):
+            cond = p[m.start():].split("Condition :", 1)
+            if len(cond) > 1 and "lambdafunction" in cond[1].split("\n(", 1)[0]:
+                f.append("Filter with inlined lambda expression")
+                break
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+            first = m.group(1).split(",")[0].strip()
+            if first.endswith(" ASC NULLS FIRST") or first.endswith(" DESC NULLS LAST"):
+                f.append("unpartitioned ordered window")
+                break
+        if f:
+            bad[name] = f
+    assert not bad, bad
