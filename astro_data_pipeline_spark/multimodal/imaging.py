@@ -189,6 +189,22 @@ def _median_network(n: int) -> list[tuple[int, int]]:
 _MEDIAN_NETS: dict[int, list[tuple[int, int]]] = {}
 
 
+def _run_median_network(vals: np.ndarray) -> np.ndarray:
+    """Run the memoized n-input median selection network over ``vals``
+    (shape (n, m): n stacked candidates × m lanes) and return the median
+    lane — the single implementation both the full-frame filter and the
+    incremental patch use, so their bit-identity is by construction."""
+    n = vals.shape[0]
+    net = _MEDIAN_NETS.get(n)
+    if net is None:
+        net = _MEDIAN_NETS[n] = _median_network(n)
+    for (i, j) in net:
+        lo = np.minimum(vals[i], vals[j])
+        vals[j] = np.maximum(vals[i], vals[j])
+        vals[i] = lo
+    return vals[n // 2]
+
+
 def _median_filter(img: np.ndarray, radius: int) -> np.ndarray:
     """(2r+1)² median filter: stacked shifts reduced by a min/max
     selection network over whole (H·W,) planes — each comparator is two
@@ -198,9 +214,6 @@ def _median_filter(img: np.ndarray, radius: int) -> np.ndarray:
     arithmetic). No per-pixel loop."""
     k = 2 * radius + 1
     n = k * k
-    net = _MEDIAN_NETS.get(n)
-    if net is None:
-        net = _MEDIAN_NETS[n] = _median_network(n)
     p = np.pad(img, radius, mode="edge")
     h, w = img.shape
     planes = np.empty((n, h * w), dtype=img.dtype)
@@ -209,11 +222,7 @@ def _median_filter(img: np.ndarray, radius: int) -> np.ndarray:
         for dx in range(k):
             planes[idx] = p[dy : dy + h, dx : dx + w].reshape(-1)
             idx += 1
-    for (i, j) in net:
-        lo = np.minimum(planes[i], planes[j])
-        planes[j] = np.maximum(planes[i], planes[j])
-        planes[i] = lo
-    return planes[n // 2].reshape(h, w)
+    return _run_median_network(planes).reshape(h, w)
 
 
 def _median_at(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, radius: int) -> np.ndarray:
@@ -223,9 +232,6 @@ def _median_at(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, radius: int) -> 
     a few thousand comparator lanes instead of a full-image pass."""
     k = 2 * radius + 1
     n = k * k
-    net = _MEDIAN_NETS.get(n)
-    if net is None:
-        net = _MEDIAN_NETS[n] = _median_network(n)
     h, w = img.shape
     # edge replication == coordinate clipping: gather straight from the
     # image instead of materializing a padded copy per call
@@ -237,11 +243,7 @@ def _median_at(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, radius: int) -> 
         for dx in range(k):
             vals[idx] = img[cy[dy], cx[dx]]
             idx += 1
-    for (i, j) in net:
-        lo = np.minimum(vals[i], vals[j])
-        vals[j] = np.maximum(vals[i], vals[j])
-        vals[i] = lo
-    return vals[n // 2]
+    return _run_median_network(vals)
 
 
 def _neighbor_stack(img: np.ndarray) -> np.ndarray:

@@ -333,6 +333,24 @@ def test_registry_wide_plan_red_flags(spark):
     global sort)."""
     import re
 
+    def _first_window_arg(p: str, start: int) -> str:
+        """First TOP-LEVEL comma-separated argument of the
+        windowspecdefinition at ``start`` (balanced-paren scan — the arg
+        itself may contain calls like cast(x as double))."""
+        depth = 0
+        for i in range(start, min(start + 2000, len(p))):
+            c = p[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    return p[start:i]
+                depth -= 1
+            elif c == "," and depth == 0:
+                return p[start:i]
+        return p[start:start + 2000]
+
+    order_tail = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)$")
     bad: dict[str, list[str]] = {}
     for name in registry.all_queries():
         p = plan(registry.get(name).fn(spark, SF))
@@ -341,14 +359,15 @@ def test_registry_wide_plan_red_flags(spark):
             f.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
             f.append("BroadcastNestedLoopJoin")
-        for m in re.finditer(r"^\(\d+\) Filter\s*$", p, re.M):
+        # \b not \s*$: codegen'd Filter headers read "(N) Filter [codegen id : M]"
+        for m in re.finditer(r"^\(\d+\) Filter\b", p, re.M):
             cond = p[m.start():].split("Condition :", 1)
             if len(cond) > 1 and "lambdafunction" in cond[1].split("\n(", 1)[0]:
                 f.append("Filter with inlined lambda expression")
                 break
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
-            first = m.group(1).split(",")[0].strip()
-            if first.endswith(" ASC NULLS FIRST") or first.endswith(" DESC NULLS LAST"):
+        for m in re.finditer(r"windowspecdefinition\(", p):
+            first = _first_window_arg(p, m.end()).strip()
+            if order_tail.search(first):
                 f.append("unpartitioned ordered window")
                 break
         if f:
