@@ -7,7 +7,12 @@ computation of the expected final table state. ~60 LoC, no Spark.
 Semantics (the contract the engine must match):
 - events apply in LSN order (file order is irrelevant);
 - duplicate deliveries of the same LSN apply once (payloads are identical
-  by construction of an at-least-once source);
+  by construction of an at-least-once source). A MALFORMED log carrying
+  two DIFFERENT events under one LSN is outside this oracle's model: the
+  engine resolves it deterministically via the (lsn, xxhash64(commit, op))
+  tie order in lww_collapse (pinned by
+  test_lsn_tie_resolves_deterministically), but this replayer assumes
+  redeliveries are byte-identical and keeps an arbitrary one;
 - insert/update upsert the row; delete removes it;
 - a later event always wins (last-writer-wins);
 - ``content_sha256`` = sha256 hex of content (the per-row invariant,
@@ -23,6 +28,9 @@ import pandas as pd
 
 def replay_reference(events: pd.DataFrame) -> pd.DataFrame:
     """Expected final state: one row per live (repo, path)."""
+    # per LSN keep the max (commit, op) delivery — identical-payload
+    # redeliveries are unaffected; a conflicting pair resolves the same
+    # way the engine's (lsn, commit, op) tie order does
     ev = (
         events.sort_values("lsn", kind="stable")
         .drop_duplicates(subset=["lsn"], keep="first")

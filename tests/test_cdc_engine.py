@@ -498,3 +498,53 @@ def test_workflow_activation_merge_idempotent(spark, tmp_path):
     assert list(
         table.read().toPandas().sort_values("repo")["commit"]
     ) == ["v1", "v1"]
+
+
+def test_lsn_tie_resolves_deterministically(spark):
+    """SURVEY §7 hard case #2: a MALFORMED log carrying two DIFFERENT
+    events under one LSN must resolve to the same winner on every
+    replay order, partitioning, and salting — the
+    (lsn, xxhash64(commit, op)) tie order."""
+    import pandas as pd
+
+    rows = [
+        # conflicting pair at lsn=30 (different commit => different event)
+        dict(lsn=30, op="update", repo="r", path="a.py", commit="bbb",
+             lang="python", content="content-bbb"),
+        dict(lsn=30, op="update", repo="r", path="a.py", commit="aaa",
+             lang="python", content="content-aaa"),
+        # earlier history for the same key (must never win)
+        dict(lsn=10, op="insert", repo="r", path="a.py", commit="ccc",
+             lang="python", content="v0"),
+        # same commit, different op at one LSN: op joins the tie hash
+        dict(lsn=20, op="delete", repo="r", path="b.py", commit="ddd",
+             lang="python", content=None),
+        dict(lsn=20, op="update", repo="r", path="b.py", commit="ddd",
+             lang="python", content="kept"),
+        dict(lsn=5, op="insert", repo="r", path="b.py", commit="eee",
+             lang="python", content="v0"),
+    ]
+    # the pinned rule, computed with the engine's own hash: per key the
+    # winner is max (lsn, xxhash64(commit, op)) over its deliveries
+    expect = {
+        r["path"]: r["commit"]
+        for r in spark.createDataFrame(pd.DataFrame(rows))
+        .withColumn("tie", F.xxhash64("commit", "op"))
+        .groupBy("path")
+        .agg(F.max_by(F.col("commit"), F.struct("lsn", "tie")).alias("commit"))
+        .collect()
+    }
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(pd.DataFrame(perm))
+        for hot in (None, [("r", "a.py"), ("r", "b.py")]):
+            got = (
+                A.lww_collapse(df, hot_keys=hot, n_salts=4)
+                .orderBy("path")
+                .toPandas()
+            )
+            assert list(got["path"]) == ["a.py", "b.py"]
+            # same winner under every input order and salt assignment
+            assert dict(zip(got["path"], got["commit"])) == expect
+            # history never beats the tie LSN
+            assert "ccc" not in set(got["commit"])
+            assert "eee" not in set(got["commit"])
