@@ -21,7 +21,12 @@ Semantics (same contract as ``cdc.oracle.replay_reference``):
 - delete flips ``alive`` to false but KEEPS the tombstone in state (a
   later re-insert must still compare LSNs — dropping state would let a
   stale pre-delete update resurrect the key);
-- duplicate deliveries (same LSN) never advance state — idempotent.
+- duplicate deliveries (same LSN) never advance state — idempotent;
+- a MALFORMED same-LSN conflict resolves by the SAME
+  ``(lsn, xxhash64(commit, op))`` order as the batch collapse: the tie
+  hash is computed JVM-side before the state operator and carried in
+  state, so batch replay and the streaming twin converge to the same
+  winner within a batch, across batches, and across restarts.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ from pyspark.sql import types as T
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_lsn", T.LongType()),
+        T.StructField("last_tie", T.LongType()),
         T.StructField("alive", T.BooleanType()),
         T.StructField("commit", T.StringType()),
         T.StructField("lang", T.StringType()),
@@ -68,13 +74,21 @@ def _lww_state_update(
     for pdf in pdfs:
         if pdf.empty:
             continue
-        row = pdf.loc[pdf["lsn"].idxmax()]
-        if best is None or int(row["lsn"]) > int(best["lsn"]):
+        # winner order (lsn, _tie) — _tie is the JVM-computed
+        # xxhash64(commit, op), the batch collapse's exact tie rule;
+        # lexsort keeps the pick vectorized (last = max)
+        import numpy as np
+
+        win = np.lexsort((pdf["_tie"].values, pdf["lsn"].values))[-1]
+        row = pdf.iloc[win]
+        if best is None or (int(row["lsn"]), int(row["_tie"])) > (
+            int(best["lsn"]), int(best["_tie"])
+        ):
             best = row
     if best is None:
         return
-    new_lsn = int(best["lsn"])
-    if state.exists and new_lsn <= int(state.get[0]):
+    new_lsn, new_tie = int(best["lsn"]), int(best["_tie"])
+    if state.exists and (new_lsn, new_tie) <= (int(state.get[0]), int(state.get[1])):
         return  # stale or duplicate delivery — state unchanged, no emit
     alive = best["op"] != "delete"
     content = best["content"]
@@ -90,7 +104,7 @@ def _lww_state_update(
     commit = _s(best.get("commit")) if alive else None
     lang = _s(best.get("lang")) if alive else None
     lang_meta = _s(best.get("lang_meta")) if alive else None
-    state.update((new_lsn, bool(alive), commit, lang, lang_meta, sha))
+    state.update((new_lsn, new_tie, bool(alive), commit, lang, lang_meta, sha))
     yield pd.DataFrame(
         {
             "repo": [key[0]],
@@ -113,7 +127,10 @@ def stateful_current_state_changelog(events: DataFrame) -> DataFrame:
     The last emitted row per key IS the key's current state — downstream
     can sink it to a changelog topic or merge it into a serving table.
     """
-    return events.groupBy("repo", "path").applyInPandasWithState(
+    from pyspark.sql import functions as F
+
+    tagged = events.withColumn("_tie", F.xxhash64("commit", "op"))
+    return tagged.groupBy("repo", "path").applyInPandasWithState(
         _lww_state_update,
         outputStructType=CHANGELOG_SCHEMA,
         stateStructType=STATE_SCHEMA,
