@@ -175,7 +175,16 @@ class CdcRunner:
         bucket hash already neutralizes. A key that hot is near-certain
         to surface in the sample; a full-scan count would cost a whole
         extra pass over the log."""
-        sample = events.select("repo", "path").sample(fraction=0.02, seed=42)
+        # drop quarantine-bound rows (null repo/path are valid INPUTS —
+        # valid_predicate filters them later): a large corrupt stripe
+        # would otherwise form one null group that inflates max_n or even
+        # returns a (None, None) "hot key", which the manifest join and
+        # the salt expression cannot represent
+        sample = (
+            events.select("repo", "path")
+            .filter(F.col("repo").isNotNull() & F.col("path").isNotNull())
+            .sample(fraction=0.02, seed=42)
+        )
         counts = sample.groupBy("repo", "path").agg(F.count("*").alias("n"))
         # phase 1 (always): one job, two scalars to the driver. The common
         # case — no key anywhere near hot — stops here.
@@ -279,6 +288,7 @@ class CdcRunner:
         lsn_lo: int,
         lsn_hi: int,
         hot_keys: list[tuple[str, str]] | None = None,
+        committed: set[str] | None = None,
     ) -> BatchReport:
         """Validate → salted LWW → sha256 → MERGE, one atomic commit.
 
@@ -287,11 +297,18 @@ class CdcRunner:
         (validate-observe → collapse → sha → merge-join → write). The
         quarantine count and insert/update/delete split ride the write
         action via ``observe`` — zero extra passes.
+
+        ``committed``: pass the ledger snapshot when replaying many
+        batches — the per-batch fallback re-walks the whole snapshot
+        chain (one JSON parse per snapshot), O(batches × snapshots) over
+        a long-lived table.
         """
         from pyspark.sql import Observation
 
         with phase("runner.skip_check"):
-            if batch_id in self.table.committed_batch_ids():
+            if committed is None:
+                committed = self.table.committed_batch_ids()
+            if batch_id in committed:
                 return BatchReport(batch_id, lsn_lo, lsn_hi, status="skipped")
 
         with phase("runner.evolve"):
@@ -347,10 +364,18 @@ class CdcRunner:
                 summary=manifest,
             )
         with phase("runner.obs_get"):
-            try:
-                n_bad = int(obs.get.get("rows_quarantined", 0))
-            except Exception:
+            # Observation.get BLOCKS until an action runs over the observed
+            # plan; a CoW merge over zero touched buckets commits an empty
+            # snapshot without ever executing `rows` (sparse LSN ranges can
+            # slice an empty batch), so waiting would hang the replay.
+            # An empty batch has nothing to quarantine.
+            if touched is not None and not touched:
                 n_bad = 0
+            else:
+                try:
+                    n_bad = int(obs.get.get("rows_quarantined", 0))
+                except Exception:
+                    n_bad = 0
         return BatchReport(
             batch_id,
             lsn_lo,
@@ -401,11 +426,18 @@ class CdcRunner:
             return self._replay_pipelined(events, ranges, hot)
         reports: list[BatchReport] = []
         applied = 0
+        # ledger snapshot ONCE per replay — the per-batch fallback walks
+        # the whole snapshot chain each time (O(batches × snapshots));
+        # batches this replay itself commits can't be in the skip set
+        with phase("runner.skip_check"):
+            committed = self.table.committed_batch_ids()
         for lo, hi in ranges:
             batch_id = f"lsn:{lo}-{hi}"
             # LSN-range predicate pushes down to the event-log scan
             batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-            rep = self.apply_batch(batch, batch_id, lo, hi, hot_keys=hot)
+            rep = self.apply_batch(
+                batch, batch_id, lo, hi, hot_keys=hot, committed=committed
+            )
             reports.append(rep)
             if rep.status == "applied":
                 applied += 1
@@ -574,10 +606,19 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
     lsn_lo: int | None = None
     lsn_hi: int | None = None
     stats_valid = True
+    from pyspark.sql.pandas.types import from_arrow_schema
+
     for p in files:
         pf = pq.ParquetFile(p)
         md = pf.metadata
-        spark_fields = spark.read.parquet(p).schema.fields
+        # schema from the SAME footer the stats pass already decoded —
+        # one footer read per segment (a per-file spark.read.parquet here
+        # would re-list, re-open, and re-decode every footer a second
+        # time just to convert types the arrow schema already carries)
+        try:
+            spark_fields = from_arrow_schema(pf.schema_arrow).fields
+        except Exception:
+            spark_fields = spark.read.parquet(p).schema.fields
         for f in spark_fields:
             if f.name not in seen:
                 seen.add(f.name)

@@ -313,13 +313,18 @@ class LakeTable:
         snap = snapshot or self.current_snapshot()
         assert snap is not None
         assert set(key) == set(snap.key_cols), f"key must bind {snap.key_cols}"
-        row = self.spark.createDataFrame([tuple(key[c] for c in snap.key_cols)],
-                                         schema=",".join(f"{c} string" for c in snap.key_cols))
+        # probe with the TABLE's key column types: hashing the string '42'
+        # when the column is a long lands in the wrong bucket and the
+        # pruned scan silently misses an existing row
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        row = self.spark.range(1).select(
+            *[F.lit(key[c]).cast(types[c]).alias(c) for c in snap.key_cols]
+        )
         bucket = row.select(bucket_expr(snap.key_cols, snap.n_buckets)).collect()[0][0]
         df = self.read(snapshot=snap, buckets=[int(bucket)])
         pred = None
         for c in snap.key_cols:
-            p = F.col(c) == F.lit(key[c])
+            p = F.col(c) == F.lit(key[c]).cast(types[c])
             pred = p if pred is None else (pred & p)
         return df.filter(pred)
 
@@ -512,14 +517,7 @@ class LakeTable:
         files: dict[str, list[str]] = {}
         per_bucket: list[dict] = []
         for bk in range(n_buckets):
-            bdir = os.path.join(out_dir, f"{BUCKET_COL}={bk}")
-            rels = []
-            if os.path.isdir(bdir):
-                rels = [
-                    os.path.join(rel_dir, f"{BUCKET_COL}={bk}", fn)
-                    for fn in sorted(os.listdir(bdir))
-                    if fn.endswith(".parquet")
-                ]
+            rels = self._bucket_files(rel_dir, bk)
             if rels:
                 files[str(bk)] = rels
             per_bucket.append({"partition_id": bk, "n_files": len(rels)})
@@ -543,6 +541,21 @@ class LakeTable:
         self._commit_hint(snap.snapshot_id)
         self._append_lineage(snap, per_bucket, summary or {})
         return snap
+
+    def _bucket_files(self, rel_dir: str, bucket: int | str) -> list[str]:
+        """Sorted repo-relative parquet paths of one bucket's partition
+        dir under a commit's output directory (empty list when the bucket
+        wrote no rows) — the single listing rule every commit path
+        (merge, merge_mor finalize, compact, rebucket) records files by."""
+        entry = f"{BUCKET_COL}={bucket}"
+        bdir = os.path.join(self.root, rel_dir, entry)
+        if not os.path.isdir(bdir):
+            return []
+        return [
+            os.path.join(rel_dir, entry, fn)
+            for fn in sorted(os.listdir(bdir))
+            if fn.endswith(".parquet")
+        ]
 
     # -------------------------------------------------------------- merge
 
@@ -608,7 +621,11 @@ class LakeTable:
             joined = b.join(u, on=key_cols, how="full_outer")
             u_here = F.col("_u_present").isNotNull()
             b_here = F.col("_b_present").isNotNull()
-            is_del = F.col("_u_op") == delete_op
+            # coalesce: a NULL op must mean "not a delete", not SQL NULL —
+            # otherwise filter(~(u_here & is_del)) silently DROPS the base
+            # row (a phantom delete) while every classification counter
+            # skips it (F.count(F.when(NULL, 1)) counts nothing)
+            is_del = F.coalesce(F.col("_u_op") == delete_op, F.lit(False))
 
             clf_aggs = [
                 F.count(F.when(u_here & ~b_here & ~is_del, 1)).alias("rows_inserted"),
@@ -651,12 +668,7 @@ class LakeTable:
                           ("rows_inserted", "rows_updated", "rows_deleted",
                            "rows_delete_noop")}
             for bk in touched:
-                bdir = os.path.join(out_dir, f"{BUCKET_COL}={bk}")
-                rels, nrows = [], 0
-                if os.path.isdir(bdir):
-                    for fn in sorted(os.listdir(bdir)):
-                        if fn.endswith(".parquet"):
-                            rels.append(os.path.join(rel_dir, f"{BUCKET_COL}={bk}", fn))
+                rels = self._bucket_files(rel_dir, bk)
                 if rels:
                     new_files[str(bk)] = rels
                 per_bucket.append({"partition_id": bk, "n_files": len(rels)})
@@ -738,7 +750,10 @@ class LakeTable:
         key_cols = cur.key_cols
         val_cols = [f.name for f in cur.schema.fields if f.name not in key_cols]
 
-        is_del = F.col(op_col) == delete_op
+        # coalesce: a NULL op is an upsert, and the tombstone flag must be
+        # a real boolean — a NULL tombstone would drop the row from every
+        # downstream read's tombstone filter
+        is_del = F.coalesce(F.col(op_col) == delete_op, F.lit(False))
         clf_aggs = [
             F.count(F.when(~is_del, 1)).alias("rows_upserted"),
             F.count(F.when(is_del, 1)).alias("rows_delete_ops"),
@@ -812,11 +827,7 @@ class LakeTable:
                     if not entry.startswith(f"{BUCKET_COL}="):
                         continue
                     bk = entry.split("=", 1)[1]
-                    rels = [
-                        os.path.join(rel_dir, entry, fn)
-                        for fn in sorted(os.listdir(os.path.join(out_dir, entry)))
-                        if fn.endswith(".parquet")
-                    ]
+                    rels = self._bucket_files(rel_dir, bk)
                     if rels:
                         new_deltas.setdefault(bk, []).extend(rels)
                         per_bucket.append({"partition_id": int(bk), "n_files": len(rels)})
@@ -875,14 +886,7 @@ class LakeTable:
             b: list(p) for b, p in cur.delta_files.items() if int(b) not in victims
         }
         for bk in victims:
-            bdir = os.path.join(out_dir, f"{BUCKET_COL}={bk}")
-            rels = []
-            if os.path.isdir(bdir):
-                rels = [
-                    os.path.join(rel_dir, f"{BUCKET_COL}={bk}", fn)
-                    for fn in sorted(os.listdir(bdir))
-                    if fn.endswith(".parquet")
-                ]
+            rels = self._bucket_files(rel_dir, bk)
             if rels:
                 new_files[str(bk)] = rels
             else:

@@ -548,3 +548,52 @@ def test_lsn_tie_resolves_deterministically(spark):
             # history never beats the tie LSN
             assert "ccc" not in set(got["commit"])
             assert "eee" not in set(got["commit"])
+
+
+def test_cow_replay_with_empty_lsn_slice_does_not_hang(spark, tmp_path):
+    """Sparse LSNs can slice an EMPTY micro-batch; CoW merge then commits
+    without ever executing the observed plan, and Observation.get would
+    block forever (it waits for an action, it does not raise). The replay
+    must complete and converge anyway."""
+    import pandas as pd
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from pyspark.sql import types as T
+
+    rows = []
+    for i, lsn in enumerate([1, 2, 3, 900, 901]):  # ranges 2..3 of 4 are empty
+        rows.append(
+            dict(lsn=lsn, ts=pd.Timestamp("2025-01-01"), op="insert",
+                 repo="r", path=f"p{i}.py", commit=f"c{i}", lang="python",
+                 content=f"body {i}")
+        )
+    events = spark.createDataFrame(pd.DataFrame(rows))
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), T.StructType(A.BASE_TABLE_FIELDS),
+        A.KEY_COLS, n_buckets=4,
+    )
+    reports = CdcRunner(spark, table, run_id="sparse", mode="cow").replay(
+        events, n_batches=4
+    )
+    assert len(reports) == 4 and all(r.status == "applied" for r in reports)
+    assert table.read().count() == 5
+    # empty slices committed real (empty) snapshots: resume skips them
+    rerun = CdcRunner(spark, table, run_id="sparse2", mode="cow").replay(
+        events, n_batches=4
+    )
+    assert all(r.status == "skipped" for r in rerun)
+
+
+def test_hot_key_detection_ignores_quarantine_rows(spark, tmp_path):
+    """A corrupt stripe (null repo/path) larger than hot_share must not
+    crash the manifest join with a (None, None) 'hot key' nor inflate the
+    sample's max_n."""
+    import pandas as pd
+
+    rows = [dict(lsn=i, op="update", repo=None, path=None, commit="x",
+                 lang="python", content="junk") for i in range(1, 2001)]
+    rows += [dict(lsn=2000 + i, op="update", repo="r", path=f"p{i % 50}",
+                  commit="y", lang="python", content="ok") for i in range(1, 1001)]
+    events = spark.createDataFrame(pd.DataFrame(rows))
+    runner = CdcRunner(spark, None, run_id="nullhot")
+    hot = runner.detect_hot_keys(events)
+    assert hot == [] or all(r is not None and p is not None for r, p in hot)

@@ -271,3 +271,59 @@ def test_rebucket_preserves_state_and_evolves_layout(spark, table):
     # idempotence: same count is a no-op returning the current snapshot
     cur = table.current_snapshot()
     assert table.rebucket(16).snapshot_id == cur.snapshot_id
+
+
+# ------------------------------------------------- review-hardening cases
+
+
+def test_merge_null_op_is_upsert_not_phantom_delete(spark, table):
+    """A NULL op must behave as an upsert: the three-valued-logic trap is
+    filter(~(u_here & NULL)) silently DROPPING the base row while every
+    classification counter skips it."""
+    table.merge(_updates(spark, [("r1", "a", 1, "insert")]))
+    snap, m = table.merge(
+        spark.createDataFrame(
+            [("r1", "a", 2, None), ("r2", "b", 5, None)],
+            schema="repo string, path string, v long, op string",
+        )
+    )
+    assert m["totals"]["rows_updated"] == 1
+    assert m["totals"]["rows_inserted"] == 1
+    assert m["totals"]["rows_deleted"] == 0
+    got = {(r["repo"], r["path"]): r["v"] for r in table.read().collect()}
+    assert got == {("r1", "a"): 2, ("r2", "b"): 5}
+
+
+def test_merge_mor_null_op_is_upsert_with_real_tombstone_flag(spark, tmp_path):
+    """MoR twin of the NULL-op case: the tombstone flag must be a real
+    boolean (a NULL tombstone drops the row from every read's filter)."""
+    t = LakeTable.create(spark, str(tmp_path / "mor"), SCHEMA, ["repo", "path"], n_buckets=4)
+    t.merge_mor(_updates(spark, [("r1", "a", 1, "insert")]))
+    t.merge_mor(
+        spark.createDataFrame(
+            [("r1", "a", 2, None)],
+            schema="repo string, path string, v long, op string",
+        )
+    )
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got == {("r1", "a"): 2}
+
+
+def test_point_lookup_with_long_key_column(spark, tmp_path):
+    """read_key must hash the probe with the TABLE's key types: hashing
+    the string '7' for a long column prunes to the wrong bucket and the
+    lookup silently misses."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "lk"), schema, ["id"], n_buckets=8)
+    ups = spark.createDataFrame(
+        [(i, i * 10, "insert") for i in range(30)], schema="id long, v long, op string"
+    )
+    t.merge(ups)
+    for probe in (7, "7"):  # string input must cast, not mis-hash
+        got = t.read_key({"id": probe}).collect()
+        assert len(got) == 1 and got[0]["v"] == 70, probe
