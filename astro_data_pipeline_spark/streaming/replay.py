@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lakehouse import LakeTable
-from .runner_bridge import apply_stream_batch
+from .runner_bridge import StreamApplier
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -86,14 +86,16 @@ def stream_replay_available_now(
     Two dedupe layers make restarts safe: the streaming checkpoint skips
     already-consumed files, and the table's committed-batch-id manifest
     skips a batch that was applied but whose checkpoint write was lost
-    (the classic foreachBatch at-least-once gap). Batch identity is the
-    stream's epoch id, which Spark keeps stable across retries of the
-    same epoch.
+    (the classic foreachBatch at-least-once gap). Batch identity is
+    ``{run_id}:epoch:{N}`` — Spark keeps the epoch id stable across
+    retries of the same epoch, and the run_id scopes it to THIS stream
+    (pair run_id 1:1 with the checkpoint dir; see StreamApplier).
     """
     reports: list[dict] = []
+    applier = StreamApplier(table, run_id, mode)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        rep = apply_stream_batch(batch_df, epoch_id, table, run_id, mode)
+        rep = applier(batch_df, epoch_id)
         if rep is not None:
             reports.append(rep)
 

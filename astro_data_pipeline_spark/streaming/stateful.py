@@ -129,7 +129,16 @@ def stateful_current_state_changelog(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    tagged = events.withColumn("_tie", F.xxhash64("commit", "op"))
+    from ..cdc.apply import valid_predicate
+
+    # Same quarantine gate as the batch path (valid_predicate): without
+    # it one null-lsn event poisons the stream — Arrow hands the kernel
+    # a float64 lsn column (NaN), int(NaN) raises, the task dies, and
+    # the restart replays the same micro-batch forever. Null repo/path
+    # would likewise mint bogus state keys.
+    tagged = events.filter(valid_predicate()).withColumn(
+        "_tie", F.xxhash64("commit", "op")
+    )
     return tagged.groupBy("repo", "path").applyInPandasWithState(
         _lww_state_update,
         outputStructType=CHANGELOG_SCHEMA,

@@ -29,7 +29,14 @@ _SHINGLE_LEN = 3  # words per shingle
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id → exploded distinct 3-word shingles (codegen'd array ops)."""
+    """doc_id → exploded distinct 3-word shingles (codegen'd array ops).
+
+    The short-doc guard must be a CASE, not greatest(hi, -1): Spark's
+    ``sequence`` runs DESCENDING when start > stop, so sequence(0, -1) =
+    [0, -1] and tokens[i+2] indexes past a 1-2 token array — an
+    INVALID_ARRAY_INDEX crash under ANSI mode (Spark 4 default) and a
+    bogus partial shingle with ANSI off, diverging from the DuckDB
+    oracle's generate_series(1, greatest(len-2, 0)) which is empty."""
     toks = df.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
     )
@@ -38,8 +45,10 @@ def _shingles(df: DataFrame) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(0, greatest(size(tokens) - 3, -1)),"
-                    " i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))"
+                    """CASE WHEN size(tokens) >= 3
+                         THEN transform(sequence(0, size(tokens) - 3),
+                              i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+                         ELSE array() END"""
                 )
             )
         ).alias("shingle"),

@@ -204,3 +204,116 @@ def test_streaming_progress_listener_one_row_per_epoch(spark, tmp_path, fixture_
     total_rows = sum(p["num_input_rows"] for p in applied)
     assert total_rows == fixture_meta["n_events"]
     assert all("triggerExecution" in p["duration_ms"] for p in applied)
+
+
+def test_stream_identity_is_run_scoped_and_order_guarded(spark, tmp_path, fixture_meta):
+    """Two hazards of bare epoch ids / trusted file order:
+    (1) a NEW stream (fresh checkpoint => epochs restart at 0) into a
+        previously-streamed table must not be skipped by the OLD
+        stream's committed epoch 0;
+    (2) an epoch whose lsn range reaches below this run's applied
+        high-water mark must fail fast — commit-sequence LWW would
+        silently regress keys."""
+    from astro_data_pipeline_spark.streaming.runner_bridge import StreamApplier
+    from astro_data_pipeline_spark.cdc.runner import read_event_log
+
+    table = _new_table(spark, tmp_path)
+    v1 = read_event_log(spark, fixture_meta["v1_path"])
+    v2 = read_event_log(spark, fixture_meta["v2_path"])
+
+    a = StreamApplier(table, run_id="streamA", mode="mor")
+    r1 = a(v1, epoch_id=0)
+    assert r1["status"] == "applied" and r1["batch_id"] == "streamA:epoch:0"
+
+    # (1) different stream, same epoch number: must APPLY, not skip
+    b = StreamApplier(table, run_id="streamB", mode="mor")
+    r2 = b(v2, epoch_id=0)
+    assert r2["status"] == "applied" and r2["batch_id"] == "streamB:epoch:0"
+
+    # same stream, same epoch replayed (checkpoint-lost gap): skipped,
+    # even by a FRESH applier that must re-seed from the ledger
+    a_restarted = StreamApplier(table, run_id="streamA", mode="mor")
+    r3 = a_restarted(v1, epoch_id=0)
+    assert r3["status"] == "skipped"
+
+    # (2) stream A already applied v1's range; feeding it v1 again under
+    # a NEW epoch id is out-of-order delivery — fail fast
+    with pytest.raises(ValueError, match="out-of-order WAL delivery"):
+        a_restarted(v1, epoch_id=1)
+    # opt-out accepts it (producer vouches for per-key ordering)
+    loose = StreamApplier(table, run_id="streamA", mode="mor", strict_order=False)
+    assert loose(v1, epoch_id=1)["status"] == "applied"
+
+
+def test_stateful_changelog_quarantines_malformed_events(spark, tmp_path, fixture_meta):
+    """One null-lsn event must not poison the stateful stream: Arrow
+    hands the kernel a float64 lsn (NaN), int(NaN) raises, and the
+    restart loops on the same micro-batch forever. The operator applies
+    the batch path's validity gate instead."""
+    import os
+
+    from astro_data_pipeline_spark.streaming.stateful import (
+        stateful_current_state_changelog,
+    )
+
+    bad = pd.DataFrame(
+        [
+            dict(lsn=None, ts=pd.Timestamp("2025-01-01"), op="update", repo="r",
+                 path="p.py", commit="c", lang="py", content="x", lang_meta=None),
+            dict(lsn=5, ts=pd.Timestamp("2025-01-01"), op="update", repo=None,
+                 path="q.py", commit="c", lang="py", content="x", lang_meta=None),
+            dict(lsn=7, ts=pd.Timestamp("2025-01-01"), op="insert", repo="r",
+                 path="ok.py", commit="c1", lang="py", content="good", lang_meta=None),
+        ]
+    )
+    src = tmp_path / "wal"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("lang_meta", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(bad, schema=schema).coalesce(1).write.parquet(
+        str(src / "seg.parquet")
+    )
+    stream = event_log_stream(spark, str(src / "*.parquet"), schema=schema)
+    out = stateful_current_state_changelog(stream)
+    rows = []
+    q = (
+        out.writeStream.format("memory")
+        .queryName("poison_pill_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM poison_pill_t").collect()
+    assert len(got) == 1
+    assert got[0]["path"] == "ok.py" and got[0]["last_lsn"] == 7
+
+
+def test_shingles_short_docs_yield_no_shingles(spark):
+    """Docs with <3 tokens (or empty text) must yield ZERO shingles, not
+    crash: sequence(0, -1) runs DESCENDING, so the old greatest(size-3,
+    -1) form indexed past the array — INVALID_ARRAY_INDEX under Spark 4
+    ANSI defaults. The DuckDB oracle's generate_series form is empty for
+    these docs, so any emitted partial shingle is also an oracle
+    divergence."""
+    from astro_data_pipeline_spark.textops.dedup import _shingles
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, ""), (4, None), (5, "a b c d")],
+        schema="doc_id long, text string",
+    )
+    got = _shingles(docs).collect()
+    assert {r["doc_id"] for r in got} == {5}
+    assert sorted(r["shingle"] for r in got) == ["a b c", "b c d"]
