@@ -14,7 +14,7 @@ restatement:
 - decode / feature-extract run as Arrow-batched ``mapInPandas`` over the
   binary column (the P1–P6 transform shape, SURVEY.md §2.9) — the real
   codec libraries (PIL/ffmpeg) are absent in this environment, so the
-  codec call is STUBBED behind an import-try with a deterministic
+  codec call is STUBBED at a documented plug point with a deterministic
   byte-level fake; the Spark-side plumbing (schema, batch shape,
   partitioning, metadata passthrough) is real and tested;
 - frame sampling is pure relational (``sequence`` + ``explode``), no
@@ -89,7 +89,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(None).cast("long"))
             .alias("sample_rate"),
         ).alias("meta"),
-        F.length(F.col("text")).alias("n_chars"),
+        "n_chars",  # documents already carries length(text) — don't recompute
     )
 
 
@@ -98,23 +98,29 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Decode one Arrow batch of media rows into features.
 
-    Tries the real codec path (PIL) and falls back to a deterministic
-    byte-level fake — the documented stub for this environment. The fake
+    Computes the deterministic byte-level fake — the documented stub
+    for this environment (the codec plug point is marked below). The fake
     is NOT a placeholder shape: it computes real statistics over the
     payload bytes so downstream plumbing is exercised with meaningful,
     reproducible values.
     """
     import numpy as np
 
-    try:  # pragma: no cover - codec libs absent in this environment
-        from PIL import Image  # noqa: F401
-
-        decoder = "pil"
-    except ImportError:
-        decoder = "stub-bytes"
+    # A real deployment dispatches to the codec (PIL/ffmpeg/...) right
+    # here — the plug point. This environment always computes the
+    # deterministic byte-level stub, and the column SAYS so: labeling by
+    # whether PIL happens to be importable would mislabel stub data as
+    # decoded features and make a registered query environment-dependent.
+    decoder = "stub-bytes"
 
     n_bytes, mean, std, feats = [], [], [], []
     for payload in pdf["payload"]:
+        if payload is None:  # null text ⇒ null payload ⇒ null features
+            n_bytes.append(None)
+            mean.append(None)
+            std.append(None)
+            feats.append(None)
+            continue
         arr = np.frombuffer(payload, dtype=np.uint8)
         n_bytes.append(len(arr))
         mean.append(float(arr.mean()) if len(arr) else 0.0)
@@ -181,7 +187,7 @@ def sample_frames(media: DataFrame, stride: int = 16) -> DataFrame:
     oracle="""
     SELECT media_type,
            COUNT(*) AS n_media,
-           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            CAST(MAX(CASE WHEN media_type IN ('image','video')
                     THEN ((doc_id % 4) + 1) * 160 END) AS BIGINT) AS max_width,
            CAST(SUM(CASE WHEN media_type = 'video'

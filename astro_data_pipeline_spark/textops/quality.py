@@ -19,6 +19,45 @@ _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
+def _stopword_count(tokens: str = "tokens") -> F.Column:
+    """Stopword OCCURRENCE count over a token-array column (filter+size,
+    not array_intersect, which would dedup). One definition shared by
+    the quality score, the langid heuristic, and the filter verdict —
+    a stopword-list or matching-semantics change lands in all three."""
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return F.size(F.filter(F.col(tokens), lambda t: F.array_contains(stop_arr, t)))
+
+
+def _sorted_bigrams(tokens: str = "tokens") -> F.Column:
+    """In-row word bigrams of a token array, array_sort'ed so multiplicity
+    becomes run length (shared by the repetition filter and the verdict)."""
+    n = F.size(tokens)
+    return F.array_sort(
+        F.zip_with(
+            F.slice(tokens, 1, n - 1),
+            F.slice(tokens, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+
+
+def _longest_run(sorted_col: str = "bs") -> F.Column:
+    """Longest run in a sorted array = the max element multiplicity —
+    one aggregate HOF, no explode, no shuffle."""
+    return F.expr(
+        f"""aggregate({sorted_col},
+               named_struct('prev', cast(null as string),
+                            'run', cast(0 as bigint),
+                            'best', cast(0 as bigint)),
+               (acc, x) -> IF(x <=> acc.prev,
+                   named_struct('prev', x, 'run', acc.run + 1L,
+                                'best', greatest(acc.best, acc.run + 1L)),
+                   named_struct('prev', x, 'run', 1L,
+                                'best', greatest(acc.best, 1L))),
+               acc -> acc.best)"""
+    )
+
+
 @query(
     "text_quality_scores",
     oracle=f"""
@@ -46,10 +85,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
         .withColumn("tokens", F.split(F.trim("text"), r"\s+"))
     )
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_tok = F.size("tokens")
-    # occurrence count (array_intersect would dedup): filter + size
-    n_stop = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(stop_arr, t)))
+    n_stop = _stopword_count()
     return toks.select(
         "doc_id",
         n_tok.cast("int").alias("token_cnt"),
@@ -108,10 +145,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
         .withColumn("tokens", F.split(F.trim("text"), r"\s+"))
     )
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    ratio = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(stop_arr, t))) / F.size(
-        "tokens"
-    )
+    ratio = _stopword_count() / F.size("tokens")
     return toks.select(
         "doc_id",
         F.col("lang").alias("label_lang"),
@@ -193,31 +227,13 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tokens")
     )
     n = F.size("tokens")
-    bigrams = F.array_sort(
-        F.zip_with(
-            F.slice("tokens", 1, n - 1),
-            F.slice("tokens", 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    )
     sized = toks.select(
         "doc_id",
         (F.size(F.array_distinct("tokens")) / n).alias("distinct_token_ratio_raw"),
-        bigrams.alias("bs"),
+        _sorted_bigrams().alias("bs"),
     )
     # longest run in the sorted bigram array = max multiplicity
-    top_cnt = F.expr(
-        """aggregate(bs,
-               named_struct('prev', cast(null as string),
-                            'run', cast(0 as bigint),
-                            'best', cast(0 as bigint)),
-               (acc, x) -> IF(x <=> acc.prev,
-                   named_struct('prev', x, 'run', acc.run + 1L,
-                                'best', greatest(acc.best, acc.run + 1L)),
-                   named_struct('prev', x, 'run', 1L,
-                                'best', greatest(acc.best, 1L))),
-               acc -> acc.best)"""
-    )
+    top_cnt = _longest_run("bs")
     agg = sized.select(
         "doc_id",
         "distinct_token_ratio_raw",
@@ -518,35 +534,15 @@ def text_quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
         .withColumn("tokens", F.split(F.trim("text"), r"\s+"))
     )
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_tok = F.size("tokens")
-    n_stop = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(stop_arr, t)))
-    bigrams = F.array_sort(
-        F.zip_with(
-            F.slice("tokens", 1, n_tok - 1),
-            F.slice("tokens", 2, n_tok - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    )
     sized = toks.select(
         "doc_id",
         n_tok.alias("n_tok"),
-        (n_stop / n_tok).alias("stop_ratio"),
+        (_stopword_count() / n_tok).alias("stop_ratio"),
         (F.size(F.array_distinct("tokens")) / n_tok).alias("distinct_ratio"),
-        bigrams.alias("bs"),
+        _sorted_bigrams().alias("bs"),
     )
-    top_cnt = F.expr(
-        """aggregate(bs,
-               named_struct('prev', cast(null as string),
-                            'run', cast(0 as bigint),
-                            'best', cast(0 as bigint)),
-               (acc, x) -> IF(x <=> acc.prev,
-                   named_struct('prev', x, 'run', acc.run + 1L,
-                                'best', greatest(acc.best, acc.run + 1L)),
-                   named_struct('prev', x, 'run', 1L,
-                                'best', greatest(acc.best, 1L))),
-               acc -> acc.best)"""
-    )
+    top_cnt = _longest_run("bs")
     feat = sized.select(
         "doc_id",
         "n_tok",

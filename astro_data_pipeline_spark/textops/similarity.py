@@ -88,7 +88,11 @@ def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    dim = 64
+    dim = _EMB_DIM
+    # guard the dimension explicitly: a shorter vector would null-pad the
+    # zip_with, NULL the dot, and silently drop every vector into bucket
+    # 0 — destroying the pruning with no error
+    emb = emb.filter(F.size("embedding") == dim)
     bits = []
     for j in range(_N_PLANES):
         # ±1 pseudo-plane: parity of xxhash64(j, d)
@@ -209,7 +213,18 @@ def _dedup_lsh_oracle() -> str:
     """
 
 
-def _table_buckets_udf():
+def _round_half_away(x, decimals: int = 4):
+    """round() the way Spark's F.round and DuckDB round() do it — half
+    AWAY from zero. np.round is banker's (half-to-even): a dot or cosine
+    landing exactly on a representable .5 tie of the 4th decimal would
+    round differently and flip a tau/sign gate between the engines."""
+    import numpy as np
+
+    s = 10.0**decimals
+    return np.floor(np.abs(x) * s + 0.5) * np.sign(x) / s
+
+
+def _table_buckets_udf(n_tables: int = _DEDUP_N_TABLES, n_planes: int = _DEDUP_N_PLANES):
     """Arrow-batched pandas UDF: embedding -> array of L bucket ids.
 
     One (batch × dim) @ (dim × L·k) float64 matmul per Arrow batch
@@ -219,15 +234,15 @@ def _table_buckets_udf():
     compilation PER PLAN — a fixed cost that dwarfs the actual work and
     is re-paid on every query build. The planes are the identical
     md5-seeded ±1 constants the DuckDB oracle inlines; the sign test is
-    applied to round(dot, 4) exactly as the oracle does, so the two
-    engines bucket identically on non-degenerate data."""
+    applied to round(dot, 4) exactly as the oracle does (half away from
+    zero), so the two engines bucket identically."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     planes = np.array(
-        _seeded_planes(_DEDUP_N_TABLES, _DEDUP_N_PLANES, _EMB_DIM), dtype=np.float64
+        _seeded_planes(n_tables, n_planes, _EMB_DIM), dtype=np.float64
     )  # (L*k, dim)
-    weights = np.array([1 << j for j in range(_DEDUP_N_PLANES)], dtype=np.int64)
+    weights = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
 
     @pandas_udf("array<int>")
     def table_buckets(emb: pd.Series) -> pd.Series:
@@ -235,9 +250,7 @@ def _table_buckets_udf():
             return pd.Series([], dtype=object)
         e = np.vstack(emb.to_numpy())  # (n, dim)
         dots = e @ planes.T  # (n, L*k)
-        bits = (np.round(dots, 4) >= 0).reshape(
-            len(e), _DEDUP_N_TABLES, _DEDUP_N_PLANES
-        )
+        bits = (_round_half_away(dots) >= 0).reshape(len(e), n_tables, n_planes)
         buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, L)
         return pd.Series(list(buckets))
 
@@ -262,7 +275,9 @@ def _pair_cosine_udf():
         re_ = np.vstack(right.to_numpy())
         dots = np.einsum("ij,ij->i", le, re_)
         norms = np.linalg.norm(le, axis=1) * np.linalg.norm(re_, axis=1)
-        return pd.Series(np.round(dots / norms, 4))
+        # half away from zero — matches F.round / DuckDB round (np.round
+        # is banker's and can flip the tau gate on exact .5 ties)
+        return pd.Series(_round_half_away(dots / norms))
 
     return pair_cosine
 
@@ -467,37 +482,19 @@ def lsh_multitable_assignments(
     independent tables lift recall to 1-(1-p1)^L while each probe still
     scans only L·n/2^k candidates — the standard recall/candidates dial
     (banding, same construction as the MinHash-LSH dedup path). Plane
-    (t, j, d) signs derive from xxhash64 parity, so the whole sketch is
-    one JVM expression tree: no fitted state, reproducible everywhere.
+    (t, j, d) signs are the md5-seeded ±1 constants (`_seeded_planes`):
+    no fitted state, reproducible everywhere.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    dim = 64
-    table_buckets = []
-    for t in range(n_tables):
-        bits = []
-        for j in range(n_planes):
-            plane_id = t * n_planes + j
-            plane = F.array(
-                *[
-                    (F.pmod(F.xxhash64(F.lit(plane_id), F.lit(d)), F.lit(2)) * 2 - 1).cast(
-                        "double"
-                    )
-                    for d in range(dim)
-                ]
-            )
-            dot = F.aggregate(
-                F.zip_with(F.col("embedding"), plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        bucket = bits[0]
-        for b in bits[1:]:
-            bucket = bucket + b
-        table_buckets.append(bucket.cast("int"))
+    # One Arrow matmul pass with the md5-seeded plane family (the same
+    # constants convention as the dedup path): the previous all-literal
+    # relational formulation built n_tables × n_planes × dim ≈ 2048
+    # expression nodes, paying ~5 s of Catalyst analysis + janino
+    # compilation per plan for work a single matmul does in milliseconds.
+    tb = _table_buckets_udf(n_tables=n_tables, n_planes=n_planes)
     return emb.select(
         "vec_id",
-        F.posexplode(F.array(*table_buckets)).alias("table_id", "bucket"),
+        F.posexplode(tb(F.col("embedding"))).alias("table_id", "bucket"),
     )
