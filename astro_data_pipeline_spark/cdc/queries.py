@@ -172,7 +172,13 @@ def _ensure_e2e_fixture() -> dict:
     if _os.path.exists(meta_path):
         try:
             with open(meta_path) as f:
-                return _json.load(f)
+                meta = _json.load(f)
+            # meta.json alone is not proof: a cleanup (or a crash between
+            # the two segment writes) can leave it pointing at missing
+            # parquet — regenerate instead of failing every e2e query
+            if all(_os.path.exists(meta[k]) for k in ("v1_path", "v2_path")):
+                return meta
+            _os.remove(meta_path)
         except ValueError:
             # Truncated meta.json from a crashed prior run: regenerate.
             _os.remove(meta_path)
@@ -180,6 +186,16 @@ def _ensure_e2e_fixture() -> dict:
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
     return meta
+
+
+def _e2e_wal_glob() -> str:
+    """The e2e fixture's WAL segment glob — ONE definition shared by the
+    three streaming gate queries (a fixture rename edited in only some
+    of them would silently stream zero files there)."""
+    import os as _os
+
+    meta = _ensure_e2e_fixture()
+    return _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
 
 
 # The driver may evaluate the oracle SQL before (or without) running the
@@ -264,8 +280,7 @@ def cdc_streaming_replay_end_to_end(spark: SparkSession, sf_dir: str) -> DataFra
     from ..session import scratch_tmpdir_base
     from ..streaming.replay import stream_replay_available_now
 
-    meta = _ensure_e2e_fixture()
-    glob = _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
+    glob = _e2e_wal_glob()
     with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
         table = _scratch_lake(spark, td)
         stream_replay_available_now(
@@ -306,8 +321,7 @@ def cdc_streaming_windowed_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from ..streaming.replay import event_log_stream, stream_windowed_op_counts
 
-    meta = _ensure_e2e_fixture()
-    glob = _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
+    glob = _e2e_wal_glob()
     stream = event_log_stream(spark, glob).filter(F.col("ts").isNotNull())
     agg = stream_windowed_op_counts(stream, window="1 minute", watermark="2 minutes")
     name = "op_mix_gate_" + _uuid.uuid4().hex[:12]
@@ -354,8 +368,7 @@ def cdc_streaming_stateful_changelog(spark: SparkSession, sf_dir: str) -> DataFr
     from ..streaming.stateful import stateful_current_state_changelog
     from .apply import valid_predicate
 
-    meta = _ensure_e2e_fixture()
-    glob = _os.path.join(_os.path.dirname(meta["v1_path"]), "change_events_*.parquet")
+    glob = _e2e_wal_glob()
     stream = event_log_stream(spark, glob, max_files_per_trigger=1).filter(
         valid_predicate()
     )
@@ -370,21 +383,25 @@ def cdc_streaming_stateful_changelog(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        emitted = spark.table(name)
-        w = Window.partitionBy("repo", "path").orderBy(F.desc("last_lsn"))
-        final = (
-            emitted.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .filter(F.col("alive"))
-            .select(
-                "repo", "path", "commit", "lang", "lang_meta",
-                "content_sha256", "last_lsn",
+        try:
+            q.awaitTermination()
+            emitted = spark.table(name)
+            w = Window.partitionBy("repo", "path").orderBy(F.desc("last_lsn"))
+            final = (
+                emitted.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .filter(F.col("alive"))
+                .select(
+                    "repo", "path", "commit", "lang", "lang_meta",
+                    "content_sha256", "last_lsn",
+                )
             )
-        )
-        out = _materialize(spark, final)
-    spark.catalog.dropTempView(name)
-    return out
+            return _materialize(spark, final)
+        finally:
+            # cleanup must survive a failed plan/materialize: the memory
+            # sink holds every update-mode emission in driver memory
+            q.stop()
+            spark.catalog.dropTempView(name)
 
 
 @query("cdc_resume_from_checkpoint", oracle=_E2E_ORACLE)
@@ -751,6 +768,6 @@ def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         applied = [r for r in reports if r.status == "applied"]
         (batch2,) = [r for r in applied if r.lsn_hi == _TT_CUTOFF]
-        snap = table._read_snapshot(batch2.snapshot_id)
+        snap = table.snapshot(batch2.snapshot_id)
         cols = [c for c in _STATE_COLS if c != "lang_meta"]
         return _materialize(spark, table.read(snapshot=snap).select(*cols))

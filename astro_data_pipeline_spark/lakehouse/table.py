@@ -176,6 +176,14 @@ class LakeTable:
             sid = int(f.read().strip())
         return self._read_snapshot(sid)
 
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        """Public snapshot-by-id accessor (time travel): the metadata to
+        hand to ``read(snapshot=...)``. Raises on an unknown id."""
+        snap = self._read_snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot {snapshot_id} in {self._meta}")
+        return snap
+
     def snapshot_chain(self) -> list[Snapshot]:
         """Current snapshot back to root (most recent first)."""
         out: list[Snapshot] = []

@@ -45,18 +45,42 @@ def _series_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     Mirrors the reference kernel's shape: sort by time, vectorized
     moments + amplitude + cadence (VariableStarAnalysis.java:104-131 —
     mean, RMS, amplitude over the per-object series).
-    """
+
+    Moments run over EXACT integer hundredths: float summation is
+    order-dependent (NumPy sums pairwise, SQL engines sequentially —
+    measured 4th-decimal flips in 6/1500 groups at sf0.1, so rounding
+    both sides does NOT make the hash stable), while integer sums are
+    associative. Both engines convert the same exact integers to double
+    and apply the identical scalar expression, so the result is
+    bit-identical regardless of summation order. NULL values are
+    excluded exactly as SQL aggregates exclude them (n_obs still counts
+    every row, like COUNT(*))."""
     pdf = pdf.sort_values("ts", kind="stable")
-    v = pdf["value"].to_numpy(dtype=np.float64)
     t = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) / 1e6
-    n = len(v)
+    n = len(pdf)
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    v = v[~np.isnan(v)]
+    k = len(v)
+    # exact hundredths; half away from zero like SQL ROUND
+    c = (np.floor(np.abs(v) * 100.0 + 0.5) * np.sign(v)).astype(np.int64)
+    s = float(c.sum()) if k else None
+    mean = s / (100.0 * k) if k else None
+    if k >= 2:
+        ss = float((c * c).sum())
+        # clamp: cancellation can round an exactly-zero variance one ulp
+        # negative; sqrt(neg) is NaN here but NULL in SQL
+        var_c = max((ss - s * s / k) / (k - 1), 0.0)
+        std = float(np.sqrt(var_c)) / 100.0
+    else:
+        std = None
+    amp = float(v.max() - v.min()) if k else None
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_obs": [n],
-            "mean_value": [round(float(v.mean()), 4)],
-            "std_value": [round(float(v.std(ddof=1)), 4)],
-            "amplitude": [round(float(v.max() - v.min()), 4)],
+            "mean_value": [None if mean is None else round(mean, 4)],
+            "std_value": [None if std is None else round(std, 4)],
+            "amplitude": [None if amp is None else round(amp, 4)],
             "mean_interval_sec": [round(float((t.max() - t.min()) / (n - 1)), 2)],
         }
     )
@@ -72,14 +96,25 @@ def per_key_series_stats(events: DataFrame, min_obs: int = _MIN_OBS) -> DataFram
 @query(
     "grouped_series_stats_per_user",
     oracle=f"""
+    -- moments over EXACT integer hundredths (see _series_stats: float
+    -- summation order differs between engines; integer sums do not)
+    WITH c AS (
+        SELECT user_id, ts, value,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
     SELECT user_id,
            COUNT(*) AS n_obs,
-           ROUND(AVG(value), 4) AS mean_value,
-           ROUND(STDDEV_SAMP(value), 4) AS std_value,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(value)), 4)
+               AS mean_value,
+           ROUND(sqrt(greatest((CAST(SUM(cents * cents) AS DOUBLE)
+                       - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)
+                         / COUNT(value))
+                      / (COUNT(value) - 1), 0.0)) / 100.0, 4) AS std_value,
            ROUND(MAX(value) - MIN(value), 4) AS amplitude,
            ROUND(CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS DOUBLE)
                  / 1e6 / (COUNT(*) - 1), 2) AS mean_interval_sec
-    FROM events
+    FROM c
     GROUP BY user_id
     HAVING COUNT(*) >= {_MIN_OBS}
     """,

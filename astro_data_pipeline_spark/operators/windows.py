@@ -126,9 +126,12 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange + sort."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch s (UTC session)
-    gap = ts_s - F.lag(F.col("ts")).over(w).cast("timestamp").cast("long")
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # microsecond precision, matching the oracle's full-interval compare:
+    # truncating to whole seconds would misclassify a true gap in
+    # (1800 s, 1801 s] as same-session and shift every later session_no
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ → epoch µs (UTC)
+    gap = ts_us - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
