@@ -23,6 +23,11 @@ import numpy as np
 import pandas as pd
 
 SEED = 42
+
+# Bump when generated data changes shape/content: cached fixture dirs
+# (bench .bench/sf*, the e2e gate fixture) regenerate on version mismatch
+# instead of silently serving stale segments.
+FIXTURE_VERSION = 2
 EXTS = {"py": "python", "java": "java", "sql": "sql", "md": "markdown",
         "yml": "yaml", "ts": "typescript"}
 _WORDS = (
@@ -96,8 +101,13 @@ def generate_change_log(
     # --- op sequence: every key inserted once, then random churn
     n_churn = max(n_events - n_keys, 0)
     churn_key = rng.choice(n_keys, size=n_churn)
-    # hot burst: a contiguous slice of churn targets the hottest repo's keys
-    hot_keys = np.flatnonzero(key_repo_idx == key_repo_idx[0])
+    # hot burst: a contiguous slice of churn targets the hottest repo's
+    # keys — repo 0, the Zipf head by construction (key_repo_idx[0] was
+    # whatever repo KEY 0 landed in, which can be a 1-key tail repo that
+    # barely exercises the salting path this burst exists to stress)
+    hot_keys = np.flatnonzero(key_repo_idx == 0)
+    if not len(hot_keys):
+        hot_keys = np.flatnonzero(key_repo_idx == key_repo_idx[0])
     if len(hot_keys) and n_churn > 100:
         lo = n_churn // 3
         hi = lo + int(n_churn * hot_burst_frac)
@@ -134,7 +144,15 @@ def generate_change_log(
     ev_repo = key_repos[ev_key]
     ev_path = key_paths[ev_key]
     h = _hash_rows(ev_repo, ev_path, version)
-    commit = np.array([f"{int(x):016x}{int(x2):016x}08x0" for x, x2 in zip(h, h * np.uint64(31))])
+    # 40 hex chars (sha1-like, the FIXTURES.md contract): 16 + 16 + 8
+    h2 = h * np.uint64(31)
+    h3 = (h ^ (h >> np.uint64(13))) * np.uint64(0x27D4EB2F)
+    commit = np.array(
+        [
+            f"{int(a):016x}{int(b):016x}{int(c) & 0xFFFFFFFF:08x}"
+            for a, b, c in zip(h, h2, h3)
+        ]
+    )
     lang = np.array([EXTS[p.rsplit(".", 1)[-1]] for p in ev_path])
     content = np.array(_content(h, ev_repo, ev_path, version), dtype=object)
     content[ops == "delete"] = None
@@ -208,6 +226,7 @@ def generate_change_log(
         "n_keys": n_keys,
         "n_repos": n_repos,
         "seed": seed,
+        "fixture_version": FIXTURE_VERSION,
     }
 
 

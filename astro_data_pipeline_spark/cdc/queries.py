@@ -166,7 +166,7 @@ def _ensure_e2e_fixture() -> dict:
     import json as _json
     import os as _os
 
-    from .fixtures import generate_change_log
+    from .fixtures import FIXTURE_VERSION, generate_change_log
 
     meta_path = _os.path.join(_E2E_DIR, "meta.json")
     if _os.path.exists(meta_path):
@@ -175,8 +175,11 @@ def _ensure_e2e_fixture() -> dict:
                 meta = _json.load(f)
             # meta.json alone is not proof: a cleanup (or a crash between
             # the two segment writes) can leave it pointing at missing
-            # parquet — regenerate instead of failing every e2e query
-            if all(_os.path.exists(meta[k]) for k in ("v1_path", "v2_path")):
+            # parquet, and a generator change strands old-format data —
+            # regenerate instead of failing every e2e query
+            if meta.get("fixture_version") == FIXTURE_VERSION and all(
+                _os.path.exists(meta[k]) for k in ("v1_path", "v2_path")
+            ):
                 return meta
             _os.remove(meta_path)
         except ValueError:

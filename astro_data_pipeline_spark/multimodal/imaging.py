@@ -10,8 +10,11 @@ array expression — never a per-pixel Python loop.
 Reference semantics mirrored (file:line cites against
 ``application/image-processor/.../service/FitsProcessingService.java``):
 
-- P1 bias subtraction — overscan strip (first 50 columns) mean,
-  subtracted without clamping (:1335-1376).
+- P1 bias level — overscan strip (first 50 columns) mean (:1335-1376),
+  reported as a calibration metric; the pixel subtraction in this chain
+  is performed by P2's self-contained corner estimate (the reference's
+  applyDarkSubtraction likewise embeds its own bias estimate), so bias
+  is never removed twice.
 - P2 dark subtraction — bias proxy from the 50×50 corner, subtract,
   clamp at 0 (:323-358); scaled variant multiplies by an
   exposure-derived scale factor (:1199-1222).
@@ -518,10 +521,11 @@ def stellarity_index(img: np.ndarray) -> tuple[float, int]:
         bw = int(sx.max() - sx.min() + 1)
         perimeter = 2.0 * (bh + bw)  # bbox perimeter approximation
         feret = float(np.hypot(bh, bw))  # bbox diagonal ≈ Feret diameter
-        circularity = min(4.0 * np.pi * area / (perimeter**2), 1.0)
+        roundness = 4.0 * np.pi * area / (perimeter**2)
+        circularity = min(roundness, 1.0)
         if circularity < 0.3:
             continue
-        compactness = 4.0 * np.pi * area / (perimeter**2)
+        compactness = roundness  # uncapped twin of circularity
         aspect = area / (feret**2 * np.pi / 4.0)
         total += circularity * compactness * aspect * np.sqrt(area)
         n_valid += 1
@@ -601,7 +605,15 @@ def fits_decode(payload: bytes) -> tuple[np.ndarray, dict, int]:
     pos = 0
     done = False
     while not done:
-        block = payload[pos : pos + 2880].decode("ascii")
+        try:
+            block = payload[pos : pos + 2880].decode("ascii")
+        except UnicodeDecodeError as e:
+            # a corrupted END card walks the parser into the binary pixel
+            # block — surface the contract error, not a codec traceback
+            raise ValueError(
+                "corrupt FITS header: non-ASCII bytes where cards expected "
+                "(END card missing or damaged)"
+            ) from e
         if not block:
             raise ValueError("truncated FITS payload: no END card found")
         pos += 2880

@@ -38,6 +38,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     """Decorator: register a query implementation (and its DuckDB oracle)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
+        # loud, not last-wins: a name collision would silently replace an
+        # earlier query (and its oracle) on the driver's gate surface
+        prev = _REGISTRY.get(name)
+        if prev is not None and prev.fn is not fn:
+            raise ValueError(
+                f"duplicate query registration {name!r}: "
+                f"{prev.fn.__module__}.{prev.fn.__qualname__} vs "
+                f"{fn.__module__}.{fn.__qualname__}"
+            )
         _REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 

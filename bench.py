@@ -71,7 +71,10 @@ def sf_from_dir(sf_dir: str) -> float:
 
 def cdc_fixture_dir(sf: float) -> dict:
     """Deterministic CDC change log scaled to SF, cached across runs."""
-    from astro_data_pipeline_spark.cdc.fixtures import generate_change_log
+    from astro_data_pipeline_spark.cdc.fixtures import (
+        FIXTURE_VERSION,
+        generate_change_log,
+    )
 
     params = dict(
         n_repos=max(int(200 * sf * 10), 20),
@@ -84,7 +87,9 @@ def cdc_fixture_dir(sf: float) -> dict:
     meta_path = os.path.join(out, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            return json.load(f)
+            meta = json.load(f)
+        if meta.get("fixture_version") == FIXTURE_VERSION:
+            return meta
     shutil.rmtree(out, ignore_errors=True)
     meta = generate_change_log(out, **params)
     with open(meta_path, "w") as f:
