@@ -107,10 +107,15 @@ def per_key_series_stats(events: DataFrame, min_obs: int = _MIN_OBS) -> DataFram
            COUNT(*) AS n_obs,
            ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(value)), 4)
                AS mean_value,
-           ROUND(sqrt(greatest((CAST(SUM(cents * cents) AS DOUBLE)
-                       - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)
-                         / COUNT(value))
-                      / (COUNT(value) - 1), 0.0)) / 100.0, 4) AS std_value,
+           -- guard k >= 2 explicitly: with 0/1 non-null values DuckDB's
+           -- x/0 -> NULL then greatest(NULL, 0.0) -> 0.0 would emit 0.0
+           -- where the kernel emits NULL
+           CASE WHEN COUNT(value) >= 2 THEN
+               ROUND(sqrt(greatest((CAST(SUM(cents * cents) AS DOUBLE)
+                           - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)
+                             / COUNT(value))
+                          / (COUNT(value) - 1), 0.0)) / 100.0, 4)
+           END AS std_value,
            ROUND(MAX(value) - MIN(value), 4) AS amplitude,
            ROUND(CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS DOUBLE)
                  / 1e6 / (COUNT(*) - 1), 2) AS mean_interval_sec

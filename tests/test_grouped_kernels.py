@@ -57,3 +57,43 @@ def test_periodogram_spark_end_to_end(spark, sf_dir):
     assert df.schema == PERIODOGRAM_SCHEMA
     rows = df.limit(5).collect()
     assert all(r["n_obs"] >= 5 for r in rows)
+
+
+def test_series_stats_null_heavy_group_matches_oracle(spark):
+    """A group with >= MIN_OBS rows but < 2 non-null values: both the
+    kernel and the oracle must emit NULL std (DuckDB's x/0 -> NULL then
+    greatest(NULL, 0.0) -> 0.0 used to emit 0.0 on the oracle side)."""
+    import duckdb
+
+    from astro_data_pipeline_spark.operators.grouped_analytics import (
+        per_key_series_stats,
+    )
+    from astro_data_pipeline_spark.registry import get
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 6 + [2] * 6,
+            "event_id": range(12),
+            "ts": pd.date_range("2024-01-01", periods=12, freq="1h"),
+            "value": [None] * 5 + [3.14] + list(np.linspace(1.0, 2.0, 6)),
+            "event_type": ["x"] * 12,
+            "props": [None] * 12,
+        }
+    )
+    out = (
+        per_key_series_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    ora = (
+        con.sql(get("grouped_series_stats_per_user").oracle)
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(out["std_value"].iloc[0]) and pd.isna(ora["std_value"].iloc[0])
+    assert out["mean_value"].iloc[0] == ora["mean_value"].iloc[0] == 3.14
+    assert abs(out["std_value"].iloc[1] - ora["std_value"].iloc[1]) < 1e-12
