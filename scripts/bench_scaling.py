@@ -24,6 +24,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import subprocess
@@ -130,7 +131,7 @@ def pair_summary(lo: dict, hi: dict, sf: float) -> dict:
     ratio = hi["cdc_events_per_sec"] / lo["cdc_events_per_sec"]
     factor = hi["cpus"] / lo["cpus"]
     eff = ratio / factor
-    return {
+    out = {
         "metric": "cdc_scaling_efficiency",
         "sf": sf,
         "n_cores": lo["cpus"],
@@ -141,6 +142,23 @@ def pair_summary(lo: dict, hi: dict, sf: float) -> dict:
         "efficiency": round(eff, 3),
         "pass": eff >= 0.8,
     }
+    if lo.get("executors"):
+        out["metric"] = "cdc_scaling_efficiency_executors"
+        out["n_executors"] = lo["executors"]
+        out["4n_executors"] = hi["executors"]
+        out["cores_per_executor"] = lo["exec_cores"]
+    return out
+
+
+def _exec_best(sf: float, executors: int, exec_cores: int) -> dict | None:
+    """Load a persisted executor-ladder best, if that config was measured."""
+    p = os.path.join(
+        REPO, ".bench", f"scale-best-exec{executors}x{exec_cores}-sf{sf}.json"
+    )
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[dict]:
@@ -151,10 +169,11 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
     seen = set()
     for lo, hi in pairs:
         for r in (lo, hi):
-            if r["cpus"] not in seen:
-                seen.add(r["cpus"])
+            key = (r["cpus"], r.get("executors"), r.get("exec_cores"))
+            if key not in seen:
+                seen.add(key)
                 rows.append(r)
-    rows.sort(key=lambda r: r["cpus"])
+    rows.sort(key=lambda r: (r["cpus"], r.get("executors") or 0))
     with open(path, "w") as f:
         f.write(
             "# Scaling evidence — CDC replay at N vs 4N parallelism\n\n"
@@ -184,8 +203,16 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             )
         f.write("\n")
         for s in summaries:
+            if "n_executors" in s:
+                label = (
+                    f"N={s['n_executors']} -> 4N={s['4n_executors']} executors "
+                    f"({s['cores_per_executor']} cores each, "
+                    f"{s['n_cores']} -> {s['4n_cores']} cores)"
+                )
+            else:
+                label = f"N={s['n_cores']} -> 4N={s['4n_cores']}"
             f.write(
-                f"**N={s['n_cores']} -> 4N={s['4n_cores']}: speedup {s['speedup']}x, "
+                f"**{label}: speedup {s['speedup']}x, "
                 f"efficiency {s['efficiency']}** "
                 f"({'PASS' if s['pass'] else 'BELOW TARGET'} vs >= 0.8).\n\n"
             )
@@ -194,17 +221,29 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
                 "This ladder scales EXECUTOR JVM COUNT (`--master\n"
                 "local-cluster[N,C,M]` — real separate executor processes with\n"
                 "their own heaps, a real BlockManager wire between them), the\n"
-                "literal shape of the north rule's N-vs-4N-executors criterion.\n"
+                "literal shape of the north rule's N-vs-4N-executors criterion;\n"
+                "the top rung crosses this box's single-socket memory-bandwidth\n"
+                "wall and is reported for transparency (wall analysis below).\n"
                 "The thread-mode ladder (`BENCH/BASELINE.md`) is the companion\n"
                 "evidence: same job, parallelism scaled as local[] threads.\n\n"
             )
         else:
+            lo_ex, hi_ex = _exec_best(sf, 1, 2), _exec_best(sf, 4, 2)
+            if lo_ex and hi_ex:
+                ex_s = pair_summary(lo_ex, hi_ex, sf)
+                exec_note = (
+                    f"criterion, where 1 -> 4 executors measures "
+                    f"{ex_s['efficiency']} "
+                    f"({'PASS' if ex_s['pass'] else 'BELOW TARGET'} vs >= 0.8).\n\n"
+                )
+            else:
+                exec_note = "criterion.\n\n"
             f.write(
                 "Companion evidence: `BENCH/BASELINE-executors.md` runs the\n"
                 "same ladder with EXECUTOR JVM COUNT as the scaled variable\n"
                 "(`--master local-cluster[N,C,M]`, separate executor\n"
                 "processes) — the literal N-vs-4N-executors shape of the\n"
-                "criterion, where 1 -> 4 executors measures >= 0.8.\n\n"
+                + exec_note
             )
         f.write(
             "## Method\n\n"
@@ -384,6 +423,22 @@ def main() -> None:
                 with open(best_path(c), "w") as f:
                     json.dump(r, f)
     pairs = [(best[n], best[n4]) for n, n4 in args.pairs]
+    if args.executors:
+        # the report covers EVERY persisted executor config for this sf,
+        # not only the rung this invocation measured — otherwise the two
+        # exec_ladder_once.sh calls would each clobber the other's rows
+        recs: dict[tuple[int, int], dict] = {}
+        for p in glob.glob(
+            os.path.join(REPO, ".bench", f"scale-best-exec*-sf{args.sf}.json")
+        ):
+            with open(p) as f:
+                r = json.load(f)
+            recs[(r["executors"], r["exec_cores"])] = r
+        pairs = [
+            (r, recs[(4 * e, c)])
+            for (e, c), r in sorted(recs.items(), key=lambda kv: (kv[0][1], kv[0][0]))
+            if (4 * e, c) in recs
+        ]
     report = os.path.join(
         REPO, "BENCH", "BASELINE-executors.md" if args.executors else "BASELINE.md"
     )
