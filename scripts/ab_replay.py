@@ -51,6 +51,30 @@ VARIANTS = {
     "b64": ({}, {"n_buckets": 64}),
     "b128": ({}, {"n_buckets": 128}),
     "b256": ({}, {"n_buckets": 256}),
+    # parquet dictionary encoding on output files. `content` is
+    # near-unique, so the writer's per-chunk dictionary always
+    # overflows and falls back to plain — the build is wasted work on
+    # the hottest column. hadoop: prefix routes to hadoopConfiguration
+    # (picked up per write job via newHadoopConf). The engine default
+    # (session.py) disables the dictionary per-column for content /
+    # content_sha256; dict_content_on re-enables it (the per-column
+    # key wins over the global one, so the global toggle alone can't
+    # restore the old behaviour), dict_off disables it globally.
+    "dict_content_on": (
+        {
+            "hadoop:parquet.enable.dictionary#content": "true",
+            "hadoop:parquet.enable.dictionary#content_sha256": "true",
+        },
+        {},
+    ),
+    "dict_content_off": (
+        {
+            "hadoop:parquet.enable.dictionary#content": "false",
+            "hadoop:parquet.enable.dictionary#content_sha256": "false",
+        },
+        {},
+    ),
+    "dict_off": ({"hadoop:parquet.enable.dictionary": "false"}, {}),
 }
 
 
@@ -83,7 +107,12 @@ def main() -> None:
             kwargs = dict(kwargs)
             n_buckets = kwargs.pop("n_buckets", 64)
             for k, val in conf.items():
-                spark.conf.set(k, val)
+                if k.startswith("hadoop:"):
+                    spark.sparkContext._jsc.hadoopConfiguration().set(
+                        k[len("hadoop:"):], val
+                    )
+                else:
+                    spark.conf.set(k, val)
             with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
                 table = LakeTable.create(
                     spark, os.path.join(td, "lake"),
