@@ -75,6 +75,20 @@ VARIANTS = {
         {},
     ),
     "dict_off": ({"hadoop:parquet.enable.dictionary": "false"}, {}),
+    # parquet writer format version. v2 strings use
+    # DELTA_LENGTH_BYTE_ARRAY (lengths stored as a block, values
+    # contiguous) instead of v1's per-value length interleaving —
+    # cheaper encode and a tighter decode loop on the ~2 KB content
+    # column.
+    "pqv1": ({"hadoop:parquet.writer.version": "v1"}, {}),
+    "pqv2": ({"hadoop:parquet.writer.version": "v2"}, {}),
+    # page write checksums: a CRC32 over every page on the hottest
+    # write path. Readers don't verify by default
+    # (parquet.page.verify-checksum.enabled=false), so the write-side
+    # CRC buys nothing inside a lakehouse whose commits are already
+    # atomic.
+    "crc_on": ({"hadoop:parquet.page.write-checksum.enabled": "true"}, {}),
+    "crc_off": ({"hadoop:parquet.page.write-checksum.enabled": "false"}, {}),
 }
 
 
