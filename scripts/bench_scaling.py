@@ -325,7 +325,22 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             "  measured operator on the query surface\n"
             "  (scalar_sha256_documents, dedup_exact_by_sha,\n"
             "  text_document_fingerprint), where it is the contract\n"
-            "  exhibit for Arrow-batched UDF transforms.\n\n"
+            "  exhibit for Arrow-batched UDF transforms.\n"
+            "- Attack 4, skip the parquet dictionary build on near-unique\n"
+            "  columns. The writer hashes every value of `content`\n"
+            "  (~2 KB/row) and `content_sha256` into a per-chunk dictionary\n"
+            "  that always overflows and falls back to PLAIN — a pure extra\n"
+            "  pass over the hottest bytes on every delta/base write.\n"
+            "  Disabled per-column (parquet.enable.dictionary#content);\n"
+            "  repetitive columns keep theirs. Interleaved best-of-3 at\n"
+            "  sf1.0 local[32] (ab_replay dict_content_on vs _off): 756.4k\n"
+            "  -> 826.6k ev/s (+9.3%); local[2] ladder best rose 96.3k ->\n"
+            "  102.9k (+6.9%). Engine default since round 2.\n"
+            "  Two sibling write-path ideas measured and REJECTED: parquet\n"
+            "  writer v2 (DELTA_LENGTH_BYTE_ARRAY strings) is ~12% slower\n"
+            "  on this job, and disabling page write checksums is within\n"
+            "  noise (hardware CRC32) — both interleaved best-of-5 at\n"
+            "  sf0.1 local[32] (ab_replay pqv1/pqv2, crc_on/crc_off).\n\n"
             "With the exchange measured small and the Python boundary gone\n"
             "(the whole replay plan is now JVM whole-stage codegen), the\n"
             "remaining 8 -> 32 gap is the decoded-string working set each\n"
