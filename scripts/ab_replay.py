@@ -89,6 +89,12 @@ VARIANTS = {
     # atomic.
     "crc_on": ({"hadoop:parquet.page.write-checksum.enabled": "true"}, {}),
     "crc_off": ({"hadoop:parquet.page.write-checksum.enabled": "false"}, {}),
+    # zstd level of the parquet OUTPUT codec (distinct from the shuffle
+    # codec level already A/B'd and rejected): level 1 cuts encode CPU
+    # sharply for ~10% larger files — a storage-vs-wall trade on the
+    # measured parquet-encode wall.
+    "pqz1": ({"hadoop:parquet.compression.codec.zstd.level": "1"}, {}),
+    "pqz3": ({"hadoop:parquet.compression.codec.zstd.level": "3"}, {}),
 }
 
 

@@ -340,7 +340,11 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             "  writer v2 (DELTA_LENGTH_BYTE_ARRAY strings) is ~12% slower\n"
             "  on this job, and disabling page write checksums is within\n"
             "  noise (hardware CRC32) — both interleaved best-of-5 at\n"
-            "  sf0.1 local[32] (ab_replay pqv1/pqv2, crc_on/crc_off).\n\n"
+            "  sf0.1 local[32] (ab_replay pqv1/pqv2, crc_on/crc_off); so\n"
+            "  is output-codec zstd level 1 vs 3 (196.7k vs 196.9k ev/s,\n"
+            "  ab_replay pqz1/pqz3) — consistent with the rung being\n"
+            "  starved for bytes, not encode CPU. Level 3 stays (smaller\n"
+            "  files free).\n\n"
             "With the exchange measured small and the Python boundary gone\n"
             "(the whole replay plan is now JVM whole-stage codegen), the\n"
             "remaining 8 -> 32 gap is the decoded-string working set each\n"
