@@ -3,7 +3,7 @@
 The north-rule deployment shape (BASELINE.json: "spark-submit --py-files
 on a multi-executor cluster"). Usage::
 
-    spark-submit --py-files adps.zip -m astro_data_pipeline_spark.cdc.demo \
+    spark-submit --py-files adps.zip astro_data_pipeline_spark/cdc/demo.py \
         --events 'wal/change_events_*.parquet' --table /lake/repos \
         --n-batches 8 --mode mor --compact-every 4
 
