@@ -95,6 +95,14 @@ VARIANTS = {
     # measured parquet-encode wall.
     "pqz1": ({"hadoop:parquet.compression.codec.zstd.level": "1"}, {}),
     "pqz3": ({"hadoop:parquet.compression.codec.zstd.level": "3"}, {}),
+    # vectorized-reader batch size: each scan task materializes
+    # batchSize decoded rows per column batch (~2 KB strings -> ~8 MB
+    # at the 4096 default); 32 concurrent tasks hold ~256 MB of
+    # decoded batches, far past shared L3. Smaller batches shrink the
+    # per-task decoded working set on the measured scan-side wall.
+    "crb512": ({"spark.sql.parquet.columnarReaderBatchSize": "512"}, {}),
+    "crb1024": ({"spark.sql.parquet.columnarReaderBatchSize": "1024"}, {}),
+    "crb4096": ({"spark.sql.parquet.columnarReaderBatchSize": "4096"}, {}),
 }
 
 
