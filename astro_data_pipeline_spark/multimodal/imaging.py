@@ -112,14 +112,22 @@ def synth_raster(doc_id: int, width: int, height: int) -> np.ndarray:
     rng = np.random.Generator(np.random.Philox(key=int(doc_id)))
     sky = 200.0 + float(rng.uniform(-20, 20))
     img = rng.normal(sky, 8.0, size=(height, width))
-    # star-like 2-D Gaussians (FWHM ~2-4 px)
-    yy, xx = np.mgrid[0:height, 0:width]
+    # star-like 2-D Gaussians (FWHM ~2-4 px). The isotropic Gaussian
+    # factors into an outer product of two 1-D exps — width+height exp
+    # evaluations instead of width*height per star (the draw order and
+    # star parameters are identical; pixel values differ only in the
+    # last ULP where exp(a+b) vs exp(a)*exp(b) round differently).
+    xs1 = np.arange(width, dtype=np.float64)
+    ys1 = np.arange(height, dtype=np.float64)
     for _ in range(int(rng.integers(3, 9))):
         cx = float(rng.uniform(5, width - 5))
         cy = float(rng.uniform(5, height - 5))
         amp = float(rng.uniform(300, 3000))
         sig = float(rng.uniform(0.9, 1.8))
-        img += amp * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig**2)))
+        inv = 1.0 / (2 * sig**2)
+        ex = np.exp(-((xs1 - cx) ** 2) * inv)
+        ey = np.exp(-((ys1 - cy) ** 2) * inv)
+        img += np.multiply.outer(amp * ey, ex)
     # cosmic rays: single hot pixels, far sharper than any PSF
     n_crays = int(rng.integers(2, 12))
     cy = rng.integers(1, height - 1, size=n_crays)
@@ -538,9 +546,10 @@ def quality_metrics(img: np.ndarray) -> dict:
     """P5 combined quality (calculateImageQuality :761-802,
     calculateCombinedQualityScore :985-1000)."""
     mean, std = float(img.mean()), float(img.std())
-    median = float(np.median(img))
     mode = _histogram_mode(img)
-    background = mode if mode > 0 else median
+    # the median fallback only matters for non-positive modes — skip the
+    # full-frame partition in the common path
+    background = mode if mode > 0 else float(np.median(img))
     dynamic = float(img.max() - img.min())
     snr = (mean - background) / std if std > 0 else 0.0
     # seeing via gradient-magnitude edge strength (estimateSeeing :806-818)
