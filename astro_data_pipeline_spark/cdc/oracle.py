@@ -28,9 +28,9 @@ import pandas as pd
 
 def replay_reference(events: pd.DataFrame) -> pd.DataFrame:
     """Expected final state: one row per live (repo, path)."""
-    # per LSN keep the max (commit, op) delivery — identical-payload
-    # redeliveries are unaffected; a conflicting pair resolves the same
-    # way the engine's (lsn, commit, op) tie order does
+    # per LSN keep one delivery (first in file order) — identical-payload
+    # redeliveries make the choice immaterial; a conflicting pair is
+    # outside this oracle's model (see module docstring)
     ev = (
         events.sort_values("lsn", kind="stable")
         .drop_duplicates(subset=["lsn"], keep="first")
