@@ -222,8 +222,9 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
                 "local-cluster[N,C,M]` — real separate executor processes with\n"
                 "their own heaps, a real BlockManager wire between them), the\n"
                 "literal shape of the north rule's N-vs-4N-executors criterion;\n"
-                "the top rung crosses this box's single-socket memory-bandwidth\n"
-                "wall and is reported for transparency (wall analysis below).\n"
+                "rungs whose upper side exceeds ~8 concurrent heavy tasks cross\n"
+                "this box's single-socket memory-bandwidth wall and are reported\n"
+                "for transparency (wall analysis below).\n"
                 "The thread-mode ladder (`BENCH/BASELINE.md`) is the companion\n"
                 "evidence: same job, parallelism scaled as local[] threads.\n\n"
             )
@@ -344,7 +345,15 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             "  is output-codec zstd level 1 vs 3 (196.7k vs 196.9k ev/s,\n"
             "  ab_replay pqz1/pqz3) — consistent with the rung being\n"
             "  starved for bytes, not encode CPU. Level 3 stays (smaller\n"
-            "  files free).\n\n"
+            "  files free).\n"
+            "  A scan-side sibling also measured and REJECTED: shrinking\n"
+            "  the vectorized reader's column batch\n"
+            "  (columnarReaderBatchSize 4096 -> 1024 -> 512, interleaved\n"
+            "  best-of-3 at sf1.0 local[32]) to cut the per-task decoded\n"
+            "  working set is parity at 1024 (803.4k vs 811.2k ev/s) and\n"
+            "  -6% at 512 (764.9k) — the reader already streams batches\n"
+            "  through cache; smaller ones only add per-batch setup.\n"
+            "  Default 4096 stays.\n\n"
             "With the exchange measured small and the Python boundary gone\n"
             "(the whole replay plan is now JVM whole-stage codegen), the\n"
             "remaining 8 -> 32 gap is the decoded-string working set each\n"
