@@ -224,7 +224,11 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
                 "literal shape of the north rule's N-vs-4N-executors criterion;\n"
                 "rungs whose upper side exceeds ~8 concurrent heavy tasks cross\n"
                 "this box's single-socket memory-bandwidth wall and are reported\n"
-                "for transparency (wall analysis below).\n"
+                "for transparency (wall analysis below). Note the fixed-core\n"
+                "comparison inside the table: at the same 8 total cores, FOUR\n"
+                "2-core executors beat TWO 4-core executors — adding executor\n"
+                "processes helps even when they share one memory bus, and on a\n"
+                "real cluster each added executor also adds a bus.\n"
                 "The thread-mode ladder (`BENCH/BASELINE.md`) is the companion\n"
                 "evidence: same job, parallelism scaled as local[] threads.\n\n"
             )
