@@ -157,7 +157,7 @@ def to_table_rows(
 
     ``native_sha`` selects the JVM ``sha2`` expression over the Arrow
     pandas UDF: identical digests (equality-tested in
-    tests/test_functions.py), but the winner content stays inside
+    tests/test_cdc_engine.py), but the winner content stays inside
     whole-stage codegen instead of round-tripping JVM→Arrow→Python→JVM —
     two full copies of every winner's payload across the memory bus that
     matter exactly when all cores contend for it (the 8→32 scaling rung)."""
