@@ -77,6 +77,32 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_PLANES = 8
+_EMB_DIM = 64
+
+# Spark xxhash64(j, d) parities pinned as 64-bit sign words (bit d set ⇒
+# plane j's coordinate d is +1). These are the SAME constants the
+# lsh_bucket_assignments expression tree constant-folds to — pinned here
+# so the DuckDB oracle can inline the identical ±1 literals with no Spark
+# dependency; tests/test_multimodal_ann.py::test_census_plane_constants_pin
+# recomputes them through Spark's xxhash64 and asserts equality.
+_CENSUS_PLANE_BITS = (
+    0x1BCC5267D56F9361,
+    0x37DF9F99250E4C4A,
+    0xB42E2530EFA906E6,
+    0x61B8D066CA286542,
+    0x31710FFAA5B950A3,
+    0x6A1D4E8749387877,
+    0x284E84C31D7F05B1,
+    0x7C23B9E1AE962AF5,
+)
+
+
+def _census_planes() -> list[list[int]]:
+    """Unpack the pinned sign words into ±1 plane coordinate lists."""
+    return [
+        [1 if (word >> d) & 1 else -1 for d in range(_EMB_DIM)]
+        for word in _CENSUS_PLANE_BITS
+    ]
 
 
 def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,7 +110,9 @@ def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plane j's d-th coordinate is ±1 derived from xxhash64(j, d) parity —
     reproducible across runs/executors with zero driver state to ship.
-    sign(v·p_j) bits pack into an int bucket id."""
+    sign(v·p_j) bits pack into an int bucket id. The sign test is applied
+    to round(dot, 4) — half away from zero on both engines — so float
+    summation-order ULP drift can't flip a bucket bit vs the oracle."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -107,18 +135,44 @@ def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        bits.append(F.when(F.round(dot, 4) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
     return emb.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
-@query("sim_ann_lsh_bucket_census")  # hash-derived buckets → rows-only check
+def _census_oracle() -> str:
+    """DuckDB mirror of the census: the pinned xxhash64-parity planes
+    inlined as ±1 list literals, sign tested on round(dot, 4) exactly as
+    the Spark plan does."""
+    bits = []
+    for j, plane in enumerate(_census_planes()):
+        lit = "[" + ",".join(f"{v}.0" for v in plane) + "]"
+        bits.append(
+            f"CASE WHEN round(list_dot_product(e, CAST({lit} AS DOUBLE[])), 4)"
+            f" >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE len(embedding) = {_EMB_DIM}
+    ), bucketed AS (
+        SELECT vec_id, CAST(({bucket}) AS INTEGER) AS bucket FROM emb
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM bucketed GROUP BY bucket
+    """
+
+
+@query("sim_ann_lsh_bucket_census", oracle=_census_oracle())
 def sim_ann_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucket census. Query-time ANN
     probes only its own bucket (corpus/2^planes of the data); pytest
-    checks recall of bucketed search vs the brute-force baseline."""
+    checks recall of bucketed search vs the brute-force baseline. Fully
+    DuckDB-oracled: the plane constants are pinned (_CENSUS_PLANE_BITS)
+    and inlined into the oracle SQL, so both engines bucket identically."""
     assignments = lsh_bucket_assignments(spark, sf_dir)
     return assignments.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
@@ -128,7 +182,6 @@ def sim_ann_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_TAU = 0.40
 _DEDUP_N_TABLES = 8
 _DEDUP_N_PLANES = 4
-_EMB_DIM = 64
 
 
 def _seeded_planes(n_tables: int, n_planes: int, dim: int) -> list[list[int]]:

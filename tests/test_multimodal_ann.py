@@ -103,6 +103,35 @@ def test_lsh_single_table_bounds_candidates(spark, sf_dir):
     assert n_pairs_bucketed < 0.25 * n * (n - 1) / 2  # >=4x fewer candidates
 
 
+def test_census_plane_constants_pin(spark):
+    """The pinned _CENSUS_PLANE_BITS sign words must equal the xxhash64
+    parities the census's Spark expression tree constant-folds to — this
+    is what lets the DuckDB oracle inline the identical ±1 literals."""
+    from astro_data_pipeline_spark.textops.similarity import (
+        _census_planes,
+        _EMB_DIM,
+        _N_PLANES,
+    )
+
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                (F.pmod(F.xxhash64(F.lit(j), F.lit(d)), F.lit(2)) * 2 - 1).alias(
+                    f"p_{j}_{d}"
+                )
+                for j in range(_N_PLANES)
+                for d in range(_EMB_DIM)
+            ]
+        )
+        .collect()[0]
+    )
+    recomputed = [
+        [int(row[f"p_{j}_{d}"]) for d in range(_EMB_DIM)] for j in range(_N_PLANES)
+    ]
+    assert recomputed == _census_planes()
+
+
 def test_lsh_multitable_recall_vs_bruteforce(spark, sf_dir):
     """OR-construction: 8 tables x 4 planes recovers the exact top-1 for
     most probes (expected ~0.8 for ~60-degree nearest neighbors) while
