@@ -71,7 +71,7 @@ class CdcRunner:
         mode: str = "mor",
         compact_every: int | None = None,
         fuse_buckets: bool = True,
-        pipeline_depth: int = 3,
+        pipeline_depth: int = 4,
         prefilter_winners: bool = False,
         prefilter_max_winners: int = 20_000_000,
         native_sha: bool = True,
@@ -411,11 +411,6 @@ class CdcRunner:
                 lo_hi = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
         if lo_hi[0] is None:
             return []
-        # Hot-repo set once for the whole log: salting is correctness-
-        # neutral (pre-MERGE key collapse), so a log-global hot set is as
-        # valid as a per-batch one and saves one driver job per batch.
-        with phase("runner.hot_detect"):
-            hot = self.detect_hot_keys(events) if self.salt_auto else []
         ranges = lsn_ranges(int(lo_hi[0]), int(lo_hi[1]), n_batches)
         if (
             self.mode == "mor"
@@ -423,7 +418,14 @@ class CdcRunner:
             and fail_after is None
             and self.compact_every is None
         ):
-            return self._replay_pipelined(events, ranges, hot)
+            # the pipelined path overlaps hot-key detection with the
+            # first batch's write instead of paying it up front
+            return self._replay_pipelined(events, ranges)
+        # Hot-repo set once for the whole log: salting is correctness-
+        # neutral (pre-MERGE key collapse), so a log-global hot set is as
+        # valid as a per-batch one and saves one driver job per batch.
+        with phase("runner.hot_detect"):
+            hot = self.detect_hot_keys(events) if self.salt_auto else []
         reports: list[BatchReport] = []
         applied = 0
         # ledger snapshot ONCE per replay — the per-batch fallback walks
@@ -451,9 +453,26 @@ class CdcRunner:
                     raise KilledError(f"injected kill after {applied} batches")
         return reports
 
+    def _prior_hot_keys(self) -> list[tuple[str, str]]:
+        """Hot-key set recorded by the most recent committed batch
+        manifest — the warm-start salt set for the pipelined path's
+        first batch, whose plan is built while this run's own detection
+        job is still in flight. A continuous ingest always has a prior
+        manifest, so at 10^10-event scale batch 1 salts with the keys
+        that were hot minutes ago — exactly the ones likeliest to still
+        be hot. Salting is correctness-neutral either way."""
+        for snap in self.table.snapshot_chain():
+            keys = snap.summary.get("hot_keys")
+            if keys is not None:
+                return [
+                    (parts[0], parts[1])
+                    for k in keys
+                    if len(parts := k.split("\x1f", 1)) == 2
+                ]
+        return []
+
     def _replay_pipelined(
-        self, events: DataFrame, ranges: list[tuple[int, int]],
-        hot: list[tuple[str, str]]
+        self, events: DataFrame, ranges: list[tuple[int, int]]
     ) -> list[BatchReport]:
         """MoR replay with up to ``pipeline_depth`` batch writes in flight.
 
@@ -471,6 +490,18 @@ class CdcRunner:
         loop adds to the critical path; overlapped behind the previous
         batch's cluster execution it disappears, which is the difference
         between ~0.4 and ~0.8+ N->4N scaling efficiency on short batches.
+
+        Hot-key detection (one sampled cluster job, ~0.4 s at sf0.1) is
+        likewise taken off the critical path: a synchronous loop pays it
+        while every core idles, so here the first batch salts with the
+        PRIOR run's recorded hot set (``_prior_hot_keys`` warm start —
+        empty on a fresh table) while this log's detection job runs
+        concurrently with that batch's write; every later batch blocks
+        on the detection future, long since finished by then. The final
+        table state is identical whichever batches salt (salting only
+        re-routes pre-MERGE collapse work; ``test_pipelined_equals_
+        sequential`` pins the equality), and each batch's manifest still
+        records the exact salt set it used.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -481,6 +512,9 @@ class CdcRunner:
             # across batches, so per-batch evolution checks are redundant.
             self._evolve_if_needed(events)
             base = self.table.current_snapshot()
+        hot: list[tuple[str, str]] = []
+        hot_fut = None
+        det_pool: ThreadPoolExecutor | None = None
 
         indexed: list[tuple[int, BatchReport]] = []
         inflight: list[tuple] = []
@@ -516,6 +550,20 @@ class CdcRunner:
                     batch = events.filter(
                         (F.col("lsn") > lo) & (F.col("lsn") <= hi)
                     )
+                    if self.salt_auto:
+                        if det_pool is None:
+                            # first real batch: warm-start salt set +
+                            # async detection over the full log
+                            det_pool = ThreadPoolExecutor(max_workers=1)
+                            hot = self._prior_hot_keys()
+                            with phase("runner.hot_submit"):
+                                hot_fut = det_pool.submit(
+                                    self.detect_hot_keys, events
+                                )
+                        elif hot_fut is not None:
+                            with phase("runner.hot_wait"):
+                                hot = sorted(set(hot) | set(hot_fut.result()))
+                            hot_fut = None
                     obs, rows = self._build_rows(
                         batch, base, hot, n_events_hint=hi - lo
                     )
@@ -554,6 +602,11 @@ class CdcRunner:
                     except Exception:
                         pass
                 raise
+            finally:
+                if det_pool is not None:
+                    # don't block on a still-running detection job; its
+                    # result is unused once every batch plan is built
+                    det_pool.shutdown(wait=False)
         return [r for _, r in sorted(indexed, key=lambda t: t[0])]
 
 

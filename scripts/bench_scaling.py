@@ -263,7 +263,7 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             "disk adds co-tenant IO stalls a real cluster node's local NVMe\n"
             "would not have.\n\n"
             "## Single-box memory-bandwidth wall, and how far we pushed it\n\n"
-            "The pipelined replay (depth-3 in-flight micro-batches) is\n"
+            "The pipelined replay (depth-4 in-flight micro-batches) is\n"
             "MEMORY-BANDWIDTH-bound from ~8 cores up on this box: a pure-CPU\n"
             "control (32 busy processes) scales ~linearly to 32 cores, while\n"
             "the replay — string decode + one bucket-aligned content shuffle +\n"

@@ -394,6 +394,57 @@ def test_hot_key_detection_fires_only_on_key_skew(spark, fixture_meta):
     assert ("megarepo", "hot/file.py") in hot
 
 
+def test_pipelined_first_batch_warm_starts_from_prior_hot_set(
+    spark, tmp_path, fixture_meta, oracle_state
+):
+    """The pipelined path must not pay hot-key detection on the critical
+    path: batch 1 salts with the hot set recorded by the most recent
+    committed manifest (empty on a fresh table), later batches with this
+    log's own detection result — and the final state is oracle-equal
+    either way."""
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    runner = CdcRunner(spark, table, run_id="warm1", mode="mor")
+    # fresh table: no prior manifest -> warm-start set is empty
+    assert runner._prior_hot_keys() == []
+    runner.replay(events, n_batches=3)
+    pd.testing.assert_frame_equal(_final_state(table), _normalize(oracle_state))
+    # seed a manifest carrying a hot set (as a skew-detecting run would)
+    seeded = [("megarepo", "hot/file.py")]
+    chain = {
+        s.summary.get("batch_id"): s.summary for s in table.snapshot_chain()
+    }
+    assert all("hot_keys" in v for k, v in chain.items() if k)
+    table.compact(summary={"hot_keys": ["\x1f".join(k) for k in seeded]})
+    runner2 = CdcRunner(spark, table, run_id="warm2", mode="mor")
+    assert runner2._prior_hot_keys() == seeded
+    # replaying an already-applied log: every batch skips, and the
+    # replay must not corrupt state while warm-starting
+    reports = runner2.replay(events, n_batches=3)
+    assert all(r.status == "skipped" for r in reports)
+    # a new disjoint log actually applies; its FIRST batch manifest must
+    # record the seeded warm-start set (detection of this tiny log finds
+    # nothing hot, so later batches record the union = the same set).
+    # Shift LSNs past the applied log: batch identity is the LSN range,
+    # so a genuinely-new log must occupy new WAL positions.
+    extra = generate_change_log(
+        str(tmp_path / "log2"), n_repos=4, n_keys=40, n_events=300
+    )
+    events2 = read_event_log(spark, extra["v1_path"], extra["v2_path"]).withColumn(
+        "lsn", F.col("lsn") + F.lit(10_000_000)
+    )
+    runner3 = CdcRunner(spark, table, run_id="warm3", mode="mor")
+    runner3.replay(events2, n_batches=2)
+    applied = [
+        s.summary
+        for s in table.snapshot_chain()
+        if s.summary.get("run_scope") == "warm3"
+    ]
+    assert len(applied) == 2
+    first = min(applied, key=lambda s: s["lsn_lo"])
+    assert first["hot_keys"] == ["\x1f".join(k) for k in seeded]
+
+
 def test_quarantine_invalid_events(spark, fixture_meta):
     events = read_event_log(spark, fixture_meta["v1_path"]).limit(100)
     bad = events.withColumn("op", F.lit("truncate")).limit(5)
