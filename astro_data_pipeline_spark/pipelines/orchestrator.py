@@ -50,11 +50,14 @@ UPSTREAM_FAILED = "upstream_failed"
 SKIPPED = "skipped"
 
 # trigger rules (telescope_data_processing.py:483 uses one_failed for
-# the notification task; cleanup fan-in is the all_done shape)
+# the notification task; cleanup fan-in is the all_done shape;
+# data_quality_monitoring.py:572 uses none_failed_or_skipped for the
+# report that fans in the mutually-exclusive branch outcomes)
 ALL_SUCCESS = "all_success"
 ALL_DONE = "all_done"
 ONE_FAILED = "one_failed"
-_RULES = (ALL_SUCCESS, ALL_DONE, ONE_FAILED)
+NONE_FAILED = "none_failed"
+_RULES = (ALL_SUCCESS, ALL_DONE, ONE_FAILED, NONE_FAILED)
 
 
 @dataclass
@@ -66,6 +69,9 @@ class TaskSpec:
     retry_delay_s: float = 0.0
     timeout_s: float | None = None
     trigger_rule: str = ALL_SUCCESS
+    branch: bool = False  # BranchPythonOperator: fn returns the
+    # downstream task name(s) to follow; other direct downstream
+    # tasks short-circuit to skipped (data_quality_monitoring.py:525)
 
 
 @dataclass
@@ -77,6 +83,7 @@ class TaskRecord:
     finished_ms: int | None = None
     rows_out: int | None = None
     error: str | None = None
+    chosen: tuple[str, ...] | None = None  # branch tasks: followed names
 
 
 @dataclass
@@ -104,6 +111,7 @@ class PipelineContext:
 class PipelineRun:
     pipeline: str
     records: dict[str, TaskRecord]
+    xcom: dict[str, Any] = field(default_factory=dict)  # task -> returned value
 
     @property
     def ok(self) -> bool:
@@ -143,6 +151,7 @@ class Pipeline:
         retry_delay_s: float = 0.0,
         timeout_s: float | None = None,
         trigger_rule: str = ALL_SUCCESS,
+        branch: bool = False,
     ) -> "Pipeline":
         if name in self._tasks:
             raise ValueError(f"duplicate task {name!r}")
@@ -159,6 +168,7 @@ class Pipeline:
             retry_delay_s=retry_delay_s,
             timeout_s=timeout_s,
             trigger_rule=trigger_rule,
+            branch=branch,
         )
         return self
 
@@ -176,8 +186,21 @@ class Pipeline:
         if spec.trigger_rule == ONE_FAILED:
             # notification shape: runs only when something upstream broke
             return None if bad else SKIPPED
+        # branch deselection: a succeeded upstream branch task that did
+        # not choose this task skips it (Airflow BranchPythonOperator)
+        for u in spec.upstream:
+            up_rec = records[u]
+            if (
+                self._tasks[u].branch
+                and up_rec.status == SUCCESS
+                and spec.name not in (up_rec.chosen or ())
+            ):
+                return SKIPPED
         if bad:
             return UPSTREAM_FAILED
+        if spec.trigger_rule == NONE_FAILED:
+            # skipped upstreams are fine — the branch fan-in shape
+            return None
         if any(s == SKIPPED for s in ups):
             return SKIPPED
         return None
@@ -205,20 +228,38 @@ class Pipeline:
                 if spec.timeout_s is None:
                     value = run_attempt()
                 else:
-                    with ThreadPoolExecutor(max_workers=1) as one:
+                    # no context manager: its __exit__ would re-join the
+                    # hung attempt thread and stall the whole DAG run
+                    one = ThreadPoolExecutor(max_workers=1)
+                    try:
                         fut = one.submit(run_attempt)
                         try:
                             value = fut.result(timeout=spec.timeout_s)
                         except TimeoutError:
+                            # best-effort cluster-side interrupt of the
+                            # attempt's running stages; the task fails NOW
+                            # either way and the DAG moves on (the
+                            # abandoned thread unwinds when its action
+                            # dies or completes)
                             sc.cancelJobGroup(group)
-                            # the attempt thread unwinds once its Spark
-                            # action is interrupted; don't block shutdown
-                            one.shutdown(wait=False)
                             raise TimeoutError(
                                 f"execution timeout after {spec.timeout_s}s"
                             ) from None
+                    finally:
+                        one.shutdown(wait=False)
+                if spec.branch:
+                    chosen = (value,) if isinstance(value, str) else tuple(value)
+                    unknown = [c for c in chosen if c not in self._tasks]
+                    if unknown:
+                        raise ValueError(
+                            f"branch chose unknown task(s) {unknown}"
+                        )
+                    rec.chosen = chosen
                 ctx._push(spec.name, value)
-                rec.rows_out = int(value) if isinstance(value, (int, float)) else None
+                if isinstance(value, (int, float)) and not isinstance(value, bool):
+                    rec.rows_out = int(value)
+                elif isinstance(value, (list, tuple, dict)):
+                    rec.rows_out = len(value)  # records produced
                 rec.status = SUCCESS
                 rec.finished_ms = int(time.time() * 1000)
                 return
@@ -275,4 +316,6 @@ class Pipeline:
                     raise ValueError(
                         f"dependency cycle among {sorted(pending)}"
                     )
-        return PipelineRun(pipeline=self.name, records=records)
+        return PipelineRun(
+            pipeline=self.name, records=records, xcom=dict(ctx._xcom)
+        )
