@@ -200,6 +200,78 @@ def test_branch_choosing_unknown_task_fails_the_branch(spark):
     assert run.records["report"].status == "upstream_failed"
 
 
+def test_dag_retry_composes_with_exactly_once_resume(spark, tmp_path):
+    """Control plane × data plane: an ingest task killed mid-replay is
+    retried by the orchestrator (batch_processing_dag retry semantics),
+    and the retry RESUMES from the committed prefix instead of
+    re-applying it — the exactly-once sink makes Airflow-style blind
+    retries safe. Final state must equal the pandas oracle."""
+    import pandas as pd
+
+    from astro_data_pipeline_spark.cdc import apply as A
+    from astro_data_pipeline_spark.cdc.fixtures import (
+        generate_change_log,
+        load_events_pandas,
+    )
+    from astro_data_pipeline_spark.cdc.oracle import replay_reference
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from pyspark.sql import types as T
+
+    meta = generate_change_log(
+        str(tmp_path / "log"), n_repos=10, n_keys=200, n_events=1500
+    )
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "lake"),
+        T.StructType(A.BASE_TABLE_FIELDS),
+        key_cols=A.KEY_COLS,
+        n_buckets=4,
+    )
+    seen = {"attempt": 0, "skipped": None}
+
+    def ingest(ctx):
+        seen["attempt"] += 1
+        events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+        runner = CdcRunner(spark, table, run_id="dagingest", mode="mor")
+        # first attempt dies after 2 of 4 committed batches (simulated
+        # executor loss); the orchestrator's retry must converge
+        fail_after = 2 if seen["attempt"] == 1 else None
+        reports = runner.replay(events, n_batches=4, fail_after=fail_after)
+        seen["skipped"] = sum(1 for r in reports if r.status == "skipped")
+        return sum(1 for r in reports if r.status == "applied")
+
+    def verify(ctx):
+        return table.read().count()
+
+    run = (
+        Pipeline("ingest")
+        .add_task("replay_wal", ingest, retries=2)
+        .add_task("verify_counts", verify, upstream=["replay_wal"])
+        .run(spark, str(tmp_path))
+    )
+    assert run.ok
+    rec = run.records["replay_wal"]
+    assert rec.attempts == 2  # one kill, one clean retry
+    assert seen["skipped"] == 2, "retry must skip the committed prefix"
+    assert rec.rows_out == 2  # only the uncommitted batches re-applied
+    # end state byte-equal to the oracle despite the mid-run kill
+    oracle = replay_reference(load_events_pandas(meta))
+    got = (
+        table.read()
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = oracle.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "content_sha256", "last_lsn"]],
+        exp[["repo", "path", "content_sha256", "last_lsn"]],
+        check_dtype=False,
+    )
+    assert run.records["verify_counts"].rows_out == len(exp)
+
+
 def test_quality_evaluate_branch_logic():
     """evaluate_overall_quality reimplements the reference's rule
     exactly (data_quality_monitoring.py:405-412): any CRITICAL wins,
