@@ -34,6 +34,7 @@ but per-task scalars.
 
 from __future__ import annotations
 
+import math
 import threading
 import time
 import traceback
@@ -180,14 +181,11 @@ class Pipeline:
         """Given all upstream tasks terminal, decide: run (None) or the
         terminal status this task short-circuits to."""
         ups = [records[u].status for u in spec.upstream]
-        if spec.trigger_rule == ALL_DONE:
-            return None
-        bad = [s for s in ups if s in (FAILED, UPSTREAM_FAILED)]
-        if spec.trigger_rule == ONE_FAILED:
-            # notification shape: runs only when something upstream broke
-            return None if bad else SKIPPED
-        # branch deselection: a succeeded upstream branch task that did
-        # not choose this task skips it (Airflow BranchPythonOperator)
+        # branch deselection first, before any trigger rule: a succeeded
+        # upstream branch task that did not choose this task skips it
+        # regardless of the rule (Airflow's NotPreviouslySkippedDep —
+        # even an all_done cleanup wired directly under a branch must
+        # not execute the not-taken path)
         for u in spec.upstream:
             up_rec = records[u]
             if (
@@ -196,6 +194,12 @@ class Pipeline:
                 and spec.name not in (up_rec.chosen or ())
             ):
                 return SKIPPED
+        if spec.trigger_rule == ALL_DONE:
+            return None
+        bad = [s for s in ups if s in (FAILED, UPSTREAM_FAILED)]
+        if spec.trigger_rule == ONE_FAILED:
+            # notification shape: runs only when something upstream broke
+            return None if bad else SKIPPED
         if bad:
             return UPSTREAM_FAILED
         if spec.trigger_rule == NONE_FAILED:
@@ -228,25 +232,52 @@ class Pipeline:
                 if spec.timeout_s is None:
                     value = run_attempt()
                 else:
-                    # no context manager: its __exit__ would re-join the
-                    # hung attempt thread and stall the whole DAG run
-                    one = ThreadPoolExecutor(max_workers=1)
-                    try:
-                        fut = one.submit(run_attempt)
+                    # a daemon thread, not a ThreadPoolExecutor: pool
+                    # workers are non-daemon and joined at interpreter
+                    # exit, so an abandoned hung attempt would block
+                    # process shutdown; a daemon thread can be walked
+                    # away from. The box/event also keeps a task fn's
+                    # OWN TimeoutError distinct from the wait timeout.
+                    box: dict[str, Any] = {}
+                    done = threading.Event()
+
+                    def _attempt_runner() -> None:
                         try:
-                            value = fut.result(timeout=spec.timeout_s)
-                        except TimeoutError:
-                            # best-effort cluster-side interrupt of the
-                            # attempt's running stages; the task fails NOW
-                            # either way and the DAG moves on (the
-                            # abandoned thread unwinds when its action
-                            # dies or completes)
-                            sc.cancelJobGroup(group)
-                            raise TimeoutError(
-                                f"execution timeout after {spec.timeout_s}s"
-                            ) from None
-                    finally:
-                        one.shutdown(wait=False)
+                            box["value"] = run_attempt()
+                        except BaseException as err:  # noqa: BLE001
+                            box["error"] = err
+                        finally:
+                            done.set()
+
+                    threading.Thread(
+                        target=_attempt_runner, daemon=True,
+                        name=f"{group}-attempt",
+                    ).start()
+                    if not done.wait(timeout=spec.timeout_s):
+                        # best-effort cluster-side interrupt of the
+                        # attempt's running stages; the task fails NOW
+                        # either way and the DAG moves on (the abandoned
+                        # thread unwinds when its action dies or
+                        # completes)
+                        sc.cancelJobGroup(group)
+                        raise TimeoutError(
+                            f"execution timeout after {spec.timeout_s}s"
+                        )
+                    if "error" in box:
+                        raise box["error"]
+                    value = box["value"]
+                # coerce the manifest metric BEFORE publishing anything:
+                # a non-finite float must fail the attempt cleanly, not
+                # after its value already leaked into the xcom store
+                rows: int | None = None
+                if isinstance(value, bool):
+                    pass
+                elif isinstance(value, float):
+                    rows = int(value) if math.isfinite(value) else None
+                elif isinstance(value, int):
+                    rows = value
+                elif isinstance(value, (list, tuple, dict)):
+                    rows = len(value)  # records produced
                 if spec.branch:
                     chosen = (value,) if isinstance(value, str) else tuple(value)
                     unknown = [c for c in chosen if c not in self._tasks]
@@ -256,10 +287,7 @@ class Pipeline:
                         )
                     rec.chosen = chosen
                 ctx._push(spec.name, value)
-                if isinstance(value, (int, float)) and not isinstance(value, bool):
-                    rec.rows_out = int(value)
-                elif isinstance(value, (list, tuple, dict)):
-                    rec.rows_out = len(value)  # records produced
+                rec.rows_out = rows
                 rec.status = SUCCESS
                 rec.finished_ms = int(time.time() * 1000)
                 return
@@ -311,8 +339,10 @@ class Pipeline:
                         futures.pop(fut)
                         fut.result()  # _run_task never raises; surface bugs
                 elif pending:
-                    # every remaining task waits on a task that can never
-                    # finish — a cycle; refuse instead of spinning
+                    # unreachable through add_task (which rejects forward
+                    # references, so insertion order is a topological
+                    # order) — guards post-construction mutation of
+                    # TaskSpec.upstream from spinning forever
                     raise ValueError(
                         f"dependency cycle among {sorted(pending)}"
                     )

@@ -62,11 +62,19 @@ def _metric(name: str, value: float) -> dict:
 
 def check_service_health(ctx: PipelineContext) -> int:
     """check_service_health analog (:74): every source table must be
-    readable and non-empty; returns the number of healthy sources."""
-    healthy = 0
-    for name in HEALTH_SOURCES:
-        if load_table(ctx.spark, ctx.sf_dir, name).limit(1).count() == 1:
-            healthy += 1
+    readable and non-empty; returns the number of healthy sources.
+    The four independent probes union into ONE job — sequential
+    limit(1).count() calls would serialize four scheduling round-trips
+    on the critical path that gates all three analyzers."""
+    from functools import reduce
+
+    probes = [
+        load_table(ctx.spark, ctx.sf_dir, name)
+        .limit(1)
+        .select(F.lit(name).alias("src"))
+        for name in HEALTH_SOURCES
+    ]
+    healthy = reduce(DataFrame.unionByName, probes).count()
     if healthy < len(HEALTH_SOURCES):
         raise RuntimeError(f"unhealthy sources: {healthy}/{len(HEALTH_SOURCES)}")
     return healthy
@@ -119,12 +127,16 @@ def check_data_consistency(ctx: PipelineContext) -> list[dict]:
         F.col("c_custkey").alias("user_id"), F.lit(1).alias("_present")
     )
     # one job: broadcast left join + miss-rate aggregate (F.round on the
-    # JVM matches the oracle's half-away rounding; Python round doesn't)
+    # JVM matches the oracle's half-away rounding; Python round doesn't).
+    # An orphan is a NON-NULL user_id absent from the dim: a null id is
+    # a validity problem, not a referential one, and the oracle's
+    # NOT IN three-valued logic would count it as non-orphan — the
+    # isNotNull guard keeps both engines on that same definition.
+    orphan = F.col("user_id").isNotNull() & F.col("_present").isNull()
     row = (
         ev.join(F.broadcast(cust), "user_id", "left")
         .agg(
-            F.round(F.avg(F.when(F.col("_present").isNull(), 1.0).otherwise(0.0)), 6)
-            .alias("orph")
+            F.round(F.avg(F.when(orphan, 1.0).otherwise(0.0)), 6).alias("orph")
         )
         .collect()[0]
     )
@@ -203,7 +215,8 @@ _RATES_CTE = """
                FROM documents) AS dup_rate,
             (SELECT round(avg(CASE WHEN n_chars < 50 THEN 1.0 ELSE 0 END), 6)
                FROM documents) AS short_rate,
-            (SELECT round(avg(CASE WHEN user_id NOT IN (SELECT c_custkey FROM customer)
+            (SELECT round(avg(CASE WHEN user_id IS NOT NULL
+                               AND user_id NOT IN (SELECT c_custkey FROM customer)
                               THEN 1.0 ELSE 0 END), 6)
                FROM events) AS orphan_rate
     ), s AS (
@@ -263,6 +276,11 @@ def pipeline_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced — value and PASS/WARNING/CRITICAL band per metric, each
     recomputed independently by the oracle."""
     run = quality_pipeline().run(spark, sf_dir)
+    if not run.ok:
+        errs = {
+            n: r.error for n, r in run.records.items() if r.status == "failed"
+        }
+        raise RuntimeError(f"quality DAG failed: {errs}")
     metrics = sorted(
         (m for t in ANALYZERS for m in run.xcom[t]),
         key=lambda m: m["metric"],

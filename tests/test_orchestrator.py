@@ -191,6 +191,39 @@ def test_branch_multi_choice_and_skip_propagation(spark):
     assert st["report"] == "success"
 
 
+def test_branch_deselects_all_done_downstream_too(spark):
+    """Airflow's NotPreviouslySkippedDep: a branch's not-taken DIRECT
+    downstream skips regardless of trigger rule — an all_done cleanup
+    wired under a branch must not run the not-taken path."""
+    from astro_data_pipeline_spark.pipelines.orchestrator import ALL_DONE
+
+    p = (
+        Pipeline("brd")
+        .add_task("decide", lambda ctx: "taken", branch=True)
+        .add_task("taken", lambda ctx: 1, upstream=["decide"])
+        .add_task("not_taken_cleanup", lambda ctx: 1, upstream=["decide"],
+                  trigger_rule=ALL_DONE)
+    )
+    run = p.run(spark, SF)
+    assert run.records["taken"].status == "success"
+    assert run.records["not_taken_cleanup"].status == "skipped"
+
+
+def test_nonfinite_float_result_succeeds_with_null_rows_out(spark):
+    """A task legitimately returning NaN (e.g. a rate over an empty
+    slice) must succeed with a null manifest metric, not fail on the
+    int() coercion after its value already reached the xcom store."""
+    p = Pipeline("nan").add_task("rate", lambda ctx: float("nan"), retries=0)
+    run = p.run(spark, SF)
+    rec = run.records["rate"]
+    assert rec.status == "success"
+    assert rec.attempts == 1
+    assert rec.rows_out is None
+    import math
+
+    assert math.isnan(run.xcom["rate"])
+
+
 def test_branch_choosing_unknown_task_fails_the_branch(spark):
     run = _branch_dag(lambda ctx: "no_such_task").run(spark, SF)
     assert run.records["decide"].status == "failed"
