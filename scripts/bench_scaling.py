@@ -357,7 +357,17 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             "  working set is parity at 1024 (803.4k vs 811.2k ev/s) and\n"
             "  -6% at 512 (764.9k) — the reader already streams batches\n"
             "  through cache; smaller ones only add per-batch setup.\n"
-            "  Default 4096 stays.\n\n"
+            "  Default 4096 stays.\n"
+            "  The input-WAL codec completes the codec trilogy (shuffle\n"
+            "  zstd ADOPTED, table output zstd ADOPTED): rewriting the\n"
+            "  same sf1.0 log uncompressed (12.1 GB vs snappy's 1.2 GB)\n"
+            "  collapses replay to 0.42x — direct confirmation the scan\n"
+            "  is byte-starved, not decode-starved — while zstd segments\n"
+            "  (0.43 GB) measure ~4% BELOW snappy at local[32]\n"
+            "  (interleaved best-of-3: 398k vs 416k ev/s under identical\n"
+            "  co-load): past snappy, extra compression buys fewer scan\n"
+            "  bytes than its decode costs on this path. WAL segments\n"
+            "  stay snappy; REJECTED.\n\n"
             "With the exchange measured small and the Python boundary gone\n"
             "(the whole replay plan is now JVM whole-stage codegen), the\n"
             "remaining 8 -> 32 gap is the decoded-string working set each\n"
