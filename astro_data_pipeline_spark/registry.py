@@ -81,6 +81,6 @@ def _ensure_loaded() -> None:
     from .textops import dedup, similarity, quality, cluster, sampling, chunking  # noqa: F401
     from .multimodal import binary, imaging  # noqa: F401
     from .operators import grouped_analytics  # noqa: F401
-    from .pipelines import quality, telescope  # noqa: F401
+    from .pipelines import quality, research, telescope  # noqa: F401
 
     _LOADED = True

@@ -305,6 +305,36 @@ def test_dag_retry_composes_with_exactly_once_resume(spark, tmp_path):
     assert run.records["verify_counts"].rows_out == len(exp)
 
 
+def test_algorithm_comparison_template_is_parameterized(spark):
+    """The template must build a working DAG from ANY list of
+    registered query names (the reference's algorithms_to_compare
+    param), rank by metric, and fail discovery on unknown names."""
+    from astro_data_pipeline_spark.pipelines.research import (
+        algorithm_comparison_pipeline,
+    )
+
+    algos = ("dedup_exact_by_sha", "text_quality_filter_verdict")
+    run = algorithm_comparison_pipeline("custom_step", algos).run(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert run.ok
+    assert run.records["discover_available_algorithms"].rows_out == 2
+    counts = {
+        a: run.records[f"test_algorithm_{a}"].rows_out for a in algos
+    }
+    assert all(isinstance(c, int) for c in counts.values())
+    ranking = run.xcom["comparison_ranking"]
+    assert sorted(ranking) == sorted(algos)
+    # ranking is by metric desc, name asc
+    assert counts[ranking[0]] >= counts[ranking[1]]
+    # unknown algorithm -> discovery fails, fan-out never runs
+    bad = algorithm_comparison_pipeline("x", ("no_such_query",)).run(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert bad.records["discover_available_algorithms"].status == "failed"
+    assert bad.records["test_algorithm_no_such_query"].status == "upstream_failed"
+
+
 def test_quality_evaluate_branch_logic():
     """evaluate_overall_quality reimplements the reference's rule
     exactly (data_quality_monitoring.py:405-412): any CRITICAL wins,
