@@ -25,6 +25,12 @@ import sys
 import tempfile
 
 
+def _repo_root() -> str:
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="CDC replay: WAL tail -> lake table")
     ap.add_argument("--events", help="parquet glob/paths of the change log", nargs="*")
@@ -39,17 +45,30 @@ def main() -> None:
 
     from pyspark.sql import types as T
 
-    from ..lakehouse import LakeTable
-    from ..session import get_spark
-    from . import apply as A
-    from .runner import CdcRunner, read_event_log
+    # Absolute imports so the file works BOTH as a module
+    # (python -m astro_data_pipeline_spark.cdc.demo) and as a
+    # spark-submit primary resource (run as __main__ with no package
+    # context; the engine then comes from --py-files adps.zip on the
+    # driver's PYTHONPATH, or — bare-script dev runs — from the repo
+    # root three levels up from this file).
+    try:
+        from astro_data_pipeline_spark.cdc import apply as A
+        from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
+        from astro_data_pipeline_spark.lakehouse import LakeTable
+        from astro_data_pipeline_spark.session import get_spark
+    except ModuleNotFoundError:
+        sys.path.insert(0, _repo_root())
+        from astro_data_pipeline_spark.cdc import apply as A
+        from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
+        from astro_data_pipeline_spark.lakehouse import LakeTable
+        from astro_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="adps-cdc-replay", cpus=args.cpus)
 
     if args.events:
         paths = args.events
     elif args.sf is not None:
-        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        sys.path.insert(0, _repo_root())
         from bench import cdc_fixture_dir
 
         meta = cdc_fixture_dir(args.sf)

@@ -260,15 +260,38 @@ class Pipeline:
                         # thread unwinds when its action dies or
                         # completes)
                         sc.cancelJobGroup(group)
+                        if attempt <= spec.retries and not done.wait(
+                            timeout=spec.timeout_s
+                        ):
+                            # A retry would start while the cancelled
+                            # attempt is STILL executing (cancelJobGroup
+                            # interrupts Spark stages, not driver-side
+                            # Python) — two live copies of a
+                            # non-idempotent task. Airflow kills the
+                            # worker process before retrying; a thread
+                            # can't be killed, so after one extra
+                            # timeout of grace we fail the task outright
+                            # rather than retry concurrently.
+                            rec.status = FAILED
+                            rec.error = (
+                                f"execution timeout after {spec.timeout_s}s; "
+                                "attempt still executing after cancelJobGroup"
+                                " — refusing concurrent retry"
+                            )
+                            rec.finished_ms = int(time.time() * 1000)
+                            return
                         raise TimeoutError(
                             f"execution timeout after {spec.timeout_s}s"
                         )
                     if "error" in box:
                         raise box["error"]
                     value = box["value"]
-                # coerce the manifest metric BEFORE publishing anything:
-                # a non-finite float must fail the attempt cleanly, not
-                # after its value already leaked into the xcom store
+                # coerce the manifest metric BEFORE publishing anything,
+                # so a coercion surprise can't leak a half-published
+                # task; a non-finite float succeeds with a NULL rows_out
+                # (the value still reaches xcom — the metric is merely
+                # unavailable, pinned by
+                # test_nonfinite_float_result_succeeds_with_null_rows_out)
                 rows: int | None = None
                 if isinstance(value, bool):
                     pass
@@ -279,7 +302,15 @@ class Pipeline:
                 elif isinstance(value, (list, tuple, dict)):
                     rows = len(value)  # records produced
                 if spec.branch:
-                    chosen = (value,) if isinstance(value, str) else tuple(value)
+                    # Airflow BranchPythonOperator contract: a string or
+                    # iterable of task names to follow; None chooses
+                    # NOTHING (every direct downstream skips)
+                    if value is None:
+                        chosen = ()
+                    elif isinstance(value, str):
+                        chosen = (value,)
+                    else:
+                        chosen = tuple(value)
                     unknown = [c for c in chosen if c not in self._tasks]
                     if unknown:
                         raise ValueError(

@@ -64,14 +64,18 @@ def _monitor_jobs(ctx: PipelineContext) -> int:
     from ..multimodal.imaging import image_catalog
 
     cat = image_catalog(ctx.spark, ctx.sf_dir)
-    return cat.select("instrument").distinct().count()
+    return cat.agg(F.count_distinct("instrument")).first()[0]
 
 
 def _update_catalog(ctx: PipelineContext) -> int:
     """update_catalog analog: current-state catalog keys after the LWW
     collapse (one row per user, reference upsert :320-340)."""
     ev = load_table(ctx.spark, ctx.sf_dir, "events")
-    return ev.select("user_id").distinct().count()
+    # count_distinct, not distinct().count(): the oracle's
+    # count(DISTINCT user_id) excludes NULL ids, and the events table
+    # legitimately carries them (quality.py treats a null id as a
+    # validity defect, not malformed input)
+    return ev.agg(F.count_distinct("user_id")).first()[0]
 
 
 def _archive(ctx: PipelineContext) -> int:
@@ -83,7 +87,7 @@ def _quality_check(ctx: PipelineContext) -> int:
     """quality_check analog (the reference's type-count SQL :443-455):
     distinct event types observed in the freshly loaded window."""
     ev = load_table(ctx.spark, ctx.sf_dir, "events")
-    return ev.select("event_type").distinct().count()
+    return ev.agg(F.count_distinct("event_type")).first()[0]
 
 
 def _cleanup(ctx: PipelineContext) -> int:

@@ -106,6 +106,36 @@ VARIANTS = {
 }
 
 
+def _apply_conf(spark, conf: dict) -> "callable":
+    """Apply one variant's overrides and return a restore closure.
+
+    Variants touch different key families, so a key set by one variant
+    and never reset would leak into every later variant's rounds (e.g.
+    dict_off's global dictionary toggle silently contaminating a
+    subsequent dict_content_on measurement). Every key is restored to
+    its pre-variant value (or unset) before the next variant runs.
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    undo = []
+    for k, val in conf.items():
+        if k.startswith("hadoop:"):
+            hk = k[len("hadoop:"):]
+            undo.append(("h", hk, hconf.get(hk)))
+            hconf.set(hk, val)
+        else:
+            undo.append(("s", k, spark.conf.get(k, None)))
+            spark.conf.set(k, val)
+
+    def restore() -> None:
+        for kind, key, old in undo:
+            if kind == "h":
+                hconf.unset(key) if old is None else hconf.set(key, old)
+            else:
+                spark.conf.unset(key) if old is None else spark.conf.set(key, old)
+
+    return restore
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.1)
@@ -134,24 +164,21 @@ def main() -> None:
             conf, kwargs = VARIANTS[v]
             kwargs = dict(kwargs)
             n_buckets = kwargs.pop("n_buckets", 64)
-            for k, val in conf.items():
-                if k.startswith("hadoop:"):
-                    spark.sparkContext._jsc.hadoopConfiguration().set(
-                        k[len("hadoop:"):], val
+            restore = _apply_conf(spark, conf)
+            try:
+                with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+                    table = LakeTable.create(
+                        spark, os.path.join(td, "lake"),
+                        T.StructType(A.BASE_TABLE_FIELDS), A.KEY_COLS,
+                        n_buckets=n_buckets,
                     )
-                else:
-                    spark.conf.set(k, val)
-            with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
-                table = LakeTable.create(
-                    spark, os.path.join(td, "lake"),
-                    T.StructType(A.BASE_TABLE_FIELDS), A.KEY_COLS,
-                    n_buckets=n_buckets,
-                )
-                t0 = time.time()
-                CdcRunner(
-                    spark, table, run_id=f"ab{rnd}", mode="mor", **kwargs
-                ).replay(events, n_batches=args.n_batches)
-                dt = time.time() - t0
+                    t0 = time.time()
+                    CdcRunner(
+                        spark, table, run_id=f"ab{rnd}", mode="mor", **kwargs
+                    ).replay(events, n_batches=args.n_batches)
+                    dt = time.time() - t0
+            finally:
+                restore()
             results[v].append(round(dt, 3))
             print(f"round {rnd} {v}: {dt:.3f}s", file=sys.stderr)
 

@@ -20,6 +20,12 @@ for i in $(seq 1 "$MAX_ROUNDS"); do
     fi
     sleep 30
   done
+  if [ "$quiet" -lt 2 ]; then
+    # no quiet window within the wait budget: skip rather than burn a
+    # long run whose numbers are guaranteed contended
+    echo "[exec-hunter] round $i SKIPPED: no quiet window (load $(cut -d' ' -f1-3 /proc/loadavg))" >&2
+    continue
+  fi
   echo "[exec-hunter] round $i starting (load $(cut -d' ' -f1-3 /proc/loadavg))" >&2
   python scripts/bench_scaling.py --sf 1.0 --rounds 1 --trials 2 --reuse \
     --executors --pair 1 4 --pair 2 8 >> /tmp/exec_hunter.log 2>&1

@@ -22,6 +22,12 @@ for i in $(seq 1 "$MAX_ROUNDS"); do
     fi
     sleep 30
   done
+  if [ "$quiet" -lt 2 ]; then
+    # no quiet window within the wait budget: skip rather than burn a
+    # long run whose numbers are guaranteed contended
+    echo "[hunter] round $i SKIPPED: no quiet window (load $(cat /proc/loadavg | cut -d' ' -f1-3))" >&2
+    continue
+  fi
   echo "[hunter] round $i starting (load $(cat /proc/loadavg | cut -d' ' -f1-3))" >&2
   python scripts/bench_scaling.py --sf 1.0 --rounds 1 --trials 2 --reuse \
     --pair 2 8 --pair 8 32 >> /tmp/scale_hunter.log 2>&1

@@ -224,6 +224,66 @@ def test_nonfinite_float_result_succeeds_with_null_rows_out(spark):
     assert math.isnan(run.xcom["rate"])
 
 
+def test_timeout_never_retries_concurrently(spark):
+    """A timed-out attempt stuck in DRIVER-side Python (which
+    cancelJobGroup cannot interrupt) must not overlap with its retry:
+    after one extra timeout of grace the task fails outright, with the
+    fn having run exactly once — never two live copies of a
+    non-idempotent task (Airflow kills the worker process; a thread can
+    only be walked away from)."""
+    calls = {"n": 0}
+
+    def stuck(ctx):
+        calls["n"] += 1
+        time.sleep(8)  # driver-side: immune to job-group cancellation
+        return 1
+
+    p = Pipeline("ctmo").add_task("stuck", stuck, retries=2, timeout_s=1.0)
+    t0 = time.time()
+    run = p.run(spark, SF)
+    dt = time.time() - t0
+    rec = run.records["stuck"]
+    assert rec.status == "failed"
+    assert "refusing concurrent retry" in rec.error
+    assert rec.attempts == 1
+    assert calls["n"] == 1, "retry overlapped the live cancelled attempt"
+    assert dt < 6.0, f"run blocked on the hung attempt ({dt:.1f}s)"
+
+
+def test_timeout_retry_waits_for_unwind_then_succeeds(spark):
+    """When the cancelled attempt unwinds within the grace window, the
+    retry proceeds (sequentially) and can succeed."""
+    calls = {"n": 0}
+
+    def slow_then_fast(ctx):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(1.5)  # > timeout, < timeout + grace
+        return 7
+
+    p = Pipeline("gtmo").add_task(
+        "t", slow_then_fast, retries=1, timeout_s=1.0
+    )
+    run = p.run(spark, SF)
+    rec = run.records["t"]
+    assert rec.status == "success"
+    assert rec.attempts == 2
+    assert rec.rows_out == 7
+    assert calls["n"] == 2
+
+
+def test_branch_returning_none_skips_all_downstream(spark):
+    """Airflow contract: a BranchPythonOperator returning None follows
+    no path — every direct downstream skips, and a none_failed fan-in
+    still runs over the all-skipped upstreams."""
+    run = _branch_dag(lambda ctx: None).run(spark, SF)
+    st = {n: r.status for n, r in run.records.items()}
+    assert st["decide"] == "success"
+    assert run.records["decide"].chosen == ()
+    assert st["critical"] == st["warning"] == st["healthy"] == "skipped"
+    assert st["report"] == "success"  # none_failed fan-in
+
+
 def test_branch_choosing_unknown_task_fails_the_branch(spark):
     run = _branch_dag(lambda ctx: "no_such_task").run(spark, SF)
     assert run.records["decide"].status == "failed"
