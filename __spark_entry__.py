@@ -33,7 +33,7 @@ from astro_data_pipeline_spark import registry
 #   4. the engine's headline CDC queries (always re-gated)
 #   5. representative coverage of joins / aggs / windows / filters
 #
-# Unlisted names (the three late-round-2 pipeline_* control-plane
+# Unlisted names (the four late-round-2 pipeline_* control-plane
 # queries) sort after every listed one — past the 50-row window by
 # design, so they cannot displace a round-1-dark query from the r2
 # record; they take their green rows in round 3 (local pytest oracles
