@@ -710,8 +710,19 @@ def cdc_json_wal_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     wal = events.select("event_id", envelope.alias("envelope")).select(
         raw.alias("raw")
     )
+    # explode(array(...)) is a one-row generator barrier: the quarantine
+    # filter references generator output, which PushDownPredicate cannot
+    # push through, so from_json evaluates ONCE per row. A bare
+    # select+filter lets Catalyst push the predicate below the
+    # projection, re-inlining the whole to_json+from_json chain into the
+    # Filter — every row serialized and parsed twice, and the from_json
+    # Project drops out of whole-stage codegen (measured 1.77 -> 1.10 s
+    # at sf0.1; same pitfall as the n-gram contamination filter, see
+    # ROUND2.md "filter-below-projection re-inline").
     parsed = wal.select(
-        F.from_json("raw", _WAL_ENVELOPE_SCHEMA, {"mode": "PERMISSIVE"}).alias("e")
+        F.explode(
+            F.array(F.from_json("raw", _WAL_ENVELOPE_SCHEMA, {"mode": "PERMISSIVE"}))
+        ).alias("e")
     )
     return parsed.filter(F.col("e.key").isNotNull()).select(
         F.col("e.key").alias("event_id"),

@@ -44,6 +44,17 @@ def test_projection_prunes_scan_columns(spark):
     assert all("quality" not in ln for ln in schemas), schemas
 
 
+def test_json_wal_parse_evaluates_once(spark):
+    """The quarantine filter must not re-inline the JSON parse below the
+    projection (PushDownPredicate duplicating to_json+from_json per row
+    — the filter-below-projection pitfall). The generator barrier keeps
+    exactly one parse and one serialize in the physical plan."""
+    df = registry.get("cdc_json_wal_source").fn(spark, SF)
+    p = plan(df, mode="simple")
+    assert p.count("from_json") == 1, p
+    assert p.count("StructsToJsonEvaluator") == 1, p
+
+
 def test_small_dim_join_broadcasts(spark):
     df = registry.get("join_fact_dim_revenue_by_brand").fn(spark, SF)
     assert "BroadcastHashJoin" in plan(df, "simple")
