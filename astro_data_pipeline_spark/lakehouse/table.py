@@ -53,7 +53,9 @@ Layout::
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
 import time
 import uuid
@@ -140,6 +142,14 @@ class LakeTable:
         n_buckets: int = 16,
     ) -> "LakeTable":
         t = cls(spark, root)
+        if t.exists():
+            # re-creating over a live table would reset the hint to
+            # snapshot 1 while the old incarnation's higher-id snapshot
+            # JSONs and data files survive — snapshot()/time travel would
+            # then mix two tables' histories. Load it or pick a new root.
+            raise FileExistsError(
+                f"table already exists at {root}; use LakeTable.load"
+            )
         os.makedirs(t._meta, exist_ok=True)
         os.makedirs(t._data, exist_ok=True)
         snap = Snapshot(
@@ -194,14 +204,26 @@ class LakeTable:
         return out
 
     def committed_batch_ids(self, run_scope: str | None = None) -> set:
-        """Batch ids already durably applied (exactly-once resume check)."""
+        """Batch ids already durably applied (exactly-once resume check).
+
+        Includes batches whose snapshots ``expire_snapshots`` has dropped:
+        expiry folds their ids into the oldest kept snapshot's
+        ``inherited_batches`` ledger, so the resume horizon is NOT capped
+        by the snapshot retention window (a resume over the full WAL must
+        skip every batch ever committed, not just the last ``keep_last``)."""
         out = set()
         for snap in self.snapshot_chain():
-            b = snap.summary.get("batch_id")
-            if b is None:
-                continue
-            if run_scope is None or snap.summary.get("run_scope") == run_scope:
-                out.add(b)
+            recs = [
+                {
+                    "batch_id": snap.summary.get("batch_id"),
+                    "run_scope": snap.summary.get("run_scope"),
+                }
+            ] + snap.summary.get("inherited_batches", [])
+            for r in recs:
+                if r["batch_id"] is None:
+                    continue
+                if run_scope is None or r.get("run_scope") == run_scope:
+                    out.add(r["batch_id"])
         return out
 
     def _read_snapshot(self, sid: int | None) -> Snapshot | None:
@@ -211,20 +233,32 @@ class LakeTable:
         with open(p) as f:
             return Snapshot.from_json(json.load(f))
 
+    def _atomic_write(self, path: str, payload: str) -> None:
+        """Durable atomic file publish: write temp, fsync the DATA, rename,
+        fsync the directory. Without the fsyncs a power loss after the
+        rename can leave the name pointing at truncated bytes (rename
+        journaled, data not flushed) — the hint would then reference an
+        unreadable snapshot, breaking the 'readers only ever see a fully
+        committed snapshot' contract."""
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
     def _write_snapshot(self, snap: Snapshot) -> None:
         p = os.path.join(self._meta, f"snapshot-{snap.snapshot_id}.json")
-        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(snap.to_json(), f)
-        os.replace(tmp, p)
+        self._atomic_write(p, json.dumps(snap.to_json()))
 
     def _commit_hint(self, sid: int) -> None:
         """THE commit point: atomic rename of the version hint."""
-        hint = os.path.join(self._meta, "version-hint.txt")
-        tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(str(sid))
-        os.replace(tmp, hint)
+        self._atomic_write(os.path.join(self._meta, "version-hint.txt"), str(sid))
 
     # --------------------------------------------------------------- read
 
@@ -299,7 +333,8 @@ class LakeTable:
         If merge-on-read deltas exist they are resolved (LWW by commit
         seq); a fully-compacted table reads with zero resolution cost."""
         snap = snapshot or self.current_snapshot()
-        assert snap is not None, "table has no committed snapshot"
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
         paths, has_deltas = self._bucket_paths(snap, buckets, include_deltas=True)
         if not has_deltas:
             return self._scan(snap, paths, with_internals=False)
@@ -319,8 +354,13 @@ class LakeTable:
         1/n_buckets of the table regardless of table size.
         """
         snap = snapshot or self.current_snapshot()
-        assert snap is not None
-        assert set(key) == set(snap.key_cols), f"key must bind {snap.key_cols}"
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        # a mis-bound key would prune to the wrong bucket and return 0
+        # rows instead of erroring — guard with a real raise (asserts
+        # vanish under python -O)
+        if set(key) != set(snap.key_cols):
+            raise ValueError(f"key must bind exactly {snap.key_cols}, got {sorted(key)}")
         # probe with the TABLE's key column types: hashing the string '42'
         # when the column is a long lands in the wrong bucket and the
         # pruned scan silently misses an existing row
@@ -367,9 +407,11 @@ class LakeTable:
             if to_snapshot_id is not None
             else self.current_snapshot()
         )
-        assert to_snap is not None, "unknown 'to' snapshot"
+        if to_snap is None:
+            raise ValueError(f"unknown 'to' snapshot {to_snapshot_id}")
         from_snap = self._read_snapshot(from_snapshot_id)
-        assert from_snap is not None, "unknown 'from' snapshot"
+        if from_snap is None:
+            raise ValueError(f"unknown 'from' snapshot {from_snapshot_id}")
 
         # Walk to → from, collecting each in-range commit's own delta files.
         # A rebucket in range folds deltas into base files but the pre-fold
@@ -398,14 +440,27 @@ class LakeTable:
                     if p.startswith(prefix)
                 ]
             snap = self._read_snapshot(snap.parent_id) if snap.parent_id else None
-        assert snap is not None and snap.snapshot_id == from_snapshot_id, (
-            f"snapshot {from_snapshot_id} is not an ancestor of {to_snap.snapshot_id}"
-        )
+        if snap is None or snap.snapshot_id != from_snapshot_id:
+            # returning a diff against a non-ancestor would be silently
+            # wrong data — must survive python -O
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snap.snapshot_id}"
+            )
 
         key_cols = to_snap.key_cols
         val_cols = [f.name for f in to_snap.schema.fields if f.name not in key_cols]
         if not delta_rels:
-            empty = to_snap.schema.add(T.StructField("change_type", T.StringType()))
+            # same positional order as the non-empty branch (key cols,
+            # value cols, change_type) — table schemas need not list the
+            # key columns first, and positional consumers (unionAll,
+            # appending writers) must see one shape
+            fields = {f.name: f for f in to_snap.schema.fields}
+            empty = T.StructType(
+                [fields[c] for c in key_cols]
+                + [fields[c] for c in val_cols]
+                + [T.StructField("change_type", T.StringType())]
+            )
             return self.spark.createDataFrame([], empty)
 
         # Net winner per key across the in-range deltas (same W1 primitive
@@ -466,7 +521,8 @@ class LakeTable:
         """Additive schema evolution: metadata-only commit; existing files
         carry forward and read back with nulls for the new columns."""
         cur = self.current_snapshot()
-        assert cur is not None
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
         schema = cur.schema
         existing = {f.name for f in schema.fields}
         for nf in new_fields:
@@ -502,10 +558,12 @@ class LakeTable:
         over the pruning/parallelism the new count buys as a table grows
         past its original layout."""
         cur = self.current_snapshot()
-        assert cur is not None, "table has no committed snapshot"
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
         if n_buckets == cur.n_buckets:
             return cur
-        assert n_buckets >= 1
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         key_cols = cur.key_cols
         commit_id = cur.snapshot_id + 1
         result = (
@@ -596,7 +654,8 @@ class LakeTable:
         from pyspark.sql import Observation
 
         cur = self.current_snapshot()
-        assert cur is not None
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
         key_cols = cur.key_cols
         table_cols = [f.name for f in cur.schema.fields]
         val_cols = [c for c in table_cols if c not in key_cols]
@@ -617,16 +676,29 @@ class LakeTable:
 
         if touched:
             base = self.read_buckets(touched)
-            # disambiguate update-side columns before the join
+            # disambiguate update-side columns (keys included) before the join
             u = upd.select(
-                *key_cols,
+                *[F.col(c).alias(f"_u_{c}") for c in key_cols],
                 F.col(BUCKET_COL).alias("_u_bucket"),
                 F.col(op_col).alias("_u_op"),
                 *[F.col(c).alias(f"_u_{c}") for c in val_cols],
             ).withColumn("_u_present", F.lit(True))
             b = base.withColumn("_b_present", F.lit(True))
 
-            joined = b.join(u, on=key_cols, how="full_outer")
+            # null-safe key equality: a NULL merge key must match its
+            # base row exactly as merge-on-read's groupBy resolution
+            # groups it — plain `=` never matches NULL, silently turning
+            # deletes of such keys into no-ops and upserts into
+            # accumulating duplicates (CoW would diverge from MoR on the
+            # same input). <=> is still an equi-join key for the planner.
+            joined = b.join(
+                u,
+                on=functools.reduce(
+                    operator.and_,
+                    [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in key_cols],
+                ),
+                how="full_outer",
+            )
             u_here = F.col("_u_present").isNotNull()
             b_here = F.col("_b_present").isNotNull()
             # coalesce: a NULL op must mean "not a delete", not SQL NULL —
@@ -640,11 +712,21 @@ class LakeTable:
                 F.count(F.when(u_here & b_here & ~is_del, 1)).alias("rows_updated"),
                 F.count(F.when(u_here & b_here & is_del, 1)).alias("rows_deleted"),
                 F.count(F.when(u_here & ~b_here & is_del, 1)).alias("rows_delete_noop"),
+                # contract check, free on the write action: an update row
+                # whose bucket the caller's touched_buckets missed would be
+                # written but never registered (silent row loss) — count it
+                # here and refuse to commit below
+                F.count(
+                    F.when(u_here & ~F.col("_u_bucket").isin(touched), 1)
+                ).alias("rows_outside_touched"),
             ]
             obs = Observation()
             observed = joined.observe(obs, *clf_aggs)
             result = observed.filter(~(u_here & is_del)).select(
-                *key_cols,
+                *[
+                    F.coalesce(F.col(c), F.col(f"_u_{c}")).alias(c)
+                    for c in key_cols
+                ],
                 *[
                     F.when(u_here, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
                     for c in val_cols
@@ -661,7 +743,7 @@ class LakeTable:
             # co-locate buckets before the partitioned write: one shuffle,
             # files land one-per-bucket-per-task
             (
-                result.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+                result.repartition(len(touched), F.col(BUCKET_COL))
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(out_dir)
@@ -674,7 +756,16 @@ class LakeTable:
                 row = joined.agg(*clf_aggs).collect()[0]
                 totals = {k: int(row[k]) for k in
                           ("rows_inserted", "rows_updated", "rows_deleted",
-                           "rows_delete_noop")}
+                           "rows_delete_noop", "rows_outside_touched")}
+            outside = totals.pop("rows_outside_touched", 0)
+            if outside:
+                # files are written but NO snapshot references them (the
+                # orphan commit dir is GC'd by expire_snapshots) — refuse
+                # to commit a merge that would drop these rows
+                raise ValueError(
+                    f"touched_buckets missed {outside} update row(s); "
+                    "pass the full bucket set (or None to derive it)"
+                )
             for bk in touched:
                 rels = self._bucket_files(rel_dir, bk)
                 if rels:
@@ -729,7 +820,8 @@ class LakeTable:
         while commits stay strictly ordered (the pipelined-ingest shape:
         writes race, the ledger serializes)."""
         cur = self.current_snapshot()
-        assert cur is not None
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
         commit_id = cur.snapshot_id + 1
         w = self.mor_write(
             updates, commit_id, op_col=op_col, delete_op=delete_op,
@@ -754,7 +846,8 @@ class LakeTable:
         from pyspark.sql import Observation
 
         cur = snapshot or self.current_snapshot()
-        assert cur is not None
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
         key_cols = cur.key_cols
         val_cols = [f.name for f in cur.schema.fields if f.name not in key_cols]
 
@@ -817,14 +910,19 @@ class LakeTable:
         commit_id, rel_dir = write["commit_id"], write["rel_dir"]
         totals = write["totals"]
         cur = self.current_snapshot()
-        assert cur is not None
-        if expect_parent is not None:
-            assert cur.snapshot_id == expect_parent, (
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        # these guards protect the on-disk ledger (an out-of-order
+        # finalize would commit a snapshot whose parent skips a commit) —
+        # real raises, not asserts that python -O strips
+        if expect_parent is not None and cur.snapshot_id != expect_parent:
+            raise RuntimeError(
                 f"commit order violated: parent {cur.snapshot_id} != {expect_parent}"
             )
-        assert commit_id == cur.snapshot_id + 1, (
-            f"non-sequential commit {commit_id} onto {cur.snapshot_id}"
-        )
+        if commit_id != cur.snapshot_id + 1:
+            raise RuntimeError(
+                f"non-sequential commit {commit_id} onto {cur.snapshot_id}"
+            )
         out_dir = os.path.join(self.root, rel_dir)
 
         with phase("mor.list_files"):
@@ -864,7 +962,8 @@ class LakeTable:
         dropped) and rewritten; others untouched. Returns None if nothing
         to compact."""
         cur = self.current_snapshot()
-        assert cur is not None
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
         victims = sorted(
             int(b) for b, fs in cur.delta_files.items() if len(fs) >= min_deltas
         )
@@ -935,8 +1034,25 @@ class LakeTable:
                 }
                 f.write(json.dumps(rec) + "\n")
 
+    _LINEAGE_SCHEMA = T.StructType(
+        [
+            T.StructField("run_id", T.StringType()),
+            T.StructField("batch_id", T.StringType()),
+            T.StructField("lsn_lo", T.LongType()),
+            T.StructField("lsn_hi", T.LongType()),
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("committed_at_ms", T.LongType()),
+            T.StructField("partition_id", T.LongType()),
+            T.StructField("n_files", T.LongType()),
+        ]
+    )
+
     def lineage(self) -> DataFrame:
         path = os.path.join(self._meta, "lineage.jsonl")
+        if not os.path.exists(path):
+            # a table that never merged has no lineage rows yet — empty
+            # frame, not an AnalysisException on the missing path
+            return self.spark.createDataFrame([], self._LINEAGE_SCHEMA)
         return self.spark.read.json(path)
 
     # ----------------------------------------------------------- maintain
@@ -944,19 +1060,55 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Drop snapshot metadata older than the last N and delete data
         files no live snapshot references (reference analog: S3 lifecycle
-        transitions, terraform/01-data/s3.tf:51-84)."""
+        transitions, terraform/01-data/s3.tf:51-84).
+
+        Crash-safe ordering: the oldest KEPT snapshot is rewritten FIRST —
+        parent link cut AND the expired snapshots' batch ids folded into
+        its ``inherited_batches`` ledger in one atomic file publish — and
+        only then are expired snapshot JSONs and orphan data files
+        removed. The reverse order leaves a crash window where a kept
+        snapshot still points at a deleted parent, bricking every
+        subsequent chain walk (resume, time travel, batch-id skip checks).
+        The inherited ledger keeps ``committed_batch_ids`` complete past
+        the retention window, so exactly-once resume over the full WAL
+        never re-applies an expired-but-committed batch."""
         chain = self.snapshot_chain()
-        keep = chain[:keep_last]
+        keep, expired = chain[:keep_last], chain[keep_last:]
         live_files = {p for s in keep for fs in s.files.values() for p in fs}
         live_files |= {p for s in keep for fs in s.delta_files.values() for p in fs}
-        removed = 0
+
+        # 1. atomically re-root the kept chain (link cut + ledger fold)
+        if keep and expired:
+            oldest = keep[-1]
+            ledger = list(oldest.summary.get("inherited_batches", []))
+            seen = {(r["batch_id"], r.get("run_scope")) for r in ledger}
+            for s in expired:
+                recs = [
+                    {
+                        "batch_id": s.summary.get("batch_id"),
+                        "run_scope": s.summary.get("run_scope"),
+                    }
+                ] + s.summary.get("inherited_batches", [])
+                for r in recs:
+                    k = (r["batch_id"], r.get("run_scope"))
+                    if r["batch_id"] is not None and k not in seen:
+                        seen.add(k)
+                        ledger.append(
+                            {"batch_id": r["batch_id"], "run_scope": r.get("run_scope")}
+                        )
+            oldest.parent_id = None
+            oldest.summary = {**oldest.summary, "inherited_batches": ledger}
+            self._write_snapshot(oldest)
+
+        # 2. expired metadata (safe now: no kept snapshot references it)
         keep_ids = {s.snapshot_id for s in keep}
         for fn in os.listdir(self._meta):
             if fn.startswith("snapshot-") and fn.endswith(".json"):
                 sid = int(fn[len("snapshot-"):-len(".json")])
                 if sid not in keep_ids:
                     os.remove(os.path.join(self._meta, fn))
-        # orphan data files
+        # 3. orphan data files
+        removed = 0
         for dirpath, _dirnames, filenames in os.walk(self._data):
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
@@ -964,10 +1116,4 @@ class LakeTable:
                 if fn.endswith(".parquet") and rel not in live_files:
                     os.remove(full)
                     removed += 1
-        # break parent links that now dangle
-        if keep:
-            oldest = keep[-1]
-            if oldest.parent_id is not None:
-                oldest.parent_id = None
-                self._write_snapshot(oldest)
         return removed

@@ -327,3 +327,124 @@ def test_point_lookup_with_long_key_column(spark, tmp_path):
     for probe in (7, "7"):  # string input must cast, not mis-hash
         got = t.read_key({"id": probe}).collect()
         assert len(got) == 1 and got[0]["v"] == 70, probe
+
+
+def test_create_refuses_existing_table(spark, table, tmp_path):
+    """Re-creating over a live table would reset the hint while the old
+    incarnation's snapshots survive — mixed histories. Must refuse."""
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, table.root, SCHEMA, ["repo", "path"], n_buckets=4)
+    # the original table is untouched
+    assert table.current_snapshot().snapshot_id == 1
+
+
+def test_merge_null_key_cow_matches_mor(spark, tmp_path):
+    """A NULL merge-key component must behave identically under
+    copy-on-write and merge-on-read: MoR's groupBy treats NULL as one key
+    group, so CoW's join must be null-safe — otherwise a delete of the
+    NULL key silently no-ops and an upsert duplicates the row."""
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), True),
+            T.StructField("path", T.StringType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    rows1 = [(None, "a", 1, "insert"), ("r1", "a", 1, "insert")]
+    rows2 = [(None, "a", 2, "update"), ("r1", "a", 0, "delete")]
+    states = {}
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"nk-{mode}"), schema, ["repo", "path"], n_buckets=4
+        )
+        for rows in (rows1, rows2):
+            upd = spark.createDataFrame(
+                rows, schema="repo string, path string, v long, op string"
+            )
+            if mode == "cow":
+                _, m = t.merge(upd)
+            else:
+                t.merge_mor(upd)
+        states[mode] = sorted(
+            ((r["repo"], r["path"], r["v"]) for r in t.read().collect()),
+            key=str,
+        )
+    # NULL-key row updated (not duplicated), r1 deleted — identically
+    assert states["cow"] == states["mor"] == [(None, "a", 2)]
+
+
+def test_merge_touched_buckets_miss_refuses_to_commit(spark, table):
+    """A caller-supplied touched_buckets that misses an update row's
+    bucket must raise (the row would be written but never registered —
+    silent loss), and the refused merge must not commit."""
+    table.merge(_updates(spark, [(f"r{i}", f"p{i}", 1, "insert") for i in range(20)]))
+    sid = table.current_snapshot().snapshot_id
+    upd = _updates(spark, [(f"r{i}", f"p{i}", 2, "update") for i in range(20)])
+    from astro_data_pipeline_spark.lakehouse.table import bucket_expr
+
+    buckets = sorted(
+        r[0]
+        for r in upd.select(bucket_expr(["repo", "path"], 4)).distinct().collect()
+    )
+    assert len(buckets) > 1  # the miss below is real
+    with pytest.raises(ValueError, match="touched_buckets missed"):
+        table.merge(upd, touched_buckets=buckets[:1])
+    assert table.current_snapshot().snapshot_id == sid  # nothing committed
+    # and the correct full set still works
+    _, m = table.merge(upd, touched_buckets=buckets)
+    assert m["totals"]["rows_updated"] == 20
+
+
+def test_expire_preserves_batch_ledger_and_chain_integrity(spark, table):
+    """Expiry must not shrink the exactly-once resume horizon: batch ids
+    of expired snapshots fold into the oldest kept snapshot's inherited
+    ledger, and the kept chain re-roots cleanly (no dangling parent)."""
+    for i in range(6):
+        table.merge(
+            _updates(spark, [("r1", "a", i, "insert" if i == 0 else "update")]),
+            summary={"batch_id": f"b{i}", "run_scope": "s1"},
+        )
+    all_ids = {f"b{i}" for i in range(6)}
+    assert table.committed_batch_ids() == all_ids
+    table.expire_snapshots(keep_last=2)
+    # full ledger survives retention; chain walk terminates at the new root
+    assert table.committed_batch_ids() == all_ids
+    assert table.committed_batch_ids(run_scope="s1") == all_ids
+    assert table.committed_batch_ids(run_scope="other") == set()
+    chain = table.snapshot_chain()
+    assert len(chain) == 2 and chain[-1].parent_id is None
+    # a second expiry folds the inherited ledger forward, not just the
+    # newly-expired snapshot's own id
+    table.merge(_updates(spark, [("r1", "a", 99, "update")]), summary={"batch_id": "b6"})
+    table.expire_snapshots(keep_last=1)
+    assert table.committed_batch_ids() == all_ids | {"b6"}
+
+
+def test_changes_empty_range_matches_nonempty_column_order(spark, tmp_path):
+    """The delta-free changes() branch must emit the same positional
+    shape (key cols, value cols, change_type) as the non-empty branch,
+    even when the table schema lists a value column first."""
+    schema = T.StructType(
+        [
+            T.StructField("v", T.LongType(), True),
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "ord"), schema, ["repo", "path"], n_buckets=2)
+    s1 = t.current_snapshot().snapshot_id
+    up = spark.createDataFrame(
+        [(1, "r1", "a", "insert")], schema="v long, repo string, path string, op string"
+    )
+    t.merge_mor(up)
+    s2 = t.current_snapshot().snapshot_id
+    nonempty = t.changes(s1, s2)
+    empty = t.changes(s2, s2)
+    assert empty.columns == nonempty.columns == ["repo", "path", "v", "change_type"]
+    assert empty.count() == 0
+
+
+def test_lineage_empty_before_first_merge(table):
+    df = table.lineage()
+    assert df.count() == 0
+    assert "snapshot_id" in df.columns
