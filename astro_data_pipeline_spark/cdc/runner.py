@@ -49,6 +49,8 @@ class BatchReport:
 
 def lsn_ranges(min_lsn: int, max_lsn: int, n_batches: int) -> list[tuple[int, int]]:
     """Deterministic half-open (lo, hi] LSN slices covering the log."""
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
     width = math.ceil((max_lsn - min_lsn + 1) / n_batches)
     out = []
     lo = min_lsn - 1
@@ -233,7 +235,12 @@ class CdcRunner:
 
         from ..lakehouse.table import bucket_expr
 
-        ok = A.valid_predicate()
+        # coalesce: valid_predicate evaluates to SQL NULL for rows like
+        # op=NULL (isin(NULL) is NULL) — filter(ok) drops them either way,
+        # but ~NULL is NULL too, so without the coalesce the quarantine
+        # counter would SKIP exactly the rows being quarantined (silent
+        # disappearance with n_quarantined=0)
+        ok = F.coalesce(A.valid_predicate(), F.lit(False))
         obs = Observation()
         observed = events.observe(
             obs, F.count(F.when(~ok, 1)).alias("rows_quarantined")
@@ -303,8 +310,6 @@ class CdcRunner:
         chain (one JSON parse per snapshot), O(batches × snapshots) over
         a long-lived table.
         """
-        from pyspark.sql import Observation
-
         with phase("runner.skip_check"):
             if committed is None:
                 committed = self.table.committed_batch_ids()
@@ -328,9 +333,16 @@ class CdcRunner:
             if self.salt_auto and hot_keys is None:
                 hot = self.detect_hot_keys(slim)
             if self.mode == "cow":
+                # quarantine-bound rows (null key cols) never reach the
+                # merge — without this filter their hash bucket would be
+                # spuriously rewritten on every batch carrying a corrupt
+                # stripe
+                keyed = slim
+                for c in snap.key_cols:
+                    keyed = keyed.filter(F.col(c).isNotNull())
                 touched = [
                     r[0]
-                    for r in slim.select(bucket_expr(snap.key_cols, snap.n_buckets))
+                    for r in keyed.select(bucket_expr(snap.key_cols, snap.n_buckets))
                     .distinct()
                     .collect()
                 ]
@@ -375,7 +387,13 @@ class CdcRunner:
                 try:
                     n_bad = int(obs.get.get("rows_quarantined", 0))
                 except Exception:
-                    n_bad = 0
+                    # the optimizer can prune the observe node when the
+                    # valid side folds statically empty (e.g. every lsn
+                    # NULL) — exactly the batches that are ALL quarantine,
+                    # so assuming 0 here would hide them; recompute
+                    # directly (one extra job, only on this rare path)
+                    ok = F.coalesce(A.valid_predicate(), F.lit(False))
+                    n_bad = events.filter(~ok).count()
         return BatchReport(
             batch_id,
             lsn_lo,
@@ -410,7 +428,15 @@ class CdcRunner:
             if lo_hi is None:
                 lo_hi = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
         if lo_hi[0] is None:
-            return []
+            # no orderable LSNs at all. A truly empty log is a no-op, but
+            # a non-empty all-null-lsn log must still flow through the
+            # validate/quarantine path (not vanish with zero batches and
+            # zero metrics) — same contract as the streaming bridge.
+            if events.limit(1).count() == 0:
+                return []
+            return [
+                self.apply_batch(events, "lsn:null-only", 0, 0, hot_keys=[])
+            ]
         ranges = lsn_ranges(int(lo_hi[0]), int(lo_hi[1]), n_batches)
         if (
             self.mode == "mor"
@@ -433,10 +459,17 @@ class CdcRunner:
         # batches this replay itself commits can't be in the skip set
         with phase("runner.skip_check"):
             committed = self.table.committed_batch_ids()
-        for lo, hi in ranges:
+        for i, (lo, hi) in enumerate(ranges):
             batch_id = f"lsn:{lo}-{hi}"
-            # LSN-range predicate pushes down to the event-log scan
-            batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+            # LSN-range predicate pushes down to the event-log scan. A
+            # NULL lsn falls outside EVERY (lo, hi] slice, so the first
+            # batch adopts those rows — they are quarantine-bound (the
+            # validity predicate requires a non-null lsn) and must be
+            # counted, not silently excluded from all batches.
+            in_range = (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+            if i == 0:
+                in_range = in_range | F.col("lsn").isNull()
+            batch = events.filter(in_range)
             rep = self.apply_batch(
                 batch, batch_id, lo, hi, hot_keys=hot, committed=committed
             )
@@ -547,9 +580,13 @@ class CdcRunner:
                             (idx, BatchReport(batch_id, lo, hi, status="skipped"))
                         )
                         continue
-                    batch = events.filter(
-                        (F.col("lsn") > lo) & (F.col("lsn") <= hi)
-                    )
+                    # first range adopts null-lsn rows (quarantine-bound;
+                    # outside every slice otherwise) — mirrors the
+                    # sequential path so batch identity stays deterministic
+                    in_range = (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+                    if idx == 0:
+                        in_range = in_range | F.col("lsn").isNull()
+                    batch = events.filter(in_range)
                     if self.salt_auto:
                         if det_pool is None:
                             # first real batch: warm-start salt set +
@@ -562,7 +599,14 @@ class CdcRunner:
                                 )
                         elif hot_fut is not None:
                             with phase("runner.hot_wait"):
-                                hot = sorted(set(hot) | set(hot_fut.result()))
+                                # REPLACE the warm-start set, don't union:
+                                # unioning makes the hot set monotone
+                                # across runs (manifest -> warm start ->
+                                # union -> manifest), so a key hot once
+                                # would stay salted forever and any
+                                # non-empty set forces the two-stage
+                                # collapse plan on every future batch
+                                hot = sorted(set(hot_fut.result()))
                             hot_fut = None
                     obs, rows = self._build_rows(
                         batch, base, hot, n_events_hint=hi - lo
@@ -604,9 +648,20 @@ class CdcRunner:
                 raise
             finally:
                 if det_pool is not None:
-                    # don't block on a still-running detection job; its
-                    # result is unused once every batch plan is built
-                    det_pool.shutdown(wait=False)
+                    # the detection future must not outlive replay(): an
+                    # unconsumed running job (single-batch replay, or an
+                    # exception before batch 2) would keep a sampled scan
+                    # contending with the caller's next work and leave a
+                    # non-daemon thread blocking interpreter exit. Cancel
+                    # if not started; otherwise consume (sampled scan,
+                    # bounded) and swallow its errors — detection is
+                    # advisory, never a replay failure.
+                    if hot_fut is not None and not hot_fut.cancel():
+                        try:
+                            hot_fut.result()
+                        except Exception:
+                            pass
+                    det_pool.shutdown(wait=True)
         return [r for _, r in sorted(indexed, key=lambda t: t[0])]
 
 
@@ -635,27 +690,37 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
     # the footer pass must match what the scan will read).
     def _expand(p: str) -> list[str]:
         # A segment may itself be a directory (Spark writes datasets as
-        # directories of part files, even when named '*.parquet').
+        # directories of part files, even when named '*.parquet' —
+        # possibly nested, e.g. partitionBy subdirectories). A directory
+        # that contributes zero parquet files is an error, not a silent
+        # exclusion: replay over an incomplete log must not look green.
         if os.path.isdir(p):
-            return sorted(
-                os.path.join(p, f)
-                for f in os.listdir(p)
+            out = sorted(
+                os.path.join(dirpath, f)
+                for dirpath, _dirs, fns in os.walk(p)
+                for f in fns
                 if f.endswith(".parquet")
             )
+            if not out:
+                raise FileNotFoundError(f"no parquet files under segment dir {p}")
+            return out
         return [p]
 
     files: list[str] = []
     for p in paths:
         if _glob.has_magic(p):
             for m in sorted(_glob.glob(p)):
-                files.extend(_expand(m))
+                # a loose glob ('seg-dir/*') also matches _SUCCESS/.crc
+                # markers — only directories and parquet files are segments
+                if os.path.isdir(m) or m.endswith(".parquet"):
+                    files.extend(_expand(m))
         else:
             files.extend(_expand(p))
     if not files:
         raise FileNotFoundError(f"no parquet segments matched {paths!r}")
 
     fields: list[T.StructField] = []
-    seen: set[str] = set()
+    seen: dict[str, tuple] = {}  # name -> (dataType, first file)
     lsn_lo: int | None = None
     lsn_hi: int | None = None
     stats_valid = True
@@ -673,9 +738,19 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
         except Exception:
             spark_fields = spark.read.parquet(p).schema.fields
         for f in spark_fields:
-            if f.name not in seen:
-                seen.add(f.name)
+            prev = seen.get(f.name)
+            if prev is None:
+                seen[f.name] = (f.dataType, p)
                 fields.append(T.StructField(f.name, f.dataType, True))
+            elif prev[0] != f.dataType:
+                # additive evolution means NEW columns, never retyped
+                # ones — fail fast with the offending file instead of an
+                # opaque vectorized-reader error mid-replay
+                raise ValueError(
+                    f"segment schema conflict on column {f.name!r}: "
+                    f"{prev[0].simpleString()} in {prev[1]} vs "
+                    f"{f.dataType.simpleString()} in {p}"
+                )
         # Bounds are only trustworthy if EVERY row group of EVERY segment
         # has lsn min/max stats: one stats-less segment must poison the
         # whole fast path, or replay would slice LSN ranges that miss it.

@@ -11,6 +11,7 @@ wall time doesn't drop ~4x are the serial fraction.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -19,6 +20,9 @@ ENABLED = os.environ.get("SPARK_GRAFT_PROFILE", "") == "1"
 
 # name -> [total_seconds, n_calls]
 TIMINGS: dict[str, list[float]] = defaultdict(lambda: [0.0, 0])
+# the pipelined runner times phases from pool worker threads — the
+# read-modify-write accumulation below must not lose increments
+_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -31,9 +35,10 @@ def phase(name: str):
         yield
     finally:
         dt = time.time() - t0
-        cell = TIMINGS[name]
-        cell[0] += dt
-        cell[1] += 1
+        with _LOCK:
+            cell = TIMINGS[name]
+            cell[0] += dt
+            cell[1] += 1
 
 
 def reset() -> None:

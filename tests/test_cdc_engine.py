@@ -423,8 +423,10 @@ def test_pipelined_first_batch_warm_starts_from_prior_hot_set(
     reports = runner2.replay(events, n_batches=3)
     assert all(r.status == "skipped" for r in reports)
     # a new disjoint log actually applies; its FIRST batch manifest must
-    # record the seeded warm-start set (detection of this tiny log finds
-    # nothing hot, so later batches record the union = the same set).
+    # record the seeded warm-start set (later batches record this log's
+    # OWN detection result — the fresh set replaces the warm start, it
+    # does not union with it, or a key hot once would stay salted
+    # forever across continuous runs).
     # Shift LSNs past the applied log: batch identity is the LSN range,
     # so a genuinely-new log must occupy new WAL positions.
     extra = generate_change_log(
@@ -452,6 +454,89 @@ def test_quarantine_invalid_events(spark, fixture_meta):
     valid, quarantine = A.validate_events(mixed)
     assert quarantine.count() == 5
     assert valid.count() == 100
+
+
+def test_null_lsn_and_null_op_rows_are_quarantined_not_lost(
+    spark, tmp_path, fixture_meta, oracle_state
+):
+    """Rows with a NULL lsn fall outside every (lo, hi] LSN slice, and a
+    NULL op makes the validity predicate evaluate to SQL NULL — both
+    classes must surface in n_quarantined, not silently vanish, and must
+    not perturb the final state."""
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"], fixture_meta["v2_path"])
+    junk_null_lsn = (
+        events.limit(3).withColumn("lsn", F.lit(None).cast("long"))
+    )
+    junk_null_op = events.limit(2).withColumn("op", F.lit(None).cast("string"))
+    # null-op rows need an in-range lsn that is NOT a real event's lsn
+    # (LWW ties are resolved deterministically but we want clean counts)
+    junk_null_op = junk_null_op.withColumn("lsn", F.col("lsn") + F.lit(1))
+    mixed = events.unionByName(junk_null_lsn).unionByName(junk_null_op)
+    reports = CdcRunner(spark, table, run_id="nn", mode="mor").replay(
+        mixed, n_batches=3
+    )
+    assert sum(r.n_quarantined for r in reports) == 5
+    pd.testing.assert_frame_equal(_final_state(table), _normalize(oracle_state))
+
+
+def test_all_null_lsn_log_runs_quarantine_only_batch(spark, tmp_path, fixture_meta):
+    """A non-empty log whose every lsn is NULL must produce one
+    quarantine-only batch report (zero rows applied, all counted) — not
+    return zero batches as if the log were empty."""
+    table = _new_table(spark, tmp_path)
+    events = read_event_log(spark, fixture_meta["v1_path"]).limit(7)
+    allnull = events.withColumn("lsn", F.lit(None).cast("long"))
+    reports = CdcRunner(spark, table, run_id="an", mode="mor").replay(
+        allnull, n_batches=2
+    )
+    assert len(reports) == 1
+    assert reports[0].batch_id == "lsn:null-only"
+    assert reports[0].n_quarantined == 7
+    assert table.read().count() == 0
+    # a genuinely empty log is still a no-op
+    assert CdcRunner(spark, table, run_id="e", mode="mor").replay(
+        allnull.limit(0), n_batches=2
+    ) == []
+
+
+def test_lsn_ranges_rejects_nonpositive_batch_count():
+    from astro_data_pipeline_spark.cdc.runner import lsn_ranges
+
+    with pytest.raises(ValueError, match="n_batches"):
+        lsn_ranges(1, 100, 0)
+
+
+def test_read_event_log_nested_dirs_junk_globs_and_type_conflicts(
+    spark, tmp_path, fixture_meta
+):
+    """Segment dirs with nested part files must be read fully (not
+    silently contribute zero files); loose globs must skip _SUCCESS-style
+    markers; a cross-segment column type conflict must fail fast naming
+    the file, not blow up mid-replay in the vectorized reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # nested layout: seg/sub=0/part.parquet
+    seg = tmp_path / "seg"
+    (seg / "sub=0").mkdir(parents=True)
+    src = spark.read.parquet(fixture_meta["v1_path"]).limit(10).toPandas()
+    pq.write_table(pa.Table.from_pandas(src), str(seg / "sub=0" / "part.parquet"))
+    (seg / "_SUCCESS").write_text("")
+    df = read_event_log(spark, str(tmp_path / "*"))
+    assert df.count() == 10
+    # empty dir = error, not silent exclusion
+    empty = tmp_path / "empty-seg"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="empty-seg"):
+        read_event_log(spark, str(seg), str(empty))
+    # retyped column across segments = fail fast with the culprit path
+    conflict = tmp_path / "conflict.parquet"
+    bad = src.copy()
+    bad["lsn"] = bad["lsn"].astype("int32")
+    pq.write_table(pa.Table.from_pandas(bad), str(conflict))
+    with pytest.raises(ValueError, match="lsn"):
+        read_event_log(spark, str(seg), str(conflict))
 
 
 # ------------------------------------------------------------- lineage
