@@ -27,26 +27,59 @@ BASE_TABLE_FIELDS = [
     T.StructField("last_lsn", T.LongType(), True),
 ]
 KEY_COLS = ["repo", "path"]
-# event payload columns that flow into the table (besides derived ones)
-PAYLOAD_COLS = ["commit", "lang", "content"]
 
 
 def valid_predicate() -> F.Column:
     """The event-validity predicate (reference analog: validate_fits_files
-    size/extension gates, telescope_data_processing.py:115-156)."""
-    return (
+    size/extension gates, telescope_data_processing.py:115-156).
+
+    Coalesced to a real boolean: without it a row like op=NULL makes the
+    predicate evaluate to SQL NULL, which ``filter(pred)`` drops but
+    ``filter(~pred)`` ALSO drops (~NULL is NULL) — the row would vanish
+    from both sides of every validate/quarantine split and from every
+    quarantine counter built on ``~pred``."""
+    return F.coalesce(
         F.col("op").isin(*VALID_OPS)
         & F.col("repo").isNotNull()
         & F.col("path").isNotNull()
         & F.col("lsn").isNotNull()
-        & (F.col("content").isNotNull() | (F.col("op") == "delete"))
+        & (F.col("content").isNotNull() | (F.col("op") == "delete")),
+        F.lit(False),
     )
 
 
 def validate_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Validation split: (valid, quarantine). One scan, disjoint filters."""
+    """Validation split: (valid, quarantine). One scan, disjoint filters
+    that PARTITION the input (valid_predicate is never NULL)."""
     ok = valid_predicate()
     return events.filter(ok), events.filter(~ok)
+
+
+def lww_tie_expr(columns, prefix: str = "") -> F.Column | None:
+    """Deterministic LSN tie-break hash — THE shared rule for both the
+    batch collapse and the streaming state twin (a private copy in either
+    place could drift and make the two paths pick different winners on a
+    malformed same-LSN conflict).
+
+    ``commit`` is the natural discriminator (a content address), but it
+    is nullable and Spark hash functions SKIP null children — two
+    different null-commit events would hash identically. The null case
+    falls back to hashing the content itself; ``coalesce`` evaluates the
+    content only for null-commit rows, so the hot path still hashes two
+    short primitives (the shape A/B-measured at parity with bare lsn).
+    Returns None when no identity column is present (callers degrade to
+    bare-lsn ordering)."""
+    cols = []
+    have = set(columns)
+    if "commit" in have and "content" in have:
+        cols.append(F.coalesce(F.col(prefix + "commit"), F.col(prefix + "content")))
+    elif "commit" in have:
+        cols.append(F.col(prefix + "commit"))
+    elif "content" in have:
+        cols.append(F.col(prefix + "content"))
+    if "op" in have:
+        cols.append(F.col(prefix + "op"))
+    return F.xxhash64(*cols) if cols else None
 
 
 def lww_collapse(
@@ -68,17 +101,20 @@ def lww_collapse(
     (same LSN, identical payload) collapse here too — idempotency.
 
     **LSN ties are deterministic** (SURVEY §7 hard case #2): the winner
-    order is ``(lsn, xxhash64(commit, op))``, not bare ``lsn``. An
+    order is ``(lsn, lww_tie_expr(...))`` — a hash of
+    ``(coalesce(commit, content), op)`` — not bare ``lsn``. An
     at-least-once redelivery is byte-identical, so any order works; a
     MALFORMED log carrying two different events under one LSN still
     resolves to the same winner on every replay, partitioning, salt
     assignment, and cluster (up to a 2^-64 hash collision between the
     conflicting pair — ``commit`` is a content address, so same commit ⇒
-    same content). The tie key is two primitive longs: A/B-measured at
-    sf1.0 against bare-lsn at parity (ratio 0.93 best-of-4 interleaved),
-    whereas a string-struct comparator ((lsn, commit, op) directly)
-    measured up to 19% slower — strings in the aggregation buffer are
-    not free; a hashed primitive is.
+    same content; null commits hash the content itself). The tie key is
+    two primitive longs: A/B-measured at sf1.0 against bare-lsn at
+    parity (ratio 0.93 best-of-4 interleaved), whereas a string-struct
+    comparator ((lsn, commit, op) directly) measured up to 19% slower —
+    strings in the aggregation buffer are not free; a hashed primitive
+    is. The streaming state twin carries the SAME rule (imported, not
+    copied) so both paths crown one winner.
 
     With no hot keys the collapse is a SINGLE shuffle (map-side combine
     does the heavy lifting). With hot keys, stage 2 re-aggregates the
@@ -105,17 +141,13 @@ def lww_collapse(
     fused = bucket is not None and n_partitions is not None
     bkt = [F.col("_bucket")] if fused else []
 
-    # deterministic order for LSN ties (see docstring); degrade to bare
-    # lsn for minimal frames that lack the tie columns
-    tie = [c for c in ("commit", "op") if c in events.columns]
-
+    # deterministic order for LSN ties (see docstring + lww_tie_expr);
+    # degrades to bare lsn only when no identity column is present
     def _ord(prefix: str = "") -> F.Column:
-        if not tie:
+        t = lww_tie_expr(events.columns, prefix)
+        if t is None:
             return F.col(prefix + "lsn")
-        return F.struct(
-            F.col(prefix + "lsn"),
-            F.xxhash64(*[F.col(prefix + c) for c in tie]).alias("tie"),
-        )
+        return F.struct(F.col(prefix + "lsn"), t.alias("tie"))
 
     if not hot_keys:
         src = events.withColumn("_bucket", bucket).repartition(

@@ -235,12 +235,10 @@ class CdcRunner:
 
         from ..lakehouse.table import bucket_expr
 
-        # coalesce: valid_predicate evaluates to SQL NULL for rows like
-        # op=NULL (isin(NULL) is NULL) — filter(ok) drops them either way,
-        # but ~NULL is NULL too, so without the coalesce the quarantine
-        # counter would SKIP exactly the rows being quarantined (silent
-        # disappearance with n_quarantined=0)
-        ok = F.coalesce(A.valid_predicate(), F.lit(False))
+        # valid_predicate is coalesced to a real boolean internally, so
+        # ~ok counts every quarantined row (three-valued logic can't
+        # silently skip op=NULL rows)
+        ok = A.valid_predicate()
         obs = Observation()
         observed = events.observe(
             obs, F.count(F.when(~ok, 1)).alias("rows_quarantined")
@@ -392,8 +390,7 @@ class CdcRunner:
                     # NULL) — exactly the batches that are ALL quarantine,
                     # so assuming 0 here would hide them; recompute
                     # directly (one extra job, only on this rare path)
-                    ok = F.coalesce(A.valid_predicate(), F.lit(False))
-                    n_bad = events.filter(~ok).count()
+                    n_bad = events.filter(~A.valid_predicate()).count()
         return BatchReport(
             batch_id,
             lsn_lo,

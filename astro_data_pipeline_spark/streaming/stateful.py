@@ -129,15 +129,17 @@ def stateful_current_state_changelog(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ..cdc.apply import valid_predicate
+    from ..cdc.apply import lww_tie_expr, valid_predicate
 
     # Same quarantine gate as the batch path (valid_predicate): without
     # it one null-lsn event poisons the stream — Arrow hands the kernel
     # a float64 lsn column (NaN), int(NaN) raises, the task dies, and
     # the restart replays the same micro-batch forever. Null repo/path
-    # would likewise mint bogus state keys.
+    # would likewise mint bogus state keys. The tie hash is the batch
+    # collapse's own rule (shared builder — a drifting private copy
+    # would let the two paths crown different same-LSN winners).
     tagged = events.filter(valid_predicate()).withColumn(
-        "_tie", F.xxhash64("commit", "op")
+        "_tie", lww_tie_expr(events.columns)
     )
     return tagged.groupBy("repo", "path").applyInPandasWithState(
         _lww_state_update,

@@ -640,7 +640,10 @@ def test_lsn_tie_resolves_deterministically(spark):
     """SURVEY §7 hard case #2: a MALFORMED log carrying two DIFFERENT
     events under one LSN must resolve to the same winner on every
     replay order, partitioning, and salting — the
-    (lsn, xxhash64(commit, op)) tie order."""
+    (lsn, lww_tie_expr) tie order. Null commits must stay
+    discriminating (Spark hash functions skip NULL children, so a bare
+    xxhash64(commit, op) would tie every null-commit pair — the rule
+    falls back to hashing the content)."""
     import pandas as pd
 
     rows = [
@@ -659,31 +662,37 @@ def test_lsn_tie_resolves_deterministically(spark):
              lang="python", content="kept"),
         dict(lsn=5, op="insert", repo="r", path="b.py", commit="eee",
              lang="python", content="v0"),
+        # NULL-commit conflicting pair at one LSN: content must break
+        # the tie deterministically
+        dict(lsn=40, op="update", repo="r", path="c.py", commit=None,
+             lang="python", content="null-commit-A"),
+        dict(lsn=40, op="update", repo="r", path="c.py", commit=None,
+             lang="python", content="null-commit-B"),
     ]
-    # the pinned rule, computed with the engine's own hash: per key the
-    # winner is max (lsn, xxhash64(commit, op)) over its deliveries
+    # the pinned rule, computed with the engine's own shared tie hash:
+    # per key the winner is max (lsn, lww_tie_expr) over its deliveries
+    cols = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
     expect = {
-        r["path"]: r["commit"]
+        r["path"]: r["content"]
         for r in spark.createDataFrame(pd.DataFrame(rows))
-        .withColumn("tie", F.xxhash64("commit", "op"))
+        .withColumn("tie", A.lww_tie_expr(cols))
         .groupBy("path")
-        .agg(F.max_by(F.col("commit"), F.struct("lsn", "tie")).alias("commit"))
+        .agg(F.max_by(F.col("content"), F.struct("lsn", "tie")).alias("content"))
         .collect()
     }
     for perm in (rows, rows[::-1]):
         df = spark.createDataFrame(pd.DataFrame(perm))
-        for hot in (None, [("r", "a.py"), ("r", "b.py")]):
+        for hot in (None, [("r", "a.py"), ("r", "b.py"), ("r", "c.py")]):
             got = (
                 A.lww_collapse(df, hot_keys=hot, n_salts=4)
                 .orderBy("path")
                 .toPandas()
             )
-            assert list(got["path"]) == ["a.py", "b.py"]
+            assert list(got["path"]) == ["a.py", "b.py", "c.py"]
             # same winner under every input order and salt assignment
-            assert dict(zip(got["path"], got["commit"])) == expect
+            assert dict(zip(got["path"], got["content"])) == expect
             # history never beats the tie LSN
-            assert "ccc" not in set(got["commit"])
-            assert "eee" not in set(got["commit"])
+            assert "v0" not in set(got["content"])
 
 
 def test_cow_replay_with_empty_lsn_slice_does_not_hang(spark, tmp_path):
