@@ -389,7 +389,11 @@ def cdc_streaming_stateful_changelog(spark: SparkSession, sf_dir: str) -> DataFr
         try:
             q.awaitTermination()
             emitted = spark.table(name)
-            w = Window.partitionBy("repo", "path").orderBy(F.desc("last_lsn"))
+            # last_tie breaks same-LSN emissions (a malformed conflict
+            # split across micro-batches emits two rows at one lsn)
+            w = Window.partitionBy("repo", "path").orderBy(
+                F.desc("last_lsn"), F.desc("last_tie")
+            )
             final = (
                 emitted.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)

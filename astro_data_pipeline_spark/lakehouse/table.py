@@ -1087,14 +1087,22 @@ class LakeTable:
                     {
                         "batch_id": s.summary.get("batch_id"),
                         "run_scope": s.summary.get("run_scope"),
+                        "lsn_hi": s.summary.get("lsn_hi"),
                     }
                 ] + s.summary.get("inherited_batches", [])
                 for r in recs:
                     k = (r["batch_id"], r.get("run_scope"))
                     if r["batch_id"] is not None and k not in seen:
                         seen.add(k)
+                        # lsn_hi rides along so streaming resume can
+                        # rebuild its order-guard high-water mark past
+                        # the retention window
                         ledger.append(
-                            {"batch_id": r["batch_id"], "run_scope": r.get("run_scope")}
+                            {
+                                "batch_id": r["batch_id"],
+                                "run_scope": r.get("run_scope"),
+                                "lsn_hi": r.get("lsn_hi"),
+                            }
                         )
             oldest.parent_id = None
             oldest.summary = {**oldest.summary, "inherited_batches": ledger}

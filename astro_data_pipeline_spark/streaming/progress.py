@@ -58,13 +58,27 @@ class ProgressRecorder(StreamingQueryListener):
         )
 
     # -- helpers ---------------------------------------------------------
-    def wait_for(self, n_epochs: int, timeout_s: float = 30.0) -> list[dict]:
+    def wait_for(
+        self, n_epochs: int, timeout_s: float = 30.0, run_id: str | None = None
+    ) -> list[dict]:
         """Block until ≥ n_epochs progress rows arrived (listener bus is
-        async); returns the progress list."""
+        async); returns the progress rows.
+
+        Listeners are session-global: with another streaming query live
+        in the same session its epochs land in this recorder too. Pass
+        ``run_id`` (``str(query.runId)``) to count and return only THIS
+        query's rows — otherwise a concurrent stream both satisfies the
+        wait early and pollutes the returned metrics."""
+
+        def rows() -> list[dict]:
+            if run_id is None:
+                return self.progress
+            return [r for r in self.progress if r["run_id"] == run_id]
+
         deadline = time.monotonic() + timeout_s
-        while len(self.progress) < n_epochs and time.monotonic() < deadline:
+        while len(rows()) < n_epochs and time.monotonic() < deadline:
             time.sleep(0.05)
-        return self.progress
+        return rows()
 
 
 class recording_listener:

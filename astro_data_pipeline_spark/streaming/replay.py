@@ -79,6 +79,8 @@ def stream_replay_available_now(
     run_id: str = "stream",
     mode: str = "mor",
     schema: T.StructType = EVENT_SCHEMA,
+    strict_order: bool = True,
+    max_files_per_trigger: int = 1,
 ) -> list[dict]:
     """Drain all currently-available WAL segments into the lake table via
     ``foreachBatch`` (Trigger.AvailableNow), exactly-once.
@@ -92,7 +94,10 @@ def stream_replay_available_now(
     (pair run_id 1:1 with the checkpoint dir; see StreamApplier).
     """
     reports: list[dict] = []
-    applier = StreamApplier(table, run_id, mode)
+    # strict_order / max_files_per_trigger are forwarded — the order
+    # guard's own error message tells the operator to pass
+    # strict_order=False, so the public entrypoint must accept it
+    applier = StreamApplier(table, run_id, mode, strict_order=strict_order)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         rep = applier(batch_df, epoch_id)
@@ -100,7 +105,10 @@ def stream_replay_available_now(
             reports.append(rep)
 
     q = (
-        event_log_stream(spark, glob_path, schema=schema)
+        event_log_stream(
+            spark, glob_path, schema=schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -60,20 +60,27 @@ class StreamApplier:
         self._last_hi: int | None = None
 
     def _seed_from_ledger(self) -> None:
-        """One snapshot-chain walk: this run's committed batch ids and
-        its applied-LSN high-water mark (survives stream restarts)."""
-        committed: set[str] = set()
+        """Seed this run's committed batch ids and its applied-LSN
+        high-water mark from the table (survives stream restarts).
+
+        Batch ids come from ``committed_batch_ids`` — which includes the
+        ``inherited_batches`` ledger that ``expire_snapshots`` folds
+        expired snapshots into; a hand-rolled chain walk here would lose
+        committed epochs past the retention window and either re-apply
+        them (strict_order off) or brick the stream on the order guard
+        (strict_order on) after any expiry + checkpoint loss. The
+        high-water mark likewise reads both live summaries and inherited
+        ledger records."""
+        self._committed = self.table.committed_batch_ids(run_scope=self.run_id)
         last_hi: int | None = None
         for snap in self.table.snapshot_chain():
-            if snap.summary.get("run_scope") != self.run_id:
-                continue
-            b = snap.summary.get("batch_id")
-            if b is not None:
-                committed.add(b)
-            hi = snap.summary.get("lsn_hi")
-            if hi is not None and int(hi) >= 0:
-                last_hi = int(hi) if last_hi is None else max(last_hi, int(hi))
-        self._committed = committed
+            recs = [snap.summary] + snap.summary.get("inherited_batches", [])
+            for r in recs:
+                if r.get("run_scope") != self.run_id:
+                    continue
+                hi = r.get("lsn_hi")
+                if hi is not None and int(hi) >= 0:
+                    last_hi = int(hi) if last_hi is None else max(last_hi, int(hi))
         self._last_hi = last_hi
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> dict | None:
@@ -94,15 +101,26 @@ class StreamApplier:
             batch_df.sparkSession, self.table, run_id=self.run_id, mode=self.mode
         )
         batch_id = f"{self.run_id}:epoch:{epoch_id}"
-        # single bounds-and-emptiness job; it also materializes the cache
-        lo_hi = batch_df.agg(F.min("lsn"), F.max("lsn"), F.count("*")).collect()[0]
+        # Bounds over the VALID rows only (plus total count, one job that
+        # also materializes the cache): a single quarantine-destined row
+        # carrying a garbage lsn must not poison the order guard or the
+        # persisted high-water mark — a corrupt huge lsn would otherwise
+        # brick every subsequent (valid) epoch on the strict-order check.
+        from ..cdc.apply import valid_predicate
+
+        ok = valid_predicate()
+        lo_hi = batch_df.agg(
+            F.min(F.when(ok, F.col("lsn"))),
+            F.max(F.when(ok, F.col("lsn"))),
+            F.count("*"),
+        ).collect()[0]
         if int(lo_hi[2]) == 0:
             return None
         if lo_hi[0] is None:
-            # Non-empty batch whose lsn values are all null: every event
-            # fails the validity predicate — run it through apply anyway
-            # (quarantine metrics fire, nothing merges) under the epoch
-            # identity instead of crashing the whole stream on int(None).
+            # Non-empty batch with zero VALID events (e.g. all-null lsn):
+            # run it through apply anyway (quarantine metrics fire,
+            # nothing merges) under the epoch identity instead of
+            # crashing the whole stream on int(None).
             rep = runner.apply_batch(
                 batch_df, batch_id=batch_id, lsn_lo=-1, lsn_hi=-1,
                 committed=self._committed,

@@ -35,6 +35,7 @@ import hashlib
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -57,6 +58,12 @@ CHANGELOG_SCHEMA = T.StructType(
         T.StructField("repo", T.StringType()),
         T.StructField("path", T.StringType()),
         T.StructField("last_lsn", T.LongType()),
+        # the tie-break hash rides along: a malformed same-LSN conflict
+        # split across micro-batches emits TWO rows with one last_lsn,
+        # and without the tie a consumer ordering by last_lsn alone
+        # picks the key's "current" row arbitrarily — order by
+        # (last_lsn, last_tie)
+        T.StructField("last_tie", T.LongType()),
         T.StructField("alive", T.BooleanType()),
         T.StructField("commit", T.StringType()),
         T.StructField("lang", T.StringType()),
@@ -74,11 +81,9 @@ def _lww_state_update(
     for pdf in pdfs:
         if pdf.empty:
             continue
-        # winner order (lsn, _tie) — _tie is the JVM-computed
-        # xxhash64(commit, op), the batch collapse's exact tie rule;
+        # winner order (lsn, _tie) — _tie is the JVM-computed shared
+        # lww_tie_expr hash, the batch collapse's exact tie rule;
         # lexsort keeps the pick vectorized (last = max)
-        import numpy as np
-
         win = np.lexsort((pdf["_tie"].values, pdf["lsn"].values))[-1]
         row = pdf.iloc[win]
         if best is None or (int(row["lsn"]), int(row["_tie"])) > (
@@ -110,6 +115,7 @@ def _lww_state_update(
             "repo": [key[0]],
             "path": [key[1]],
             "last_lsn": [new_lsn],
+            "last_tie": [new_tie],
             "alive": [bool(alive)],
             "commit": [commit],
             "lang": [lang],
@@ -138,9 +144,13 @@ def stateful_current_state_changelog(events: DataFrame) -> DataFrame:
     # would likewise mint bogus state keys. The tie hash is the batch
     # collapse's own rule (shared builder — a drifting private copy
     # would let the two paths crown different same-LSN winners).
-    tagged = events.filter(valid_predicate()).withColumn(
-        "_tie", lww_tie_expr(events.columns)
-    )
+    tie = lww_tie_expr(events.columns)
+    if tie is None:
+        # minimal frames without any identity column: bare-lsn ordering,
+        # same degrade as the batch collapse (a constant tie never
+        # discriminates, matching lww_collapse's bare-lsn _ord)
+        tie = F.lit(0).cast("long")
+    tagged = events.filter(valid_predicate()).withColumn("_tie", tie)
     return tagged.groupBy("repo", "path").applyInPandasWithState(
         _lww_state_update,
         outputStructType=CHANGELOG_SCHEMA,

@@ -160,7 +160,7 @@ def test_stateful_lww_changelog_converges_to_oracle(spark, tmp_path, fixture_met
     # LSN-increasing per key)
     # NB: groupby().last() would skip NaN per column and resurrect stale
     # payload values into tombstone rows — take whole rows instead
-    last = emitted.sort_values("last_lsn").drop_duplicates(
+    last = emitted.sort_values(["last_lsn", "last_tie"]).drop_duplicates(
         subset=["repo", "path"], keep="last"
     )
     alive = (
@@ -243,6 +243,69 @@ def test_stream_identity_is_run_scoped_and_order_guarded(spark, tmp_path, fixtur
     # opt-out accepts it (producer vouches for per-key ordering)
     loose = StreamApplier(table, run_id="streamA", mode="mor", strict_order=False)
     assert loose(v1, epoch_id=1)["status"] == "applied"
+
+
+def test_order_guard_ignores_quarantine_bound_lsns(spark, tmp_path, fixture_meta):
+    """One corrupt row carrying a garbage lsn (quarantine-bound: null
+    repo) must not poison the order guard or the persisted high-water
+    mark — bounds are computed over VALID rows only, so the next valid
+    epoch still applies instead of the stream bricking on a row the
+    quarantine path exists to absorb."""
+    from astro_data_pipeline_spark.cdc.runner import read_event_log
+    from astro_data_pipeline_spark.streaming.runner_bridge import StreamApplier
+    from pyspark.sql import functions as F
+
+    table = _new_table(spark, tmp_path)
+    v1 = read_event_log(spark, fixture_meta["v1_path"])
+    v2 = read_event_log(spark, fixture_meta["v2_path"])
+    # epoch 0: v1 plus one corrupt row with an lsn far above every real one
+    corrupt = (
+        v1.limit(1)
+        .withColumn("repo", F.lit(None).cast("string"))
+        .withColumn("lsn", F.lit(999_999_999_999))
+    )
+    a = StreamApplier(table, run_id="g", mode="mor")
+    r1 = a(v1.unionByName(corrupt), epoch_id=0)
+    assert r1["status"] == "applied"
+    assert r1["n_quarantined"] == 1
+    # epoch 1 (v2, strictly above v1's VALID range) must apply — with raw
+    # bounds the corrupt lsn would have set the high-water mark to 1e12
+    # and this epoch would raise out-of-order
+    r2 = a(v2, epoch_id=1)
+    assert r2["status"] == "applied"
+    # a fresh applier re-seeds the mark from manifests: still sane
+    b = StreamApplier(table, run_id="g", mode="mor")
+    with pytest.raises(ValueError, match="out-of-order"):
+        b(v1, epoch_id=2)  # genuinely below the (valid) high-water mark
+
+
+def test_stream_resume_survives_snapshot_expiry(spark, tmp_path, fixture_meta):
+    """Exactly-once resume from the table ledger must survive
+    expire_snapshots: expired epochs' batch ids (and the LSN high-water
+    mark) fold into the inherited ledger, so a fresh applier with a lost
+    checkpoint still skips them and still order-guards."""
+    from astro_data_pipeline_spark.cdc.runner import read_event_log
+    from astro_data_pipeline_spark.streaming.runner_bridge import StreamApplier
+
+    table = _new_table(spark, tmp_path)
+    v1 = read_event_log(spark, fixture_meta["v1_path"])
+    v2 = read_event_log(spark, fixture_meta["v2_path"])
+    a = StreamApplier(table, run_id="x", mode="mor")
+    assert a(v1, epoch_id=0)["status"] == "applied"
+    assert a(v2, epoch_id=1)["status"] == "applied"
+    # push the epochs' snapshots past the retention window with two
+    # metadata-only padding commits
+    table.add_columns([])
+    table.add_columns([])
+    table.expire_snapshots(keep_last=2)
+    # lost checkpoint, same run id: both epochs must SKIP (not re-apply)
+    fresh = StreamApplier(table, run_id="x", mode="mor")
+    assert fresh(v1, epoch_id=0)["status"] == "skipped"
+    assert fresh(v2, epoch_id=1)["status"] == "skipped"
+    # and the high-water mark survived expiry: replaying v1 under a new
+    # epoch still fails fast
+    with pytest.raises(ValueError, match="out-of-order"):
+        fresh(v1, epoch_id=2)
 
 
 def test_stateful_changelog_quarantines_malformed_events(spark, tmp_path, fixture_meta):
