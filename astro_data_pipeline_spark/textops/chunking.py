@@ -64,7 +64,9 @@ _WIN_W = 4  # selection window radius (min over [p-(w-1), p+(w-1)])
                           i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' '))
                AS chunk_sha256
     FROM sized,
-         UNNEST(generate_series(0, CAST((n_tokens - 1) // {_CHUNK_STRIDE} AS BIGINT)))
+         UNNEST(generate_series(0, CAST(greatest(
+             0, (n_tokens - {_CHUNK_TOKENS - _CHUNK_STRIDE} - 1)
+                // {_CHUNK_STRIDE}) AS BIGINT)))
          AS t(i)
     """,
 )
@@ -84,12 +86,22 @@ def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim("text"), r"\s+").alias("toks"),
     )
     sized = sized.withColumn("n_tokens", F.size("toks"))
+    # Last chunk id: greatest(0, floor((n - overlap - 1) / stride)), NOT
+    # floor((n-1)/stride) — the naive bound emits a final chunk that is a
+    # strict SUBSET of the previous one whenever n mod stride lands in
+    # the overlap (e.g. 60 tokens: chunk 0 = 1..60 already covers chunk
+    # 1 = 49..60). A subset chunk has a different sha, so chunk-level
+    # dedup can't drop it and downstream indexes/packs duplicate text.
+    last_id = F.greatest(
+        F.lit(0),
+        F.floor(
+            (F.col("n_tokens") - (_CHUNK_TOKENS - _CHUNK_STRIDE) - 1) / _CHUNK_STRIDE
+        ),
+    )
     exploded = sized.select(
         "doc_id",
         "toks",
-        F.explode(
-            F.sequence(F.lit(0), F.floor((F.col("n_tokens") - 1) / _CHUNK_STRIDE))
-        ).alias("chunk_id"),
+        F.explode(F.sequence(F.lit(0), last_id)).alias("chunk_id"),
     )
     start = F.col("chunk_id") * _CHUNK_STRIDE + 1
     chunk = F.slice(F.col("toks"), start, _CHUNK_TOKENS)
@@ -157,9 +169,16 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     to sort by (doc_id, pos); only the ~1/(2w-1) surviving fingerprints
     explode. Zero exchanges in the plan (asserted in test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
+    # explode(array(...)) barrier: filtering on the size of the computed
+    # token array would otherwise be pushed below the projection,
+    # re-inlining split(trim(text)) into the Filter and tokenizing every
+    # document twice (the filter-below-projection pitfall, ROUND2.md)
     sized = (
         docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
-        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+        )
         .withColumn("n_tokens", F.size("toks"))
         .filter(F.col("n_tokens") >= _WIN_K)
     )
@@ -170,7 +189,11 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                         md5(array_join(slice(toks, i, {_WIN_K}), ' ')),
                         1, 8), 16, 10) as bigint))"""
     )
-    with_hs = sized.select("doc_id", hs.alias("hs"), F.size(hs).alias("ng"))
+    # ng is provably n_tokens - (k-1): size(hs) would duplicate the whole
+    # md5 gram-hash transform tree in the plan
+    with_hs = sized.select(
+        "doc_id", hs.alias("hs"), (F.col("n_tokens") - (_WIN_K - 1)).alias("ng")
+    )
     # selected positions: p such that (hs[p], p) is the min over the
     # clamped window [p-(w-1), p+(w-1)] — computed in-row, no shuffle
     sel = F.expr(

@@ -64,12 +64,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("nb_node"))
             .agg(F.min("comp").alias("nb_comp"))
         )
+        prop = labels.join(nb, labels["node"] == nb["nb_node"], "left").select(
+            "node",
+            F.col("comp").alias("prev"),
+            F.least(F.col("comp"), F.coalesce("nb_comp", "comp")).alias("comp"),
+        )
+        # pointer jumping: follow comp -> comp(comp), halving every
+        # label-chain each round — convergence in O(log diameter) rounds
+        # instead of O(diameter), so a 25-version edit chain (a path
+        # graph) no longer exhausts max_iter while plain propagation is
+        # still walking it one hop per round
+        jump = prop.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
         stepped = (
-            labels.join(nb, labels["node"] == nb["nb_node"], "left")
+            prop.join(jump, prop["comp"] == jump["jnode"], "left")
             .select(
                 "node",
-                F.col("comp").alias("prev"),
-                F.least(F.col("comp"), F.coalesce("nb_comp", "comp")).alias("comp"),
+                "prev",
+                F.least(F.col("comp"), F.coalesce("jcomp", "comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
@@ -78,9 +91,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             return labels
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "graph diameter exceeds the dedup-cluster assumption — switch to "
-        "the large-star/small-star formulation for this corpus"
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(covers graph diameter ~2^{max_iter} with pointer jumping); "
+        "the component structure is pathological for a dedup corpus"
     )
 
 

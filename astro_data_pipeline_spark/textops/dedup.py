@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import sha256_arrow
 from ..registry import query
 from ..sources import load_table
+from .sampling import _ngram_array
 
 # shingles appearing in more than this many docs are dropped from the
 # inverted index (both engines apply the same cap → same result)
@@ -31,29 +32,15 @@ _SHINGLE_LEN = 3  # words per shingle
 def _shingles(df: DataFrame) -> DataFrame:
     """doc_id → exploded distinct 3-word shingles (codegen'd array ops).
 
-    The short-doc guard must be a CASE, not greatest(hi, -1): Spark's
-    ``sequence`` runs DESCENDING when start > stop, so sequence(0, -1) =
-    [0, -1] and tokens[i+2] indexes past a 1-2 token array — an
-    INVALID_ARRAY_INDEX crash under ANSI mode (Spark 4 default) and a
-    bogus partial shingle with ANSI off, diverging from the DuckDB
-    oracle's generate_series(1, greatest(len-2, 0)) which is empty."""
+    The guarded n-gram construction (CASE against Spark's descending
+    ``sequence`` on short docs — see ``sampling._ngram_array``) lives in
+    ONE place; this is the n=3 instantiation."""
     toks = df.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
     )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    """CASE WHEN size(tokens) >= 3
-                         THEN transform(sequence(0, size(tokens) - 3),
-                              i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
-                         ELSE array() END"""
-                )
-            )
-        ).alias("shingle"),
+    return toks.select(
+        "doc_id", F.explode(_ngram_array(_SHINGLE_LEN)).alias("shingle")
     )
-    return sh
 
 
 _SHINGLE_SQL = """

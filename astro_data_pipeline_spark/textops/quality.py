@@ -220,11 +220,17 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy: a corpus-token-sized shuffle of strings to compute numbers
     each row already owned."""
     docs = load_table(spark, sf_dir, "documents")
+    # explode(array(...)) barrier: a bare filter on size(tokens) gets
+    # pushed below the projection and re-inlines split(trim(text)) into
+    # the Filter — every document tokenized twice (the
+    # filter-below-projection pitfall, ROUND2.md)
     toks = (
         docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
-        .withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.split(F.trim("text"), r"\s+"))).alias("tokens"),
+        )
         .filter(F.size("tokens") >= 2)
-        .select("doc_id", "tokens")
     )
     n = F.size("tokens")
     sized = toks.select(
@@ -386,7 +392,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     scored = (
         tf.join(doclen, "doc_id")
-        .join(F.broadcast(df_tbl), "term")
+        # NO broadcast hint: the term vocabulary is corpus-sized at web
+        # scale (every distinct token — URLs, hex blobs, typos), so
+        # forcing a broadcast would collect it to the driver and OOM.
+        # A plain equi-join co-partitions on term; AQE still upgrades to
+        # broadcast at runtime whenever the vocabulary actually fits.
+        .join(df_tbl, "term")
         .withColumn(
             "score", F.col("tf_cnt") * 10000.0 / (F.col("doc_len") * F.col("doc_freq"))
         )
@@ -454,7 +465,9 @@ def text_unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = tf.groupBy("term").agg(F.sum("tf_cnt").cast("long").alias("corpus_cnt"))
     return (
-        tf.join(F.broadcast(vocab), "term")
+        # no broadcast hint — corpus-sized vocabulary at web scale; AQE
+        # upgrades to broadcast at runtime when it fits (see tfidf)
+        tf.join(vocab, "term")
         .groupBy("doc_id")
         .agg(
             F.sum("tf_cnt").cast("long").alias("doc_len"),

@@ -139,17 +139,18 @@ _NGRAM_SQL = f"""
 """
 
 
-def _ngram_array() -> F.Column:
-    """Distinct _NGRAM_LEN-word n-grams of a `tokens` array column.
+def _ngram_array(n: int = _NGRAM_LEN) -> F.Column:
+    """Distinct n-word n-grams of a `tokens` array column (shared by the
+    contamination miner here and the shingle miner in textops.dedup).
     Docs shorter than the n-gram length yield an EMPTY array — the
     guard must be a CASE, not greatest(hi, -1): Spark's `sequence`
     runs DESCENDING when start > stop, so sequence(0, -1) = [0, -1]
     and the transform would emit spurious partial grams."""
-    parts = ", ".join(f"tokens[i+{j}]" for j in range(_NGRAM_LEN))
+    parts = ", ".join(f"tokens[i+{j}]" for j in range(n))
     return F.expr(
-        f"""CASE WHEN size(tokens) >= {_NGRAM_LEN}
+        f"""CASE WHEN size(tokens) >= {n}
                THEN array_distinct(transform(
-                        sequence(0, size(tokens) - {_NGRAM_LEN}),
+                        sequence(0, size(tokens) - {n}),
                         i -> concat_ws(' ', {parts})))
                ELSE array() END"""
     )

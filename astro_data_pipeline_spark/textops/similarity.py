@@ -243,6 +243,7 @@ def _dedup_lsh_oracle() -> str:
     return f"""
     WITH emb AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE len(embedding) = {_EMB_DIM}
     ), bucketed AS (
         SELECT vec_id, {bucket_cols} FROM emb
     ), assignments AS (
@@ -352,6 +353,10 @@ def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # dimension guard: a NULL or wrong-length embedding would crash the
+    # matmul UDF's np.vstack on the executor (the census path guards
+    # identically; the oracle applies the same len() filter)
+    emb = emb.filter(F.size("embedding") == _EMB_DIM)
     n_parts = spark.sparkContext.defaultParallelism
     assignments = (
         emb.repartition(n_parts)
@@ -541,6 +546,9 @@ def lsh_multitable_assignments(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # dimension guard (see dedup_lsh_candidate_pairs): a malformed
+    # embedding must not crash the matmul UDF
+    emb = emb.filter(F.size("embedding") == _EMB_DIM)
     # One Arrow matmul pass with the md5-seeded plane family (the same
     # constants convention as the dedup path): the previous all-literal
     # relational formulation built n_tables × n_planes × dim ≈ 2048

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from astro_data_pipeline_spark.textops.chunking import (
     _CHUNK_STRIDE,
+    _CHUNK_TOKENS,
     _WIN_K,
     _WIN_W,
     text_chunk_sliding_windows,
@@ -56,12 +57,21 @@ def test_chunks_cover_every_token_with_fixed_overlap(spark):
         .collect()
     )
     assert agg
+    overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
     for r in agg:
         # last chunk reaches the final token; no chunk is empty
         assert r["covered"] == r["n"], r
         assert r["min_len"] >= 1
-        # chunk count matches the closed form
-        assert r["n_chunks"] == (r["n"] - 1) // _CHUNK_STRIDE + 1, r
+        # chunk count matches the closed form: a final window that would
+        # be a strict SUBSET of the previous one (doc ends inside the
+        # overlap region) is not emitted
+        assert r["n_chunks"] == max(0, (r["n"] - overlap - 1) // _CHUNK_STRIDE) + 1, r
+    # no chunk is a subset of its predecessor: every chunk_id > 0 chunk
+    # must extend past the overlap carried from the previous window
+    trailing = out.filter(F.col("chunk_id") > 0).agg(
+        F.min("n_chunk_tokens")
+    ).collect()[0][0]
+    assert trailing is None or trailing > overlap, trailing
 
 
 def test_winnowing_detects_shared_substring(spark, tmp_path):

@@ -40,6 +40,20 @@ def test_components_nonconvergence_guard(spark):
         connected_components(chain, max_iter=1)
 
 
+def test_components_long_chain_converges_fast(spark):
+    """A 30-hop path graph (a 30-version near-dup edit chain) must
+    converge well within the default budget: pointer jumping makes
+    rounds O(log diameter), so 6 rounds cover diameter 30 — plain
+    one-hop propagation would need 31 and previously exhausted
+    max_iter=20 on exactly this legitimate shape."""
+    chain = _edges(spark, [(i, i + 1) for i in range(30)])
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(chain, max_iter=7).collect()
+    }
+    assert got == {(i, 0) for i in range(31)}
+
+
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 30, 18), (8, 50, 60), (9, 40, 39)])
 def test_components_match_union_find_on_random_graphs(spark, seed, n_nodes, n_edges):
     """Seeded random graphs (sparse, dense, and near-critical) vs a
