@@ -136,10 +136,14 @@ _E2E_DIR = _os_mod.path.join(
 )
 _E2E_PARAMS = dict(n_repos=40, n_keys=4000, n_events=20000, seed=42)
 
+# SQL-literal-safe form: a checkout path containing a quote would
+# otherwise break every static e2e oracle's read_parquet literal
+_E2E_DIR_SQL = _E2E_DIR.replace("'", "''")
+
 _EV_SQL = f"""
     SELECT * FROM read_parquet(
-        ['{_E2E_DIR}/change_events_v1.parquet',
-         '{_E2E_DIR}/change_events_v2.parquet'],
+        ['{_E2E_DIR_SQL}/change_events_v1.parquet',
+         '{_E2E_DIR_SQL}/change_events_v2.parquet'],
         union_by_name=true)
     WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL
       AND path IS NOT NULL AND lsn IS NOT NULL
@@ -162,32 +166,60 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 
 def _ensure_e2e_fixture() -> dict:
     """Deterministic small change log at a FIXED path so the DuckDB oracle
-    (a static SQL string) can read the identical input."""
+    (a static SQL string) can read the identical input.
+
+    Concurrency/crash discipline: the fixture is built in a private
+    sibling directory — meta.json written LAST inside it — and PUBLISHED
+    with one atomic directory rename. A concurrent process (two pytest
+    sessions, driver + bench) can therefore never open a half-written
+    parquet segment, and a crash mid-generation leaves nothing that
+    passes the validity check below."""
     import json as _json
     import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
 
     from .fixtures import FIXTURE_VERSION, generate_change_log
 
-    meta_path = _os.path.join(_E2E_DIR, "meta.json")
-    if _os.path.exists(meta_path):
+    def _read_valid() -> dict | None:
+        # meta.json alone is not proof: a cleanup can strand it pointing
+        # at missing parquet, a generator change strands old-format data,
+        # and a hand-edited/wrong-shape document must regenerate rather
+        # than crash every e2e query — hence the broad except
         try:
-            with open(meta_path) as f:
+            with open(_os.path.join(_E2E_DIR, "meta.json")) as f:
                 meta = _json.load(f)
-            # meta.json alone is not proof: a cleanup (or a crash between
-            # the two segment writes) can leave it pointing at missing
-            # parquet, and a generator change strands old-format data —
-            # regenerate instead of failing every e2e query
             if meta.get("fixture_version") == FIXTURE_VERSION and all(
                 _os.path.exists(meta[k]) for k in ("v1_path", "v2_path")
             ):
                 return meta
-            _os.remove(meta_path)
-        except ValueError:
-            # Truncated meta.json from a crashed prior run: regenerate.
-            _os.remove(meta_path)
-    meta = generate_change_log(_E2E_DIR, **_E2E_PARAMS)
-    with open(meta_path, "w") as f:
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
+            pass
+        return None
+
+    meta = _read_valid()
+    if meta is not None:
+        return meta
+    tmp = _E2E_DIR + f".tmp-{_os.getpid()}-{_uuid.uuid4().hex[:6]}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    meta = generate_change_log(tmp, **_E2E_PARAMS)
+    meta = {
+        k: (v.replace(tmp, _E2E_DIR) if isinstance(v, str) else v)
+        for k, v in meta.items()
+    }
+    with open(_os.path.join(tmp, "meta.json"), "w") as f:
         _json.dump(meta, f)
+    _shutil.rmtree(_E2E_DIR, ignore_errors=True)
+    try:
+        _os.rename(tmp, _E2E_DIR)
+    except OSError:
+        # lost the publish race — a concurrent generator renamed first;
+        # its fixture is byte-equivalent (deterministic seed), use it
+        _shutil.rmtree(tmp, ignore_errors=True)
+        winner = _read_valid()
+        if winner is not None:
+            return winner
+        raise
     return meta
 
 
@@ -297,8 +329,8 @@ _WINDOWED_ORACLE = f"""
            op, count(*) AS n_events
     FROM (
         SELECT * FROM read_parquet(
-            ['{_E2E_DIR}/change_events_v1.parquet',
-             '{_E2E_DIR}/change_events_v2.parquet'],
+            ['{_E2E_DIR_SQL}/change_events_v1.parquet',
+             '{_E2E_DIR_SQL}/change_events_v2.parquet'],
             union_by_name=true)
     )
     WHERE ts IS NOT NULL
@@ -335,8 +367,11 @@ def cdc_streaming_windowed_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
     try:
+        # awaitTermination INSIDE the try: a stream that fails mid-epoch
+        # must still drop the memory-sink view (which holds its
+        # complete-mode rows in driver memory for the session lifetime)
+        q.awaitTermination()
         # Epoch-millis, not raw TIMESTAMP, so both engines hash the same
         # representation (the repo-wide oracle convention).
         out = spark.table(name).select(
@@ -440,13 +475,21 @@ def cdc_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         except KilledError:
             killed = True
-        assert killed, "kill switch did not fire"
-        assert len(table.committed_batch_ids()) == 2, "expected 2 committed batches"
+        # real raises, not asserts: re-applying a batch is idempotent, so
+        # the oracle hash CANNOT catch a broken skip — these checks are
+        # the gate's entire resume evidence and must survive python -O
+        if not killed:
+            raise RuntimeError("kill switch did not fire")
+        if len(table.committed_batch_ids()) != 2:
+            raise RuntimeError(
+                f"expected 2 committed batches, got {len(table.committed_batch_ids())}"
+            )
         reports = CdcRunner(spark, table, run_id="e2e-resume", mode="mor").replay(
             events, n_batches=4
         )
         statuses = sorted(r.status for r in reports)
-        assert statuses == ["applied", "applied", "skipped", "skipped"], statuses
+        if statuses != ["applied", "applied", "skipped", "skipped"]:
+            raise RuntimeError(f"resume did not skip the committed prefix: {statuses}")
         table.compact()
         return _materialize(spark, table.read().select(*_STATE_COLS))
 
@@ -766,10 +809,14 @@ def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     log, then read the table AS OF the snapshot batch 2 committed — the
     result must equal an LWW collapse of only the events with
     ``lsn <= batch-2 high bound``, proving snapshots are immutable,
-    consistent cut points (later batches must not leak in). The as-of
-    read carries the PRE-evolution schema (the lang_meta column arrives
-    with batch 3), which is why this query projects the v1 columns —
-    schema time travel, not just data. Reference analog: snapshot
+    consistent cut points (later batches must not leak in). NB this gate
+    pins DATA time travel only: the replay evolves the schema up front
+    (read_event_log hands the unified footer schema to the whole run),
+    so batch 2's snapshot already carries lang_meta — the v1-column
+    projection here exists because the oracle's cut has no evolved
+    values, not because the as-of schema lacks the column (as-of SCHEMA
+    pinning is covered by test_schema_evolution_mid_stream, which
+    replays the segments separately). Reference analog: snapshot
     retention / archive reads (S7), `IntermediateStorageService` session
     history."""
     import tempfile as _tempfile

@@ -495,7 +495,9 @@ def _label_components(detected: np.ndarray, max_iter: int = 64) -> np.ndarray:
     return out
 
 
-def stellarity_index(img: np.ndarray) -> tuple[float, int]:
+def stellarity_index(
+    img: np.ndarray, background: float | None = None
+) -> tuple[float, int]:
     """P5 stellarity (calculateStellarityIndex :849-940): subtract the
     median background, threshold at 3× the MAD-sigma, label sources,
     and combine per-source circularity × compactness × aspect-ratio
@@ -503,8 +505,11 @@ def stellarity_index(img: np.ndarray) -> tuple[float, int]:
     the reference's ParticleAnalyzer window). The particle measures
     use bbox-derived perimeter/Feret approximations (documented
     simplification of ImageJ's polygon tracer). Returns
-    (stellarity 0..1, n_sources)."""
-    background = float(np.median(img))
+    (stellarity 0..1, n_sources). ``background`` accepts a
+    caller-computed median so quality_metrics' mode<=0 fallback doesn't
+    pay the full-frame partition twice."""
+    if background is None:
+        background = float(np.median(img))
     resid = img - background
     sigma = float(np.median(np.abs(resid)) * 1.4826)
     if sigma <= 0:
@@ -548,8 +553,11 @@ def quality_metrics(img: np.ndarray) -> dict:
     mean, std = float(img.mean()), float(img.std())
     mode = _histogram_mode(img)
     # the median fallback only matters for non-positive modes — skip the
-    # full-frame partition in the common path
-    background = mode if mode > 0 else float(np.median(img))
+    # full-frame partition in the common path; when it IS computed, hand
+    # it to stellarity_index (whose background is the same median) so
+    # the fallback path doesn't partition the frame twice
+    median = float(np.median(img)) if mode <= 0 else None
+    background = mode if mode > 0 else median
     dynamic = float(img.max() - img.min())
     snr = (mean - background) / std if std > 0 else 0.0
     # seeing via gradient-magnitude edge strength (estimateSeeing :806-818)
@@ -560,7 +568,7 @@ def quality_metrics(img: np.ndarray) -> dict:
     aperture = np.pi * seeing * seeing
     lim = 25.0 - 2.5 * np.log10(max(5.0 * std, 1e-9) / np.sqrt(aperture))
     lim = float(np.clip(lim, 15.0, 30.0))
-    stell, n_src = stellarity_index(img)
+    stell, n_src = stellarity_index(img, background=median)
     score = (
         min(20.0, snr * 2.0)
         + max(0.0, 20.0 - seeing * 5.0)

@@ -84,16 +84,43 @@ def cdc_fixture_dir(sf: float) -> dict:
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     tag = f"sf{sf}-{params['n_keys']}-{params['n_events']}"
     out = os.path.join(root, tag)
-    meta_path = os.path.join(out, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta.get("fixture_version") == FIXTURE_VERSION:
-            return meta
-    shutil.rmtree(out, ignore_errors=True)
-    meta = generate_change_log(out, **params)
-    with open(meta_path, "w") as f:
+
+    def _read_valid() -> dict | None:
+        try:
+            with open(os.path.join(out, "meta.json")) as f:
+                meta = json.load(f)
+            if meta.get("fixture_version") == FIXTURE_VERSION:
+                return meta
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
+            pass
+        return None
+
+    meta = _read_valid()
+    if meta is not None:
+        return meta
+    # build in a private sibling dir, meta.json last, one atomic rename:
+    # a concurrent process (bench + a scaling ladder) must never read a
+    # half-written segment (same discipline as cdc/queries e2e fixture)
+    import uuid
+
+    tmp = out + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    meta = generate_change_log(tmp, **params)
+    meta = {
+        k: (v.replace(tmp, out) if isinstance(v, str) else v)
+        for k, v in meta.items()
+    }
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        winner = _read_valid()
+        if winner is not None:
+            return winner
+        raise
     return meta
 
 
