@@ -707,10 +707,29 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
     for p in paths:
         if _glob.has_magic(p):
             for m in sorted(_glob.glob(p)):
-                # a loose glob ('seg-dir/*') also matches _SUCCESS/.crc
-                # markers — only directories and parquet files are segments
                 if os.path.isdir(m) or m.endswith(".parquet"):
                     files.extend(_expand(m))
+                    continue
+                # a loose glob ('seg-dir/*') also matches _SUCCESS/.crc
+                # markers — those are skippable, but any OTHER plain file
+                # the user's glob matched is a WAL segment we can't read:
+                # silently dropping it would make replay over an
+                # incomplete log look green (the same failure the
+                # empty-dir guard in _expand prevents).
+                base = os.path.basename(m)
+                if (
+                    base == "_SUCCESS"
+                    or base.endswith(".crc")
+                    or base == "meta.json"
+                    or base.startswith((".", "_"))
+                ):
+                    continue
+                raise ValueError(
+                    f"glob {p!r} matched non-parquet file {m!r}; WAL "
+                    "segments must be parquet files or directories of "
+                    "parquet files (marker files _SUCCESS/*.crc/"
+                    "meta.json/dotfiles are skipped automatically)"
+                )
         else:
             files.extend(_expand(p))
     if not files:

@@ -434,3 +434,161 @@ def scalar_photometric_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(calibrated, 4).alias("calibrated_mag"),
         F.round(err, 4).alias("mag_error"),
     )
+
+
+def _coord_transform_oracle() -> str:
+    """DuckDB mirror of the coordinate-transform chain. Every trig-of-a-
+    constant (galactic pole sines/cosines, precession rotation) is
+    computed ONCE in Python and inlined as the identical IEEE double
+    into both engines' expression trees, so the only per-row math both
+    sides evaluate independently is trig of the data columns — the same
+    discipline scalar_astro_math_functions uses."""
+    import math
+
+    from ..functions.astro import DEC_GNP_DEG, L_NCP_DEG, RA_GNP_DEG
+
+    ra_gnp_rad = math.radians(RA_GNP_DEG)
+    l_ncp_rad = math.radians(L_NCP_DEG)
+    sin_dg = math.sin(math.radians(DEC_GNP_DEG))
+    cos_dg = math.cos(math.radians(DEC_GNP_DEG))
+    # precession z-rotation angle for J2000.0 -> J2024.5 (t0=0, dt=0.245
+    # centuries) — AstronomicalCalculations.java:896-940 simplified model
+    dt = 0.245
+    theta = math.radians(
+        (2004.3109 * dt - 0.42665 * dt * dt - 0.041833 * dt * dt * dt) / 3600.0
+    )
+    cos_th, sin_th = math.cos(theta), math.sin(theta)
+    sgra_ra, sgra_dec = 266.41683, -29.00781
+    return f"""
+    WITH obs AS (
+        SELECT event_id,
+               (event_id % 3600) / 10.0 AS ra,
+               (event_id % 1741) / 10.0 - 87.0 AS dec,
+               (event_id % 200) - 100.0 AS pm_ra,
+               (event_id % 140) - 70.0 AS pm_dec,
+               5.0 + (event_id % 850) / 10.0 AS alt
+        FROM events
+    ), g AS (
+        SELECT *,
+               degrees(asin(sin(radians(dec)) * {sin_dg!r}
+                          + cos(radians(dec)) * {cos_dg!r}
+                            * cos(radians(ra) - {ra_gnp_rad!r}))) AS b_raw,
+               ((({L_NCP_DEG!r} - degrees(atan2(
+                     cos(radians(dec)) * sin(radians(ra) - {ra_gnp_rad!r}),
+                     sin(radians(dec)) * {cos_dg!r}
+                       - cos(radians(dec)) * {sin_dg!r}
+                         * cos(radians(ra) - {ra_gnp_rad!r})))) % 360.0)
+                 + 360.0) % 360.0 AS l_raw
+        FROM obs
+    ), r AS (
+        SELECT *,
+               degrees(asin(sin(radians(b_raw)) * {sin_dg!r}
+                          + cos(radians(b_raw)) * {cos_dg!r}
+                            * cos({l_ncp_rad!r} - radians(l_raw)))) AS dec_back_raw,
+               ((({RA_GNP_DEG!r} + degrees(atan2(
+                     cos(radians(b_raw)) * sin({l_ncp_rad!r} - radians(l_raw)),
+                     sin(radians(b_raw)) * {cos_dg!r}
+                       - cos(radians(b_raw)) * {sin_dg!r}
+                         * cos({l_ncp_rad!r} - radians(l_raw))))) % 360.0)
+                 + 360.0) % 360.0 AS ra_back_raw
+        FROM g
+    )
+    SELECT event_id,
+           round(l_raw, 4) AS gal_l,
+           round(b_raw, 4) AS gal_b,
+           round(ra_back_raw, 4) AS ra_back,
+           round(dec_back_raw, 4) AS dec_back,
+           round((((ra + pm_ra / 3600000.0 * 24.5) % 360.0) + 360.0) % 360.0, 6)
+               AS pm_ra_applied,
+           round(greatest(-90.0, least(90.0, dec + pm_dec / 3600000.0 * 24.5)), 6)
+               AS pm_dec_applied,
+           round(1.0 / cos(radians(90.0 - alt)), 4) AS airmass_pp,
+           round(1.0 / (sin(radians(alt))
+                        + 0.50572 * pow(alt + 6.07995, -1.6364)), 4) AS airmass_ky,
+           round((58.1 * tan(radians(90.0 - alt))
+                  - 0.07 * pow(tan(radians(90.0 - alt)), 3.0)
+                  + 0.000086 * pow(tan(radians(90.0 - alt)), 5.0))
+                 * (1005.0 / 1013.25)
+                 * (283.0 / (10.0 + 273.15))
+                 * (1.0 - 0.0001 * 0.5 * (10.0 + 273.15) / 100.0)
+                 * (1.0 + 0.00013 * (1.0 / (0.65 * 0.65) - 1.0 / 0.55)), 4)
+               AS refraction_arcsec,
+           round(degrees(atan2(
+                     sqrt(pow(cos(radians({sgra_dec!r}))
+                              * sin(radians({sgra_ra!r}) - radians(ra)), 2.0)
+                        + pow(cos(radians(dec)) * sin(radians({sgra_dec!r}))
+                              - sin(radians(dec)) * cos(radians({sgra_dec!r}))
+                                * cos(radians({sgra_ra!r}) - radians(ra)), 2.0)),
+                     sin(radians(dec)) * sin(radians({sgra_dec!r}))
+                       + cos(radians(dec)) * cos(radians({sgra_dec!r}))
+                         * cos(radians({sgra_ra!r}) - radians(ra))))
+                 * 3600.0, 2) AS sep_sgra_arcsec,
+           round(((degrees(atan2(
+                      cos(radians(dec)) * cos(radians(ra)) * {sin_th!r}
+                        + cos(radians(dec)) * sin(radians(ra)) * {cos_th!r},
+                      cos(radians(dec)) * cos(radians(ra)) * {cos_th!r}
+                        - cos(radians(dec)) * sin(radians(ra)) * {sin_th!r}))
+                   % 360.0) + 360.0) % 360.0, 4) AS prec_ra_2024
+    FROM r
+    """
+
+
+@query("scalar_coordinate_transforms", oracle=_coord_transform_oracle())
+def scalar_coordinate_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 astrometric coordinate-transform long tail (reference:
+    AstronomicalCalculations.java:176-237 galactic↔equatorial, :239-263
+    proper-motion epoch transform, :266-296 plane-parallel +
+    Kasten-Young airmass, :588-612 Vincenty separation, :896-940
+    simplified precession, :901-957 USNO refraction) — every transform a
+    native codegen'd column expression, zero UDFs, zero shuffles.
+
+    Coordinates derive deterministically from integer arithmetic on
+    ``event_id`` (dec kept off the poles where tan/sec blow up); the
+    galactic transform is additionally verified as a true inverse here —
+    ra_back/dec_back must reproduce ra/dec, and the DuckDB oracle checks
+    the identical roundtrip."""
+    from ..functions.astro import (
+        airmass_kasten_young,
+        airmass_plane_parallel,
+        angular_distance_vincenty_arcsec,
+        apply_proper_motion,
+        atmospheric_refraction_arcsec,
+        equatorial_to_galactic,
+        galactic_to_equatorial,
+        precess_approx_ra,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    ra = (eid % 3600) / F.lit(10.0)
+    dec = (eid % 1741) / F.lit(10.0) - F.lit(87.0)
+    pm_ra = (eid % 200) - F.lit(100.0)
+    pm_dec = (eid % 140) - F.lit(70.0)
+    alt = F.lit(5.0) + (eid % 850) / F.lit(10.0)
+    l, b = equatorial_to_galactic(ra, dec)
+    ra_back, dec_back = galactic_to_equatorial(l, b)
+    pm_ra2, pm_dec2 = apply_proper_motion(ra, dec, pm_ra, pm_dec, F.lit(24.5))
+    return ev.select(
+        "event_id",
+        F.round(l, 4).alias("gal_l"),
+        F.round(b, 4).alias("gal_b"),
+        F.round(ra_back, 4).alias("ra_back"),
+        F.round(dec_back, 4).alias("dec_back"),
+        F.round(pm_ra2, 6).alias("pm_ra_applied"),
+        F.round(pm_dec2, 6).alias("pm_dec_applied"),
+        F.round(airmass_plane_parallel(alt), 4).alias("airmass_pp"),
+        F.round(airmass_kasten_young(alt), 4).alias("airmass_ky"),
+        F.round(
+            atmospheric_refraction_arcsec(
+                alt, F.lit(10.0), F.lit(1005.0), F.lit(0.5), F.lit(0.65)
+            ),
+            4,
+        ).alias("refraction_arcsec"),
+        F.round(
+            angular_distance_vincenty_arcsec(
+                ra, dec, F.lit(266.41683), F.lit(-29.00781)
+            ),
+            2,
+        ).alias("sep_sgra_arcsec"),
+        F.round(precess_approx_ra(ra, dec, 2000.0, 2024.5), 4).alias("prec_ra_2024"),
+    )

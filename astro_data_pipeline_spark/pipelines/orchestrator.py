@@ -260,29 +260,44 @@ class Pipeline:
                         # thread unwinds when its action dies or
                         # completes)
                         sc.cancelJobGroup(group)
-                        if attempt <= spec.retries and not done.wait(
-                            timeout=spec.timeout_s
-                        ):
-                            # A retry would start while the cancelled
-                            # attempt is STILL executing (cancelJobGroup
-                            # interrupts Spark stages, not driver-side
-                            # Python) — two live copies of a
-                            # non-idempotent task. Airflow kills the
-                            # worker process before retrying; a thread
-                            # can't be killed, so after one extra
-                            # timeout of grace we fail the task outright
-                            # rather than retry concurrently.
-                            rec.status = FAILED
-                            rec.error = (
-                                f"execution timeout after {spec.timeout_s}s; "
-                                "attempt still executing after cancelJobGroup"
-                                " — refusing concurrent retry"
+                        if not done.wait(timeout=spec.timeout_s):
+                            if attempt <= spec.retries:
+                                # A retry would start while the cancelled
+                                # attempt is STILL executing
+                                # (cancelJobGroup interrupts Spark
+                                # stages, not driver-side Python) — two
+                                # live copies of a non-idempotent task.
+                                # Airflow kills the worker process before
+                                # retrying; a thread can't be killed, so
+                                # after one extra timeout of grace we
+                                # fail the task outright rather than
+                                # retry concurrently.
+                                rec.status = FAILED
+                                rec.error = (
+                                    f"execution timeout after "
+                                    f"{spec.timeout_s}s; attempt still "
+                                    "executing after cancelJobGroup"
+                                    " — refusing concurrent retry"
+                                )
+                                rec.finished_ms = int(time.time() * 1000)
+                                return
+                            raise TimeoutError(
+                                f"execution timeout after {spec.timeout_s}s"
                             )
-                            rec.finished_ms = int(time.time() * 1000)
-                            return
-                        raise TimeoutError(
-                            f"execution timeout after {spec.timeout_s}s"
-                        )
+                        if "value" not in box:
+                            # attempt died during the grace wait (usually
+                            # the cancellation unwinding) — it is no
+                            # longer executing, so a sequential retry is
+                            # safe.
+                            raise TimeoutError(
+                                f"execution timeout after {spec.timeout_s}s"
+                            )
+                        # The cancelled attempt COMPLETED during the
+                        # grace wait: its side effects already happened.
+                        # Accept its value rather than raising
+                        # TimeoutError and re-running a non-idempotent
+                        # task's effects a second time — the same hazard
+                        # the refuse-concurrent-retry branch guards.
                     if "error" in box:
                         raise box["error"]
                     value = box["value"]

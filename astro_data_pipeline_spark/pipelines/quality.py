@@ -129,9 +129,11 @@ def check_data_consistency(ctx: PipelineContext) -> list[dict]:
     # one job: broadcast left join + miss-rate aggregate (F.round on the
     # JVM matches the oracle's half-away rounding; Python round doesn't).
     # An orphan is a NON-NULL user_id absent from the dim: a null id is
-    # a validity problem, not a referential one, and the oracle's
-    # NOT IN three-valued logic would count it as non-orphan — the
-    # isNotNull guard keeps both engines on that same definition.
+    # a validity problem, not a referential one. The oracle uses
+    # NOT EXISTS (not NOT IN, whose three-valued logic would mark every
+    # event non-orphan if customer ever carried a NULL c_custkey) so
+    # both engines share anti-join semantics; the isNotNull guard keeps
+    # both on the same null-id definition.
     orphan = F.col("user_id").isNotNull() & F.col("_present").isNull()
     row = (
         ev.join(F.broadcast(cust), "user_id", "left")
@@ -216,7 +218,8 @@ _RATES_CTE = """
             (SELECT round(avg(CASE WHEN n_chars < 50 THEN 1.0 ELSE 0 END), 6)
                FROM documents) AS short_rate,
             (SELECT round(avg(CASE WHEN user_id IS NOT NULL
-                               AND user_id NOT IN (SELECT c_custkey FROM customer)
+                               AND NOT EXISTS (SELECT 1 FROM customer
+                                               WHERE c_custkey = user_id)
                               THEN 1.0 ELSE 0 END), 6)
                FROM events) AS orphan_rate
     ), s AS (

@@ -112,16 +112,25 @@ def cdc_fixture_dir(sf: float) -> dict:
     }
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
-    shutil.rmtree(out, ignore_errors=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        winner = _read_valid()
-        if winner is not None:
-            return winner
-        raise
-    return meta
+    # rename onto a non-existent target; only clear an occupant after
+    # re-validating it is NOT a usable fixture (same publish discipline
+    # as cdc/queries._ensure_e2e_fixture — never delete a concurrent
+    # winner's fixture out from under its readers)
+    for _attempt in range(2):
+        try:
+            os.rename(tmp, out)
+            return meta
+        except OSError:
+            winner = _read_valid()
+            if winner is not None:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return winner
+            shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    winner = _read_valid()
+    if winner is not None:
+        return winner
+    raise OSError(f"could not publish bench fixture at {out}")
 
 
 def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 3) -> dict:

@@ -117,6 +117,30 @@ def test_read_event_log_expands_globs_and_directory_segments(
     )
 
 
+def test_read_event_log_glob_rejects_unreadable_segment(
+    spark, tmp_path, fixture_meta
+):
+    """A loose glob that matches a plain non-parquet file must RAISE,
+    not silently drop the file: an excluded WAL segment would make
+    replay over an incomplete log look green. Known marker files
+    (_SUCCESS, *.crc, meta.json, dotfiles) are skipped silently."""
+    import shutil
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    shutil.copy(fixture_meta["v1_path"], wal / "seg_a.parquet")
+    # markers a Spark writer / fixture generator leaves behind: skipped
+    (wal / "_SUCCESS").write_text("")
+    (wal / ".seg_a.parquet.crc").write_text("")
+    (wal / "meta.json").write_text("{}")
+    ok = read_event_log(spark, str(wal / "*"))
+    assert ok.count() == spark.read.parquet(fixture_meta["v1_path"]).count()
+    # a WAL segment without the .parquet suffix is NOT skippable
+    shutil.copy(fixture_meta["v2_path"], wal / "seg_b.walseg")
+    with pytest.raises(ValueError, match="non-parquet"):
+        read_event_log(spark, str(wal / "*"))
+
+
 # -------------------------------------------------------------- replay
 
 

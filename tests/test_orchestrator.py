@@ -250,19 +250,45 @@ def test_timeout_never_retries_concurrently(spark):
     assert dt < 6.0, f"run blocked on the hung attempt ({dt:.1f}s)"
 
 
-def test_timeout_retry_waits_for_unwind_then_succeeds(spark):
-    """When the cancelled attempt unwinds within the grace window, the
-    retry proceeds (sequentially) and can succeed."""
+def test_timeout_grace_completed_value_accepted_without_retry(spark):
+    """If the cancelled attempt COMPLETES during the grace window, its
+    side effects already happened — the orchestrator must accept its
+    value rather than retry (a retry would run a non-idempotent task's
+    effects twice, the very hazard the concurrent-retry refusal
+    guards)."""
     calls = {"n": 0}
 
-    def slow_then_fast(ctx):
+    def slow_success(ctx):
         calls["n"] += 1
-        if calls["n"] == 1:
-            time.sleep(1.5)  # > timeout, < timeout + grace
+        time.sleep(1.5)  # > timeout, < timeout + grace
         return 7
 
     p = Pipeline("gtmo").add_task(
-        "t", slow_then_fast, retries=1, timeout_s=1.0
+        "t", slow_success, retries=1, timeout_s=1.0
+    )
+    run = p.run(spark, SF)
+    rec = run.records["t"]
+    assert rec.status == "success"
+    assert rec.attempts == 1
+    assert rec.rows_out == 7
+    assert calls["n"] == 1  # the work ran exactly once
+
+
+def test_timeout_grace_failed_attempt_retries_sequentially(spark):
+    """When the cancelled attempt DIES within the grace window (no
+    value produced), it is no longer executing — the retry proceeds
+    sequentially and can succeed."""
+    calls = {"n": 0}
+
+    def slow_fail_then_fast(ctx):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(1.5)  # > timeout, < timeout + grace
+            raise RuntimeError("attempt one unwound")
+        return 7
+
+    p = Pipeline("gtmo2").add_task(
+        "t", slow_fail_then_fast, retries=1, timeout_s=1.0
     )
     run = p.run(spark, SF)
     rec = run.records["t"]
