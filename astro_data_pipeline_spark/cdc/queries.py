@@ -256,10 +256,32 @@ except Exception as _e:  # noqa: BLE001 — import must never crash the registry
 
 
 def _materialize(spark: SparkSession, out: DataFrame) -> DataFrame:
-    """Collect + re-create: the scratch table directory vanishes with the
-    context manager, so the result must leave the lake before it does."""
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    """Persist a gate query's result OUTSIDE the scratch-table context
+    manager (whose directory vanishes with it) and hand back a plain
+    parquet scan over the persisted copy.
+
+    Distributed end to end: the old implementation collected the full
+    result to the driver and re-created it, which was fine for gate-sized
+    outputs but made even gate plumbing the one full-result collect in
+    the engine. A parquet write + schema-pinned re-read keeps rows on
+    executors; the explicit schema also covers the empty-result case
+    (a zero-row write leaves nothing to infer from)."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    global _GATE_SCRATCH
+    if _GATE_SCRATCH is None:
+        _GATE_SCRATCH = _tempfile.mkdtemp(prefix="adps-gate-results-")
+        _atexit.register(_shutil.rmtree, _GATE_SCRATCH, ignore_errors=True)
+    path = _os.path.join(_GATE_SCRATCH, _uuid.uuid4().hex)
+    out.write.parquet(path)
+    return spark.read.schema(out.schema).parquet(path)
+
+
+_GATE_SCRATCH: str | None = None
 
 
 def _scratch_lake(spark: SparkSession, td: str):

@@ -365,10 +365,30 @@ class LakeTable:
         # when the column is a long lands in the wrong bucket and the
         # pruned scan silently misses an existing row
         types = {f.name: f.dataType for f in snap.schema.fields}
-        row = self.spark.range(1).select(
-            *[F.lit(key[c]).cast(types[c]).alias(c) for c in snap.key_cols]
-        )
-        bucket = row.select(bucket_expr(snap.key_cols, snap.n_buckets)).collect()[0][0]
+        from ..functions import xxhash as _xx
+
+        key_types = [types[c] for c in snap.key_cols]
+        bucket = None
+        if _xx.supports(key_types):
+            # driver-side XXH64 twin of bucket_expr — zero Spark jobs for
+            # the prune step (one scheduled job per lookup is pure queue
+            # latency under concurrent load); bit-equality with
+            # F.xxhash64 pinned by tests/test_xxhash_twin.py
+            try:
+                vals = [
+                    str(key[c])
+                    if isinstance(types[c], T.StringType)
+                    else int(key[c])
+                    for c in snap.key_cols
+                ]
+                bucket = _xx.key_bucket(vals, key_types, snap.n_buckets)
+            except (ValueError, TypeError):
+                bucket = None  # un-castable literal: let Spark's cast decide
+        if bucket is None:
+            row = self.spark.range(1).select(
+                *[F.lit(key[c]).cast(types[c]).alias(c) for c in snap.key_cols]
+            )
+            bucket = row.select(bucket_expr(snap.key_cols, snap.n_buckets)).collect()[0][0]
         df = self.read(snapshot=snap, buckets=[int(bucket)])
         pred = None
         for c in snap.key_cols:

@@ -158,3 +158,42 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def materialize_barrier(df, eager: bool = False):
+    """Materialize a shared subplan once and truncate its lineage.
+
+    Two strategies behind one knob (``spark.adps.checkpoint.mode``,
+    runtime-settable):
+
+    - ``local`` (default): ``localCheckpoint`` — blocks cached on
+      executor disk/memory. Right for a single box: no reliable-storage
+      round-trip. The caveat at cluster scale: executor loss discards
+      local checkpoint blocks AND the lineage needed to recompute them,
+      failing the job.
+    - ``reliable``: ``checkpoint`` to the directory named by
+      ``spark.adps.checkpoint.dir`` (set lazily on first use; defaults
+      to a scratch subdir). Survives executor loss — the strategy a
+      1000-executor run wants for barriers feeding long downstream
+      stages.
+
+    Used by every shared-subplan barrier in textops (tf-idf/rarity term
+    counts, LSH/IVF assignment tables, winnowing fingerprints) and the
+    per-round lineage truncation in connected components.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.adps.checkpoint.mode", "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode != "reliable":
+        raise ValueError(
+            f"spark.adps.checkpoint.mode={mode!r}: expected 'local' or 'reliable'"
+        )
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        ckdir = spark.conf.get(
+            "spark.adps.checkpoint.dir",
+            os.path.join(_scratch_dir(), "adps-reliable-ckpt"),
+        )
+        sc.setCheckpointDir(ckdir)
+    return df.checkpoint(eager=eager)

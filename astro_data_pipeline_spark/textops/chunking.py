@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import materialize_barrier
 from ..sources import load_table
 from .sampling import _u32_sql
 
@@ -268,7 +269,7 @@ def dedup_substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     n_parts = spark.sparkContext.defaultParallelism
-    fp = fp.repartition(n_parts, "gram_hash").localCheckpoint(eager=False)
+    fp = materialize_barrier(fp.repartition(n_parts, "gram_hash"))
     rare = fp.groupBy("gram_hash").agg(F.count("*").alias("df")).filter(
         F.col("df") <= _OVERLAP_DF_CAP
     )

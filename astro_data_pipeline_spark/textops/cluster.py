@@ -16,8 +16,9 @@ where a training-data pipeline runs it.
 Scale design: min-label propagation (hash-to-min). Each round is one
 shuffle join (labels into the symmetrized edge list) plus one groupBy
 min — both key-partitioned on node id, no broadcast of anything
-unbounded, lineage truncated per round with localCheckpoint so the plan
-stays O(1) deep. Rounds needed = graph diameter. Dedup graphs are
+unbounded, lineage truncated per round with materialize_barrier (localCheckpoint
+locally; reliable checkpoint under spark.adps.checkpoint.mode=reliable)
+so the plan stays O(1) deep. Rounds needed = graph diameter. Dedup graphs are
 near-clique clusters (diameter 2-3 in practice), so this converges in a
 handful of rounds at any corpus size; for adversarially long chains the
 alternating large-star/small-star variant (Kiveris et al., "Connected
@@ -35,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import sha256_arrow
 from ..registry import query
+from ..session import materialize_barrier
 from ..sources import load_table
 from .dedup import _DF_CAP, _JACCARD_MIN, _SHINGLE_SQL, dedup_jaccard_shingle_pairs
 
@@ -54,7 +56,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     # materialized once; re-read every round instead of recomputing the
     # (possibly expensive) pair-mining lineage
-    sym = both.distinct().localCheckpoint(eager=True)
+    sym = materialize_barrier(both.distinct(), eager=True)
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
@@ -84,7 +86,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 "prev",
                 F.least(F.col("comp"), F.coalesce("jcomp", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lambda d: materialize_barrier(d, eager=True))
         )
         changed = stepped.filter(F.col("comp") < F.col("prev")).count()
         labels = stepped.select("node", "comp")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import sha256_arrow
 from ..registry import query
+from ..session import materialize_barrier
 from ..sources import load_table
 
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
@@ -371,7 +372,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash flaky near ties. Ties break on the term string.
 
     Scale shape: tf is one map-side-combinable (doc_id, term) count,
-    materialized ONCE behind a localCheckpoint barrier — without it
+    materialized ONCE behind a materialize_barrier (conf-gated local vs
+    reliable checkpoint; see session.py) — without it
     Catalyst plans three independent corpus scans (one per branch), 3×
     the dominant cost at 100 TB. The document-frequency table is
     vocabulary-sized (≪ corpus) and joins broadcast (map-side combine
@@ -386,7 +388,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf_cnt"))
-        .localCheckpoint(eager=False)
+        .transform(lambda d: materialize_barrier(d))
     )
     doclen = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
@@ -461,7 +463,7 @@ def text_unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf_cnt"))
-        .localCheckpoint(eager=False)
+        .transform(lambda d: materialize_barrier(d))
     )
     vocab = tf.groupBy("term").agg(F.sum("tf_cnt").cast("long").alias("corpus_cnt"))
     return (

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import materialize_barrier
 from ..sources import load_table
 
 _TOP_K = 3
@@ -347,7 +348,9 @@ def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     files are few and large; without it one task signs the whole
     corpus). The slim (vec_id, table_id, bucket) table is then
     repartitioned BY THE JOIN KEY and materialized once behind a
-    localCheckpoint barrier: both sides of the bucket self-join read the
+    materialize_barrier (localCheckpoint on a single box; a reliable
+    checkpoint under spark.adps.checkpoint.mode=reliable, which survives
+    executor loss at cluster scale): both sides of the bucket self-join read the
     same pre-partitioned checkpoint, so the expensive signature work
     runs once and the join needs no further exchange of its own."""
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -371,7 +374,7 @@ def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a size-based AQE coalesce here would funnel the expansion
         # through 1-2 tasks, so pin the fan-out by key AND number
         .repartition(n_parts, "table_id", "bucket")
-        .localCheckpoint(eager=False)
+        .transform(lambda d: materialize_barrier(d))
     )
     a = assignments.select(
         F.col("vec_id").alias("left_id"), "table_id", "bucket"
@@ -430,7 +433,7 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid set broadcasts; assignment is one scan of the corpus.
 
     The slim (vec_id, cell) table is materialized behind a
-    localCheckpoint barrier: the consumer joins it twice (probe side +
+    materialize_barrier (strategy conf-gated; see session.py): the consumer joins it twice (probe side +
     candidate side), and without the barrier Catalyst re-plans the
     C-cosine argmax scan per use — C× the corpus-scan cost, twice."""
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -449,7 +452,7 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
-        .localCheckpoint(eager=False)
+        .transform(lambda d: materialize_barrier(d))
     )
 
 

@@ -61,6 +61,7 @@ HEADLINE = [
     "sim_ivf_topk_cell_search",
     "dedup_substring_overlap_pairs",
     "agg_doclen_percentiles",
+    "scalar_coordinate_transforms",
 ]
 
 

@@ -1,0 +1,57 @@
+"""The shared-subplan barrier's strategy switch (session.materialize_barrier).
+
+Single-box default is localCheckpoint; `spark.adps.checkpoint.mode=
+reliable` switches every barrier site to a reliable-storage checkpoint —
+the strategy a multi-executor cluster needs, where executor loss discards
+local checkpoint blocks with no lineage left to recompute them
+(VERDICT_r02 "What's wrong" item 3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from astro_data_pipeline_spark.registry import get
+from tests.oracle_utils import compare_query
+
+
+@pytest.fixture
+def reliable_mode(spark, tmp_path):
+    spark.conf.set("spark.adps.checkpoint.mode", "reliable")
+    spark.conf.set("spark.adps.checkpoint.dir", str(tmp_path / "ckpt"))
+    # force the lazily-set checkpoint dir to re-resolve for this test
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    yield spark
+    spark.conf.set("spark.adps.checkpoint.mode", "local")
+
+
+def test_tfidf_barrier_under_reliable_checkpoint(reliable_mode, sf_dir):
+    """Lazy barrier (tf table feeding doclen + df + the scored join)
+    still matches the DuckDB oracle when materialized to reliable
+    storage, and checkpoint files actually land in the configured dir."""
+    q = get("text_tfidf_top_terms")
+    compare_query(reliable_mode, sf_dir, q.fn, q.oracle)
+    ckdir = reliable_mode.conf.get("spark.adps.checkpoint.dir")
+    assert any(os.scandir(ckdir)), "no reliable checkpoint was written"
+
+
+def test_connected_components_under_reliable_checkpoint(reliable_mode, sf_dir):
+    """Eager per-round lineage truncation (connected components) works
+    under the reliable strategy too."""
+    q = get("dedup_duplicate_clusters")
+    compare_query(reliable_mode, sf_dir, q.fn, q.oracle)
+
+
+def test_unknown_mode_rejected(spark):
+    from pyspark.sql import functions as F
+
+    from astro_data_pipeline_spark.session import materialize_barrier
+
+    spark.conf.set("spark.adps.checkpoint.mode", "banana")
+    try:
+        with pytest.raises(ValueError, match="banana"):
+            materialize_barrier(spark.range(3).select(F.col("id")))
+    finally:
+        spark.conf.set("spark.adps.checkpoint.mode", "local")
