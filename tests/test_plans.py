@@ -384,3 +384,12 @@ def test_registry_wide_plan_red_flags(spark):
         if f:
             bad[name] = f
     assert not bad, bad
+
+
+def test_coordinate_transforms_are_pure_map(spark):
+    """Every astrometric transform is an in-row column expression: the
+    whole query must plan as scan + project with ZERO Exchanges and zero
+    Python evaluation nodes (no BatchEvalPython / ArrowEvalPython)."""
+    p = plan(registry.get("scalar_coordinate_transforms").fn(spark, SF))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
