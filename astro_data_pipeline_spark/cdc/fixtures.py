@@ -236,3 +236,50 @@ def load_events_pandas(meta: dict) -> pd.DataFrame:
     v2 = pd.read_parquet(meta["v2_path"])
     v1["lang_meta"] = None
     return pd.concat([v1, v2], ignore_index=True)
+
+
+def publish_fixture_dir(tmp: str, target: str, read_valid) -> dict:
+    """Atomically publish a fully-built fixture directory at ``target``.
+
+    The ONE copy of the concurrency-critical publish protocol, shared by
+    ``cdc.queries._ensure_e2e_fixture`` and ``bench.cdc_fixture_dir``
+    (hand-synchronized twins drift; this one gets the lock).
+
+    Protocol: the whole validate → clear-invalid-occupant → rename
+    sequence runs under an exclusive flock on ``<target>.lock``, which
+    closes the validate/rmtree TOCTOU two unlocked publishers have —
+    without the lock, publisher B can validate an occupant as invalid,
+    publisher A can rename its valid fixture in, and B's rmtree then
+    deletes A's just-published files out from under A's readers. Under
+    the lock, whoever publishes first wins and the loser re-validates
+    and ADOPTS the winner's (deterministic, byte-equivalent) fixture.
+    Readers never take the lock: they only ever see no-dir or a
+    fully-renamed dir.
+
+    ``read_valid()`` must return the fixture's meta dict if ``target``
+    currently holds a usable fixture, else None. Returns the published
+    (or adopted) meta; the caller's ``tmp`` is consumed or discarded.
+    """
+    import fcntl
+    import shutil
+
+    lock_path = target + ".lock"
+    os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            winner = read_valid()
+            if winner is not None:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return winner
+            # occupant (if any) is invalid — safe to clear under the lock
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(tmp, target)
+            meta = read_valid()
+            if meta is None:
+                raise OSError(
+                    f"fixture published at {target} failed its own validity check"
+                )
+            return meta
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)

@@ -209,29 +209,12 @@ def _ensure_e2e_fixture() -> dict:
     }
     with open(_os.path.join(tmp, "meta.json"), "w") as f:
         _json.dump(meta, f)
-    # Publish by renaming onto a NON-EXISTENT target. The old
-    # rmtree-then-rename order had a window where a concurrent winner's
-    # just-published fixture was deleted out from under its readers; now
-    # an existing target is only removed after re-validating that it is
-    # NOT a usable fixture (a valid occupant is byte-equivalent — the
-    # generator is deterministic — so we adopt it instead).
-    for _attempt in range(2):
-        try:
-            _os.rename(tmp, _E2E_DIR)
-            return meta
-        except OSError:
-            winner = _read_valid()
-            if winner is not None:
-                _shutil.rmtree(tmp, ignore_errors=True)
-                return winner
-            # occupant is invalid (stale format / half-deleted): clear
-            # it and retry the rename once
-            _shutil.rmtree(_E2E_DIR, ignore_errors=True)
-    _shutil.rmtree(tmp, ignore_errors=True)
-    winner = _read_valid()
-    if winner is not None:
-        return winner
-    raise OSError(f"could not publish e2e fixture at {_E2E_DIR}")
+    # lock-serialized atomic publish (adopts a concurrent winner's
+    # byte-equivalent fixture instead of racing it) — ONE shared
+    # implementation, see fixtures.publish_fixture_dir
+    from .fixtures import publish_fixture_dir
+
+    return publish_fixture_dir(tmp, _E2E_DIR, _read_valid)
 
 
 def _e2e_wal_glob() -> str:

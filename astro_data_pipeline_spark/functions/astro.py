@@ -263,7 +263,10 @@ def atmospheric_refraction_arcsec(
 ) -> Column:
     """USNO/Bennett-style atmospheric refraction in arcseconds
     (AstronomicalCalculations.java:901-957): tan(z) polynomial scaled by
-    pressure / temperature / humidity / wavelength-dispersion factors."""
+    pressure / temperature / humidity / wavelength-dispersion factors.
+    NULL at/below the horizon — the tan(z) polynomial is undefined there
+    (the same inputs its airmass siblings guard with +inf), not
+    'astronomically large refraction'."""
     tan_z = F.tan(F.radians(90.0 - altitude_deg))
     basic = (
         58.1 * tan_z
@@ -271,7 +274,8 @@ def atmospheric_refraction_arcsec(
         + 0.000086 * F.pow(tan_z, F.lit(5.0))
     )
     temp_k = temperature_c + 273.15
-    return (
+    return F.when(
+        altitude_deg > 0.0,
         basic
         * (pressure_mb / 1013.25)
         * (283.0 / temp_k)
@@ -279,5 +283,5 @@ def atmospheric_refraction_arcsec(
         * (
             1.0
             + 0.00013 * (1.0 / (wavelength_um * wavelength_um) - 1.0 / 0.55)
-        )
+        ),
     )

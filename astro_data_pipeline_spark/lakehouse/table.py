@@ -368,22 +368,29 @@ class LakeTable:
         from ..functions import xxhash as _xx
 
         key_types = [types[c] for c in snap.key_cols]
+        vals = [key[c] for c in snap.key_cols]
         bucket = None
-        if _xx.supports(key_types):
+        if _xx.supports(key_types) and all(
+            # EXACT-type literals only: a Python-side coercion like
+            # str(True)='True' diverges from Spark's cast ('true') and
+            # would hash into the wrong bucket — the silent-miss hazard
+            # the comment above warns about. Anything needing a cast
+            # falls back to the Spark expression, which IS the cast.
+            isinstance(v, str)
+            if isinstance(dt, T.StringType)
+            else (isinstance(v, int) and not isinstance(v, bool))
+            for v, dt in zip(vals, key_types)
+        ):
             # driver-side XXH64 twin of bucket_expr — zero Spark jobs for
             # the prune step (one scheduled job per lookup is pure queue
             # latency under concurrent load); bit-equality with
             # F.xxhash64 pinned by tests/test_xxhash_twin.py
             try:
-                vals = [
-                    str(key[c])
-                    if isinstance(types[c], T.StringType)
-                    else int(key[c])
-                    for c in snap.key_cols
-                ]
                 bucket = _xx.key_bucket(vals, key_types, snap.n_buckets)
-            except (ValueError, TypeError):
-                bucket = None  # un-castable literal: let Spark's cast decide
+            except (ValueError, TypeError, OverflowError):
+                # e.g. an int out of the column type's range — Spark's
+                # cast semantics decide what that key means
+                bucket = None
         if bucket is None:
             row = self.spark.range(1).select(
                 *[F.lit(key[c]).cast(types[c]).alias(c) for c in snap.key_cols]

@@ -137,6 +137,11 @@ def get_spark(
         # interleaved best-of-3: 756.4k -> 826.6k events/s).
         .config("spark.hadoop.parquet.enable.dictionary#content", "false")
         .config("spark.hadoop.parquet.enable.dictionary#content_sha256", "false")
+        # reclaim reliable-checkpoint files (materialize_barrier's
+        # cluster mode) when their RDDs are GC'd — without it every
+        # barrier accretes files in the checkpoint dir for the session's
+        # lifetime
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # Arrow batches ride in direct (off-heap) buffers that are only
         # reclaimed at GC; with a big, rarely-collected heap the default
@@ -172,10 +177,17 @@ def materialize_barrier(df, eager: bool = False):
       local checkpoint blocks AND the lineage needed to recompute them,
       failing the job.
     - ``reliable``: ``checkpoint`` to the directory named by
-      ``spark.adps.checkpoint.dir`` (set lazily on first use; defaults
-      to a scratch subdir). Survives executor loss — the strategy a
-      1000-executor run wants for barriers feeding long downstream
-      stages.
+      ``spark.adps.checkpoint.dir`` (set lazily on first use). Survives
+      executor loss — the strategy a 1000-executor run wants for
+      barriers feeding long downstream stages — PROVIDED the directory
+      is on storage every executor can read (HDFS/S3/NFS). There is
+      deliberately no scratch-dir default: node-local tmpfs would make
+      "reliable" checkpoints that silently vanish with the very
+      executor loss the mode exists to survive, so an unset dir raises
+      instead. ``spark.cleaner.referenceTracking.cleanCheckpoints``
+      (set true in get_spark) reclaims checkpoint files when their
+      RDDs are garbage-collected; the directory itself is owned by the
+      caller.
 
     Used by every shared-subplan barrier in textops (tf-idf/rarity term
     counts, LSH/IVF assignment tables, winnowing fingerprints) and the
@@ -191,9 +203,14 @@ def materialize_barrier(df, eager: bool = False):
         )
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        ckdir = spark.conf.get(
-            "spark.adps.checkpoint.dir",
-            os.path.join(_scratch_dir(), "adps-reliable-ckpt"),
-        )
+        ckdir = spark.conf.get("spark.adps.checkpoint.dir", None)
+        if not ckdir:
+            raise ValueError(
+                "spark.adps.checkpoint.mode=reliable requires "
+                "spark.adps.checkpoint.dir (or a pre-set "
+                "SparkContext.setCheckpointDir) pointing at storage all "
+                "executors share — a node-local default would not "
+                "survive the executor loss this mode exists to survive"
+            )
         sc.setCheckpointDir(ckdir)
     return df.checkpoint(eager=eager)

@@ -388,7 +388,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf_cnt"))
-        .transform(lambda d: materialize_barrier(d))
+        .transform(materialize_barrier)
     )
     doclen = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
@@ -463,7 +463,7 @@ def text_unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf_cnt"))
-        .transform(lambda d: materialize_barrier(d))
+        .transform(materialize_barrier)
     )
     vocab = tf.groupBy("term").agg(F.sum("tf_cnt").cast("long").alias("corpus_cnt"))
     return (

@@ -374,7 +374,7 @@ def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a size-based AQE coalesce here would funnel the expansion
         # through 1-2 tasks, so pin the fan-out by key AND number
         .repartition(n_parts, "table_id", "bucket")
-        .transform(lambda d: materialize_barrier(d))
+        .transform(materialize_barrier)
     )
     a = assignments.select(
         F.col("vec_id").alias("left_id"), "table_id", "bucket"
@@ -452,7 +452,7 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
-        .transform(lambda d: materialize_barrier(d))
+        .transform(materialize_barrier)
     )
 
 

@@ -113,25 +113,11 @@ def cdc_fixture_dir(sf: float) -> dict:
     }
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
-    # rename onto a non-existent target; only clear an occupant after
-    # re-validating it is NOT a usable fixture (same publish discipline
-    # as cdc/queries._ensure_e2e_fixture — never delete a concurrent
-    # winner's fixture out from under its readers)
-    for _attempt in range(2):
-        try:
-            os.rename(tmp, out)
-            return meta
-        except OSError:
-            winner = _read_valid()
-            if winner is not None:
-                shutil.rmtree(tmp, ignore_errors=True)
-                return winner
-            shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    winner = _read_valid()
-    if winner is not None:
-        return winner
-    raise OSError(f"could not publish bench fixture at {out}")
+    # lock-serialized atomic publish shared with the e2e fixture —
+    # ONE implementation of the concurrency-critical protocol
+    from astro_data_pipeline_spark.cdc.fixtures import publish_fixture_dir
+
+    return publish_fixture_dir(tmp, out, _read_valid)
 
 
 def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 3) -> dict:

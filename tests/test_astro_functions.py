@@ -150,7 +150,7 @@ def test_refraction_sane_bands(spark):
     """USNO/Bennett-style refraction: ~60″ at 45° altitude under standard
     conditions is the textbook band (~1 arcminute at z=45°... actually
     ~58″ at alt=45°), falling to ~0 at zenith, growing toward horizon."""
-    rows = [{"alt": 90.0}, {"alt": 45.0}, {"alt": 10.0}]
+    rows = [{"alt": 90.0}, {"alt": 45.0}, {"alt": 10.0}, {"alt": 0.0}, {"alt": -3.0}]
     refr = atmospheric_refraction_arcsec(
         F.col("alt"), F.lit(10.0), F.lit(1013.25), F.lit(0.0), F.lit(0.55)
     )
@@ -158,3 +158,4 @@ def test_refraction_sane_bands(spark):
     assert out[0]["r"] == pytest.approx(0.0, abs=1e-6)
     assert 50.0 < out[1]["r"] < 70.0
     assert out[2]["r"] > 5.0 * out[1]["r"]  # tan z growth toward horizon
+    assert out[3]["r"] is None and out[4]["r"] is None  # undefined at/below horizon

@@ -17,6 +17,27 @@ from astro_data_pipeline_spark.registry import get
 from tests.oracle_utils import compare_query
 
 
+def test_reliable_mode_without_dir_refuses(spark):
+    """reliable mode with NO checkpoint dir must raise, not default to
+    node-local scratch: a tmpfs 'reliable' checkpoint would silently
+    vanish with the very executor loss the mode exists to survive.
+    (Declared first in this file: once any test sets the session's
+    checkpoint dir it stays set.)"""
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("shared session already has a checkpoint dir")
+    from pyspark.sql import functions as F
+
+    from astro_data_pipeline_spark.session import materialize_barrier
+
+    spark.conf.set("spark.adps.checkpoint.mode", "reliable")
+    spark.conf.unset("spark.adps.checkpoint.dir")
+    try:
+        with pytest.raises(ValueError, match="spark.adps.checkpoint.dir"):
+            materialize_barrier(spark.range(3).select(F.col("id")))
+    finally:
+        spark.conf.set("spark.adps.checkpoint.mode", "local")
+
+
 @pytest.fixture
 def reliable_mode(spark, tmp_path):
     spark.conf.set("spark.adps.checkpoint.mode", "reliable")
