@@ -52,6 +52,7 @@ from astro_data_pipeline_spark import registry
 _GATE_PRIORITY = [
     # -- 1. new this round ----------------------------------------------
     "scalar_coordinate_transforms",
+    "cdc_type_widening",
     # -- 2. driver-dark control plane ------------------------------------
     "pipeline_telescope_run",
     "pipeline_quality_monitoring",

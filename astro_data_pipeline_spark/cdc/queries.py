@@ -555,6 +555,111 @@ def cdc_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_type_widening",
+    oracle="""
+    WITH p1 AS (
+        SELECT event_id,
+               CAST(CAST(user_id AS INTEGER) AS BIGINT) AS hits,
+               CAST(CAST(value AS FLOAT) AS DOUBLE) AS score
+        FROM events WHERE event_id % 2 = 0
+    ), p2 AS (
+        SELECT event_id,
+               CAST(user_id AS BIGINT) + 5000000000 AS hits,
+               CAST(value AS DOUBLE) AS score
+        FROM events WHERE event_id % 2 = 1
+    ), upd AS (
+        SELECT event_id,
+               CAST(user_id AS BIGINT) + 6000000000 AS hits,
+               CAST(value AS DOUBLE) * 2 AS score
+        FROM events
+        WHERE event_id % 2 = 0 AND event_id % 10 = 0 AND event_id % 26 != 0
+    )
+    SELECT event_id, hits, score FROM (
+        SELECT * FROM p1 WHERE event_id % 10 != 0 AND event_id % 26 != 0
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM p2
+    )
+    """,
+)
+def cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution end to end (Iceberg v3 type
+    promotion / Delta type widening analog; the capacity-growth sibling
+    of the reference's additive V2 migrations): phase 1 lands narrow
+    int32/float rows via copy-on-write MERGE, ``widen_columns`` promotes
+    hits→bigint and score→double as a METADATA-ONLY commit (asserted: no
+    file rewritten, the parquet footers stay physically narrow), and
+    phase 2 merges values only the wide types can hold (> int32 max)
+    through the merge-on-read path — so the final read resolves
+    physically-narrow base files against physically-wide delta files
+    under one wide schema. The oracle replays the same three-phase LWW
+    outcome in SQL; any widening fault (a rewrite, a lost upcast, a
+    mis-bucketed post-widen key, a delete applied to the wrong
+    generation) breaks the row/hash match."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        schema = _T.StructType(
+            [
+                _T.StructField("event_id", _T.LongType(), False),
+                _T.StructField("hits", _T.IntegerType(), True),
+                _T.StructField("score", _T.FloatType(), True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=16
+        )
+        p1 = ev.filter(eid % 2 == 0).select(
+            eid.alias("event_id"),
+            F.col("user_id").cast("int").alias("hits"),
+            F.col("value").cast("float").alias("score"),
+            F.lit("insert").alias("op"),
+        )
+        snap_before, _ = table.merge(p1)
+
+        table.widen_columns({"hits": _T.LongType(), "score": _T.DoubleType()})
+        widened = table.current_snapshot()
+        if widened.files != snap_before.files or widened.delta_files != snap_before.delta_files:
+            raise RuntimeError("widen_columns rewrote data files; must be metadata-only")
+        # footer proof: phase-1 files are still PHYSICALLY int32/float —
+        # the wide read is the reader upcasting, not a rewrite
+        one_file = _os.path.join(table.root, next(iter(snap_before.files.values()))[0])
+        footer = dict(spark.read.parquet(one_file).dtypes)
+        if footer["hits"] != "int" or footer["score"] != "float":
+            raise RuntimeError(f"phase-1 files not narrow on disk: {footer}")
+
+        big = F.lit(5_000_000_000)
+        inserts = ev.filter(eid % 2 == 1).select(
+            eid.alias("event_id"),
+            (F.col("user_id") + big).alias("hits"),
+            F.col("value").alias("score"),
+            F.lit("insert").alias("op"),
+        )
+        updates = ev.filter((eid % 2 == 0) & (eid % 10 == 0) & (eid % 26 != 0)).select(
+            eid.alias("event_id"),
+            (F.col("user_id") + F.lit(6_000_000_000)).alias("hits"),
+            (F.col("value") * 2).alias("score"),
+            F.lit("update").alias("op"),
+        )
+        deletes = ev.filter((eid % 2 == 0) & (eid % 26 == 0)).select(
+            eid.alias("event_id"),
+            F.lit(None).cast("long").alias("hits"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit("delete").alias("op"),
+        )
+        table.merge_mor(inserts.unionByName(updates).unionByName(deletes))
+        return _materialize(spark, table.read().select("event_id", "hits", "score"))
+
+
+@query(
     "cdc_batch_ledger_stats",
     oracle="""
     SELECT CAST(floor(event_id / 2000) AS BIGINT) AS batch_id,

@@ -145,14 +145,21 @@ class CdcRunner:
 
     def _evolve_if_needed(self, events: DataFrame) -> None:
         """Promote additive event columns into the table schema
-        (metadata-only commit) before applying the batch."""
+        (metadata-only commit) before applying the batch, and WIDEN table
+        columns whose upstream type grew (the upstream ``ALTER COLUMN
+        ... TYPE`` case: a counter outgrowing int32 mid-stream). Without
+        the widen, ``to_table_rows``'s align-cast would silently narrow
+        every wide value back to the stale table type. Both promotions
+        are metadata-only commits; zero data files move."""
+        from ..lakehouse.table import is_lossless_widening
+
         snap = self.table.current_snapshot()
-        table_cols = {f.name for f in snap.schema.fields}
+        table_types = {f.name: f.dataType for f in snap.schema.fields}
         reserved = {"lsn", "ts", "op"}
         new = [
             f
             for f in events.schema.fields
-            if f.name not in table_cols and f.name not in reserved
+            if f.name not in table_types and f.name not in reserved
         ]
         if new:
             fields = [T.StructField(f.name, f.dataType, True) for f in new]
@@ -161,6 +168,22 @@ class CdcRunner:
                 summary={
                     "run_id": self.run_id,
                     "evolved_columns": [f.name for f in new],
+                },
+            )
+        widen = {
+            f.name: f.dataType
+            for f in events.schema.fields
+            if f.name in table_types
+            and f.name not in reserved
+            and f.name not in snap.key_cols
+            and is_lossless_widening(table_types[f.name], f.dataType)
+        }
+        if widen:
+            self.table.widen_columns(
+                widen,
+                summary={
+                    "run_id": self.run_id,
+                    "widened_columns": sorted(widen),
                 },
             )
 

@@ -123,6 +123,32 @@ def bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+# Lossless type promotions the parquet reader performs on scan (the
+# Iceberg v3 / Delta type-widening matrix restricted to what Spark 4's
+# vectorized reader upcasts natively — verified in tests/test_type_widening).
+_WIDEN_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def is_lossless_widening(old_t: T.DataType, new_t: T.DataType) -> bool:
+    if isinstance(old_t, _WIDEN_INTEGRAL) and isinstance(new_t, _WIDEN_INTEGRAL):
+        return _WIDEN_INTEGRAL.index(type(old_t)) < _WIDEN_INTEGRAL.index(type(new_t))
+    # every int32-or-smaller value is exactly representable as a double;
+    # long -> double is NOT (53-bit mantissa) and stays refused
+    if isinstance(old_t, (T.ByteType, T.ShortType, T.IntegerType, T.FloatType)):
+        if isinstance(new_t, T.DoubleType):
+            return True
+    if isinstance(old_t, T.DateType) and isinstance(new_t, T.TimestampNTZType):
+        return True
+    if isinstance(old_t, T.DecimalType) and isinstance(new_t, T.DecimalType):
+        # integer digits must not shrink, scale must not shrink
+        return (
+            new_t.scale >= old_t.scale
+            and new_t.precision - new_t.scale >= old_t.precision - old_t.scale
+            and (new_t.precision, new_t.scale) != (old_t.precision, old_t.scale)
+        )
+    return False
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -542,6 +568,34 @@ class LakeTable:
         )
         return out.select(*key_cols, *val_cols, "change_type")
 
+    def _conform_types(self, updates: DataFrame, snap: Snapshot) -> DataFrame:
+        """Write-side schema enforcement: cast update columns whose type is
+        NARROWER than the table's to the table type (lossless by the same
+        matrix scan-side widening uses), and REFUSE columns wider than the
+        table's (a double written into a float column poisons every future
+        scan of that file — the caller must ``widen_columns`` first).
+
+        Key columns matter doubly: ``bucket_expr`` hashes the physical
+        type (``xxhash64(int 1) != xxhash64(bigint 1)``), so an
+        un-conformed narrow key would hash into the WRONG bucket and make
+        the row invisible to bucket-pruned reads."""
+        casts: dict[str, F.Column] = {}
+        in_types = {f.name: f.dataType for f in updates.schema.fields}
+        for f in snap.schema.fields:
+            it = in_types.get(f.name)
+            if it is None or it == f.dataType:
+                continue
+            if is_lossless_widening(it, f.dataType):
+                casts[f.name] = F.col(f.name).cast(f.dataType)
+            else:
+                raise ValueError(
+                    f"update column {f.name!r} is {it.simpleString()} but the "
+                    f"table column is {f.dataType.simpleString()}; widening "
+                    "writes are refused — promote the table first with "
+                    "widen_columns()"
+                )
+        return updates.withColumns(casts) if casts else updates
+
     # ------------------------------------------------------------- evolve
 
     def add_columns(self, new_fields: list[T.StructField], summary: dict | None = None) -> Snapshot:
@@ -565,6 +619,75 @@ class LakeTable:
             files=cur.files,
             delta_files=cur.delta_files,
             summary={"operation": "add-columns", **(summary or {})},
+            timestamp_ms=int(time.time() * 1000),
+        )
+        self._write_snapshot(snap)
+        self._commit_hint(snap.snapshot_id)
+        return snap
+
+    def widen_columns(
+        self, changes: dict[str, T.DataType], summary: dict | None = None
+    ) -> Snapshot:
+        """Type-widening schema evolution (Iceberg v3 type promotion /
+        Delta type widening analog): promote value columns to a wider,
+        lossless type as a METADATA-ONLY commit — zero data files
+        rewritten. Existing narrow-typed parquet files upcast at scan
+        time (Spark 4's vectorized parquet reader promotes int32→
+        int64/double, float→double, date→timestamp_ntz, and decimal
+        precision/scale growth when handed the wider read schema, which
+        ``_scan`` always passes explicitly). At 100 TB this turns "the
+        counter overflowed int32" from a full-table rewrite into an O(1)
+        manifest flip; merges written before AND after the promotion
+        coexist, and merge-on-read resolution coalesces across them
+        (Spark promotes the join/coalesce to the wider type).
+
+        Key columns are refused: the bucket layout hashes the PHYSICAL
+        column type (``xxhash64(int 1) != xxhash64(bigint 1)``), so a key
+        widening would silently re-bucket every existing key — that
+        migration is ``rebucket`` territory, a rewrite by nature.
+
+        Reference analog: the live-table ALTER migrations that grow
+        column capacity without rewriting rows (the additive-evolution
+        sibling of V2__Add_Workflow_Versioning_Support.sql)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        fields = {f.name: f for f in cur.schema.fields}
+        for name, new_t in changes.items():
+            if name not in fields:
+                raise ValueError(f"unknown column {name!r}")
+            if name in cur.key_cols:
+                raise ValueError(
+                    f"cannot widen key column {name!r}: bucket hashes are "
+                    "type-sensitive; use rebucket() for key migrations"
+                )
+            old_t = fields[name].dataType
+            if old_t == new_t:
+                raise ValueError(f"column {name!r} is already {new_t.simpleString()}")
+            if not is_lossless_widening(old_t, new_t):
+                raise ValueError(
+                    f"{old_t.simpleString()} -> {new_t.simpleString()} is "
+                    f"not a lossless widening for column {name!r}"
+                )
+        schema = T.StructType(
+            [
+                T.StructField(f.name, changes.get(f.name, f.dataType), f.nullable, f.metadata)
+                for f in cur.schema.fields
+            ]
+        )
+        snap = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent_id=cur.snapshot_id,
+            schema_json=schema.jsonValue(),
+            n_buckets=cur.n_buckets,
+            key_cols=cur.key_cols,
+            files=cur.files,
+            delta_files=cur.delta_files,
+            summary={
+                "operation": "widen-columns",
+                "widened": {n: t.simpleString() for n, t in changes.items()},
+                **(summary or {}),
+            },
             timestamp_ms=int(time.time() * 1000),
         )
         self._write_snapshot(snap)
@@ -687,6 +810,7 @@ class LakeTable:
         table_cols = [f.name for f in cur.schema.fields]
         val_cols = [c for c in table_cols if c not in key_cols]
 
+        updates = self._conform_types(updates, cur)
         upd = updates.withColumn(BUCKET_COL, bucket_expr(key_cols, cur.n_buckets))
         if touched_buckets is None:
             touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
@@ -877,6 +1001,7 @@ class LakeTable:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
         key_cols = cur.key_cols
         val_cols = [f.name for f in cur.schema.fields if f.name not in key_cols]
+        updates = self._conform_types(updates, cur)
 
         # coalesce: a NULL op is an upsert, and the tombstone flag must be
         # a real boolean — a NULL tombstone would drop the row from every

@@ -242,6 +242,44 @@ def test_schema_evolution_mid_stream(spark, tmp_path, fixture_meta, oracle_state
     assert pre.count() == 0
 
 
+def test_schema_evolution_type_widens_mid_stream(spark, tmp_path):
+    """Upstream ALTER COLUMN ... TYPE mid-stream: segment 2 carries
+    ``size_bytes`` as bigint where the table (and segment 1) had int32.
+    The runner must widen the table (metadata-only) BEFORE the align-cast
+    in to_table_rows, or every wide value silently truncates back to the
+    stale narrow type."""
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("content_sha256", T.StringType(), True),
+            T.StructField("last_lsn", T.LongType(), True),
+            T.StructField("size_bytes", T.IntegerType(), True),
+        ]
+    )
+    table = LakeTable.create(spark, str(tmp_path / "lake"), schema, A.KEY_COLS, n_buckets=8)
+    ev1 = spark.createDataFrame(
+        [("r1", f"p{i}", f"c{i}", i, "insert", 100 + i) for i in range(6)],
+        schema="repo string, path string, content string, lsn long, op string, size_bytes int",
+    )
+    CdcRunner(spark, table, run_id="w1").replay(ev1, n_batches=1)
+    assert dict(table.read().dtypes)["size_bytes"] == "int"
+
+    big = 2**40
+    ev2 = spark.createDataFrame(
+        [("r1", "p0", "c0v2", 100, "update", big), ("r1", "p9", "c9", 101, "insert", big + 9)],
+        schema="repo string, path string, content string, lsn long, op string, size_bytes long",
+    )
+    CdcRunner(spark, table, run_id="w2").replay(ev2, n_batches=1)
+    assert dict(table.read().dtypes)["size_bytes"] == "bigint"
+    ops = [s.summary.get("operation") for s in table.snapshot_chain()]
+    assert "widen-columns" in ops
+    got = {r["path"]: r["size_bytes"] for r in table.read().collect()}
+    assert got["p0"] == big and got["p9"] == big + 9
+    assert got["p3"] == 103  # narrow pre-widen row upcast intact
+
+
 # ---------------------------------------------------------- pipelining
 
 
