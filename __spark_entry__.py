@@ -30,8 +30,11 @@ from astro_data_pipeline_spark import registry
 # missing or predates the current code; everything with a green
 # CORRECTNESS_r02 row on unchanged code sorts past the 50-row window,
 # where its r2 row remains the valid evidence. After this round the
-# union of CORRECTNESS_r{1,2,3} covers all 100 registered queries on
-# current code.
+# union of CORRECTNESS_r{1,2,3} covers all 102 registered queries on
+# current code (the list now runs 52 long after the late-round
+# cdc_type_widening/cdc_column_drop additions, so the LAST TWO section-5
+# names fall past the window — both byte-unchanged since round 1 with
+# green r1 rows, the cheapest evidence to defer).
 #   1. new this round (never gated anywhere)
 #   2. driver-dark pipeline_* control-plane set (implemented+oracled in
 #      round 2, deliberately past r2's window — zero driver rows yet)
@@ -53,6 +56,7 @@ _GATE_PRIORITY = [
     # -- 1. new this round ----------------------------------------------
     "scalar_coordinate_transforms",
     "cdc_type_widening",
+    "cdc_column_drop",
     # -- 2. driver-dark control plane ------------------------------------
     "pipeline_telescope_run",
     "pipeline_quality_monitoring",

@@ -660,6 +660,73 @@ def cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_column_drop",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CASE WHEN event_id % 5 = 0 THEN value * 3 ELSE value END AS value
+    FROM events
+    """,
+)
+def cdc_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-drop schema evolution end to end: land full-width rows,
+    ``drop_columns`` removes ``event_type`` as a METADATA-ONLY commit
+    (asserted in-query: same files, column gone from reads, re-adding the
+    name refused — pre-drop files still carry physical values that would
+    resurrect under Spark's read-by-name scans), then a post-drop
+    copy-on-write MERGE updates a slice of keys with the narrower batch
+    shape. The oracle computes the same final state over the full table;
+    a drop that rewrote files, leaked the column, or broke post-drop
+    merges diverges."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        schema = _T.StructType(
+            [
+                _T.StructField("event_id", _T.LongType(), False),
+                _T.StructField("user_id", _T.LongType(), True),
+                _T.StructField("event_type", _T.StringType(), True),
+                _T.StructField("value", _T.DoubleType(), True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=16
+        )
+        table.merge(
+            ev.select("event_id", "user_id", "event_type", "value", F.lit("insert").alias("op"))
+        )
+        pre = table.current_snapshot()
+        table.drop_columns(["event_type"])
+        post = table.current_snapshot()
+        if post.files != pre.files or post.delta_files != pre.delta_files:
+            raise RuntimeError("drop_columns rewrote data files; must be metadata-only")
+        if "event_type" in table.read().columns:
+            raise RuntimeError("dropped column still visible to reads")
+        try:
+            table.add_columns([_T.StructField("event_type", _T.StringType(), True)])
+        except ValueError:
+            pass  # expected: name poisoned against resurrection
+        else:
+            raise RuntimeError("re-adding a dropped column must be refused")
+        updates = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            "user_id",
+            (F.col("value") * 3).alias("value"),
+            F.lit("update").alias("op"),
+        )
+        table.merge(updates)
+        return _materialize(spark, table.read().select("event_id", "user_id", "value"))
+
+
+@query(
     "cdc_batch_ledger_stats",
     oracle="""
     SELECT CAST(floor(event_id / 2000) AS BIGINT) AS batch_id,

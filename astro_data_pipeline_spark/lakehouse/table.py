@@ -85,6 +85,12 @@ class Snapshot:
     timestamp_ms: int = 0
     # merge-on-read delta files per bucket (resolved against `files` by _seq)
     delta_files: dict[str, list[str]] = field(default_factory=dict)
+    # names ever dropped from the schema while their physical column may
+    # still live in referenced data files (scans read by NAME, so
+    # re-adding such a name would RESURRECT old values — add_columns
+    # refuses it until a rebucket rewrites every file). Carried forward
+    # commit-over-commit, so it survives snapshot expiry.
+    dropped_cols: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -101,6 +107,7 @@ class Snapshot:
             "summary": self.summary,
             "timestamp_ms": self.timestamp_ms,
             "delta_files": self.delta_files,
+            "dropped_cols": self.dropped_cols,
         }
 
     @staticmethod
@@ -115,6 +122,7 @@ class Snapshot:
             summary=d.get("summary", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
             delta_files=d.get("delta_files", {}),
+            dropped_cols=d.get("dropped_cols", []),
         )
 
 
@@ -600,7 +608,13 @@ class LakeTable:
 
     def add_columns(self, new_fields: list[T.StructField], summary: dict | None = None) -> Snapshot:
         """Additive schema evolution: metadata-only commit; existing files
-        carry forward and read back with nulls for the new columns."""
+        carry forward and read back with nulls for the new columns.
+
+        Re-adding a name in ``dropped_cols`` is refused: scans read by
+        NAME, so the physical column still present in pre-drop files
+        would RESURRECT its old values into the "new" column (the hazard
+        Iceberg solves with field IDs). ``rebucket`` rewrites every file
+        and clears the set."""
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
@@ -609,6 +623,13 @@ class LakeTable:
         for nf in new_fields:
             if nf.name in existing:
                 continue
+            if nf.name in cur.dropped_cols:
+                raise ValueError(
+                    f"column name {nf.name!r} was previously dropped and its "
+                    "physical data may survive in referenced files; re-adding "
+                    "it would resurrect old values — rebucket() first to "
+                    "rewrite the table"
+                )
             schema = schema.add(nf)
         snap = Snapshot(
             snapshot_id=cur.snapshot_id + 1,
@@ -618,7 +639,50 @@ class LakeTable:
             key_cols=cur.key_cols,
             files=cur.files,
             delta_files=cur.delta_files,
+            dropped_cols=cur.dropped_cols,
             summary={"operation": "add-columns", **(summary or {})},
+            timestamp_ms=int(time.time() * 1000),
+        )
+        self._write_snapshot(snap)
+        self._commit_hint(snap.snapshot_id)
+        return snap
+
+    def drop_columns(self, names: list[str], summary: dict | None = None) -> Snapshot:
+        """Drop value columns as a METADATA-ONLY commit — zero files
+        rewritten. ``_scan`` reads with the snapshot's explicit schema, so
+        the physical column in existing files simply stops being decoded
+        (column pruning makes the drop free at read time too). The
+        dropped name is remembered in ``Snapshot.dropped_cols`` (carried
+        forward commit-over-commit, surviving snapshot expiry) and
+        ``add_columns`` refuses to reuse it until a ``rebucket`` rewrites
+        every file — scans read by name, so reuse would resurrect stale
+        values from pre-drop files (the hazard Iceberg's field IDs exist
+        to prevent). Key columns cannot be dropped. Time travel to a
+        pre-drop snapshot still reads the column (snapshots are
+        self-describing)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        existing = {f.name for f in cur.schema.fields}
+        for n in names:
+            if n not in existing:
+                raise ValueError(f"unknown column {n!r}")
+            if n in cur.key_cols:
+                raise ValueError(f"cannot drop key column {n!r}")
+        doomed = set(names)
+        if not [f for f in cur.schema.fields if f.name not in doomed and f.name not in cur.key_cols]:
+            raise ValueError("cannot drop every value column")
+        schema = T.StructType([f for f in cur.schema.fields if f.name not in doomed])
+        snap = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent_id=cur.snapshot_id,
+            schema_json=schema.jsonValue(),
+            n_buckets=cur.n_buckets,
+            key_cols=cur.key_cols,
+            files=cur.files,
+            delta_files=cur.delta_files,
+            dropped_cols=sorted(set(cur.dropped_cols) | doomed),
+            summary={"operation": "drop-columns", "dropped": sorted(doomed), **(summary or {})},
             timestamp_ms=int(time.time() * 1000),
         )
         self._write_snapshot(snap)
@@ -683,6 +747,7 @@ class LakeTable:
             key_cols=cur.key_cols,
             files=cur.files,
             delta_files=cur.delta_files,
+            dropped_cols=cur.dropped_cols,
             summary={
                 "operation": "widen-columns",
                 "widened": {n: t.simpleString() for n, t in changes.items()},
@@ -745,6 +810,10 @@ class LakeTable:
             key_cols=key_cols,
             files=files,
             delta_files={},
+            # a rebucket rewrites EVERY file via read() under the current
+            # schema, so previously-dropped physical columns are purged
+            # and their names become safe to reuse
+            dropped_cols=[],
             summary={
                 "operation": "rebucket",
                 "from_buckets": cur.n_buckets,
@@ -937,6 +1006,7 @@ class LakeTable:
             key_cols=key_cols,
             files=new_files,
             delta_files=new_deltas,
+            dropped_cols=cur.dropped_cols,
             summary={"operation": "merge", **totals, **(summary or {})},
             timestamp_ms=int(time.time() * 1000),
         )
@@ -1099,6 +1169,7 @@ class LakeTable:
                 key_cols=cur.key_cols,
                 files=cur.files,
                 delta_files=new_deltas,
+                dropped_cols=cur.dropped_cols,
                 summary={"operation": "merge-mor", **totals, **(summary or {})},
                 timestamp_ms=int(time.time() * 1000),
             )
@@ -1158,6 +1229,7 @@ class LakeTable:
             key_cols=cur.key_cols,
             files=new_files,
             delta_files=new_deltas,
+            dropped_cols=cur.dropped_cols,
             summary={
                 "operation": "compact",
                 "compacted_buckets": victims,

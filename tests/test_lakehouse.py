@@ -95,6 +95,85 @@ def test_schema_evolution_add_column(spark, table):
     assert got == {"a": None, "b": "x"}
 
 
+def test_schema_evolution_drop_column(spark, tmp_path):
+    """drop_columns is metadata-only; the name is poisoned against
+    re-add (stale physical values would resurrect) until a rebucket
+    rewrites every file."""
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "dc"), schema, ["repo", "path"], n_buckets=4)
+    up = spark.createDataFrame(
+        [("r1", "a", 1, "secret", "insert"), ("r1", "b", 2, "other", "insert")],
+        schema="repo string, path string, v long, note string, op string",
+    )
+    t.merge(up)
+    pre = t.current_snapshot()
+
+    snap = t.drop_columns(["note"])
+    assert snap.files == pre.files and snap.delta_files == pre.delta_files
+    assert "note" not in t.read().columns
+    assert {r["path"]: r["v"] for r in t.read().collect()} == {"a": 1, "b": 2}
+    # time travel still sees the column (snapshots are self-describing)
+    assert {r["path"]: r["note"] for r in t.read(snapshot=pre).collect()} == {
+        "a": "secret", "b": "other",
+    }
+    # merges keep working; a batch still carrying the dropped column is fine
+    t.merge_mor(
+        spark.createDataFrame(
+            [("r2", "c", 3, "ghost", "insert")],
+            schema="repo string, path string, v long, note string, op string",
+        )
+    )
+    assert {r["path"]: r["v"] for r in t.read().collect()} == {"a": 1, "b": 2, "c": 3}
+
+    # re-adding the dropped name must refuse — pre-drop files still carry
+    # physical 'note' values that would resurrect
+    with pytest.raises(ValueError, match="resurrect"):
+        t.add_columns([T.StructField("note", T.StringType(), True)])
+    # rebucket rewrites every file under the current schema → name reusable
+    t.rebucket(8)
+    assert t.current_snapshot().dropped_cols == []
+    t.add_columns([T.StructField("note", T.StringType(), True)])
+    got = {r["path"]: r["note"] for r in t.read().collect()}
+    assert got == {"a": None, "b": None, "c": None}  # nothing resurrected
+
+    # guards
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_columns(["repo"])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.drop_columns(["nope"])
+    with pytest.raises(ValueError, match="every value column"):
+        t.drop_columns(["v", "note"])
+
+
+def test_dropped_cols_survive_snapshot_expiry(spark, tmp_path):
+    """The poisoned-name set rides the CURRENT snapshot, not the chain:
+    expiring the drop commit itself must not reopen the resurrect
+    hazard."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("x", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "ex"), schema, ["k"], n_buckets=2)
+    t.merge(spark.createDataFrame([("a", 1, 9, "insert")], "k string, v long, x long, op string"))
+    t.drop_columns(["x"])
+    for i in range(6):  # push the drop commit past keep_last
+        t.merge(spark.createDataFrame([(f"k{i}", i, "insert")], "k string, v long, op string"))
+    t.expire_snapshots(keep_last=3)
+    assert all(s.summary.get("operation") != "drop-columns" for s in t.snapshot_chain())
+    with pytest.raises(ValueError, match="resurrect"):
+        t.add_columns([T.StructField("x", T.LongType(), True)])
+
+
 def test_commit_is_atomic_under_partial_failure(spark, table, tmp_path):
     """A snapshot json written without the hint flip is invisible."""
     table.merge(_updates(spark, [("r1", "a", 1, "insert")]))
