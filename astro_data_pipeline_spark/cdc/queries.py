@@ -712,8 +712,9 @@ def cdc_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("dropped column still visible to reads")
         try:
             table.add_columns([_T.StructField("event_type", _T.StringType(), True)])
-        except ValueError:
-            pass  # expected: name poisoned against resurrection
+        except ValueError as ex:
+            if "resurrect" not in str(ex):  # only the poisoned-name refusal
+                raise
         else:
             raise RuntimeError("re-adding a dropped column must be refused")
         updates = ev.filter(F.col("event_id") % 5 == 0).select(

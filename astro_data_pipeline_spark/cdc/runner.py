@@ -151,41 +151,11 @@ class CdcRunner:
         the widen, ``to_table_rows``'s align-cast would silently narrow
         every wide value back to the stale table type. Both promotions
         are metadata-only commits; zero data files move."""
-        from ..lakehouse.table import is_lossless_widening
-
-        snap = self.table.current_snapshot()
-        table_types = {f.name: f.dataType for f in snap.schema.fields}
-        reserved = {"lsn", "ts", "op"}
-        new = [
-            f
-            for f in events.schema.fields
-            if f.name not in table_types and f.name not in reserved
-        ]
-        if new:
-            fields = [T.StructField(f.name, f.dataType, True) for f in new]
-            self.table.add_columns(
-                fields,
-                summary={
-                    "run_id": self.run_id,
-                    "evolved_columns": [f.name for f in new],
-                },
-            )
-        widen = {
-            f.name: f.dataType
-            for f in events.schema.fields
-            if f.name in table_types
-            and f.name not in reserved
-            and f.name not in snap.key_cols
-            and is_lossless_widening(table_types[f.name], f.dataType)
-        }
-        if widen:
-            self.table.widen_columns(
-                widen,
-                summary={
-                    "run_id": self.run_id,
-                    "widened_columns": sorted(widen),
-                },
-            )
+        self.table.evolve_to(
+            events.schema,
+            reserved={"lsn", "ts", "op"},
+            summary={"run_id": self.run_id},
+        )
 
     # -------------------------------------------------------------- apply
 

@@ -647,6 +647,54 @@ class LakeTable:
         self._commit_hint(snap.snapshot_id)
         return snap
 
+    def evolve_to(
+        self,
+        batch_schema: T.StructType,
+        reserved: frozenset[str] | set[str] = frozenset(),
+        summary: dict | None = None,
+    ) -> list[Snapshot]:
+        """Evolve the table to accept ``batch_schema`` (Delta
+        ``mergeSchema`` analog): ADD columns the table lacks and WIDEN
+        columns whose batch type is losslessly wider — both metadata-only
+        commits. ``reserved`` names (transport columns like op/lsn) are
+        ignored. Key columns never change (a widened key would re-bucket
+        every existing row). Returns the commits made ([] if none).
+
+        Columns the batch carries NARROWER need nothing here: the write
+        path's ``_conform_types`` upcasts them. Incompatible types are
+        left for the write path to refuse loudly."""
+        made: list[Snapshot] = []
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        table_types = {f.name: f.dataType for f in cur.schema.fields}
+        new = [
+            T.StructField(f.name, f.dataType, True)
+            for f in batch_schema.fields
+            if f.name not in table_types and f.name not in reserved
+        ]
+        if new:
+            made.append(
+                self.add_columns(
+                    new,
+                    summary={
+                        "evolved_columns": [f.name for f in new],
+                        **(summary or {}),
+                    },
+                )
+            )
+        widen = {
+            f.name: f.dataType
+            for f in batch_schema.fields
+            if f.name in table_types
+            and f.name not in reserved
+            and f.name not in cur.key_cols
+            and is_lossless_widening(table_types[f.name], f.dataType)
+        }
+        if widen:
+            made.append(self.widen_columns(widen, summary=summary))
+        return made
+
     def drop_columns(self, names: list[str], summary: dict | None = None) -> Snapshot:
         """Drop value columns as a METADATA-ONLY commit — zero files
         rewritten. ``_scan`` reads with the snapshot's explicit schema, so
@@ -851,6 +899,7 @@ class LakeTable:
         delete_op: str = "delete",
         summary: dict | None = None,
         touched_buckets: list[int] | None = None,
+        evolve_schema: bool = False,
     ) -> tuple[Snapshot, dict]:
         """Key-partitioned MERGE (upsert-or-delete), copy-on-write at
         bucket granularity, in ONE pass over the data.
@@ -869,9 +918,19 @@ class LakeTable:
         ``touched_buckets``: pass the pre-computed bucket set when the
         caller already knows it (the runner derives it from a column-
         pruned key scan); otherwise one tiny distinct-collect happens here.
+
+        ``evolve_schema``: first ADD/WIDEN the table to accept the batch's
+        columns (``evolve_to``, Delta ``mergeSchema`` analog) instead of
+        dropping unknown columns / refusing wider types.
         """
         from pyspark.sql import Observation
 
+        if evolve_schema:
+            # deliberately NOT the caller's summary: a batch_id stamped on
+            # the metadata commit would mark the batch committed before its
+            # data lands — a crash between evolve and merge would then make
+            # exactly-once resume skip the data forever
+            self.evolve_to(updates.schema, reserved={op_col})
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
@@ -1022,6 +1081,7 @@ class LakeTable:
         delete_op: str = "delete",
         summary: dict | None = None,
         bucket_aligned: bool = False,
+        evolve_schema: bool = False,
     ) -> tuple[Snapshot, dict]:
         """Merge-on-read MERGE: append per-bucket delta files (upserts +
         tombstones) stamped with this commit's sequence — O(batch) write,
@@ -1039,7 +1099,17 @@ class LakeTable:
         pre-assigned) and ``mor_finalize`` (the ordered atomic commit), so
         a replay loop can pipeline batch k+1's plan+write behind batch k's
         while commits stay strictly ordered (the pipelined-ingest shape:
-        writes race, the ledger serializes)."""
+        writes race, the ledger serializes).
+
+        ``evolve_schema``: first ADD/WIDEN the table to accept the batch's
+        columns (``evolve_to``) instead of dropping unknown columns /
+        refusing wider types."""
+        if evolve_schema:
+            # deliberately NOT the caller's summary: a batch_id stamped on
+            # the metadata commit would mark the batch committed before its
+            # data lands — a crash between evolve and merge would then make
+            # exactly-once resume skip the data forever
+            self.evolve_to(updates.schema, reserved={op_col})
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")

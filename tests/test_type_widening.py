@@ -166,6 +166,38 @@ def test_widen_rejects_illegal_changes(table):
         table.widen_columns({"path": T.StringType()})
 
 
+def test_merge_evolve_schema_adds_and_widens_in_one_call(spark, table):
+    """Delta mergeSchema analog: evolve_schema=True lets one merge carry
+    a new column AND a widened type; without it the same batch is
+    refused (wider type) / silently trimmed (new column)."""
+    batch = spark.createDataFrame(
+        [("r1", "a", 5_000_000_000, 1.5, "tagged", "update")],
+        schema="repo string, path string, hits long, score float, tag string, op string",
+    )
+    with pytest.raises(ValueError, match="widen_columns"):
+        table.merge(batch)
+    table.merge(batch, evolve_schema=True)
+    got = dict(table.read().dtypes)
+    assert got["hits"] == "bigint" and got["tag"] == "string"
+    rows = {r["path"]: (r["hits"], r["tag"]) for r in table.read().collect()}
+    assert rows == {"a": (5_000_000_000, "tagged"), "b": (2, None)}
+    # the evolution commits never carry a batch_id: a crash between the
+    # metadata commit and the data commit must not mark the batch done
+    for s in table.snapshot_chain():
+        if s.summary.get("operation") in ("add-columns", "widen-columns"):
+            assert "batch_id" not in s.summary
+    # merge-on-read path evolves too
+    b2 = spark.createDataFrame(
+        [("r9", "z", 1, 2.5, "x", 3, "insert")],
+        schema="repo string, path string, hits long, score double, tag string, extra int, op string",
+    )
+    table.merge_mor(b2, evolve_schema=True)
+    got = dict(table.read().dtypes)
+    assert got["score"] == "double" and got["extra"] == "int"
+    [z] = table.read().filter(F.col("path") == "z").collect()
+    assert (z["extra"], z["tag"]) == (3, "x")
+
+
 def test_widen_decimal_precision_and_scale(spark, tmp_path):
     schema = T.StructType(
         [
