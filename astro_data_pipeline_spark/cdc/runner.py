@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lakehouse import LakeTable
+from ..lakehouse.table import is_lossless_widening
 from ..perf import phase
 from . import apply as A
 
@@ -729,7 +730,8 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
         raise FileNotFoundError(f"no parquet segments matched {paths!r}")
 
     fields: list[T.StructField] = []
-    seen: dict[str, tuple] = {}  # name -> (dataType, first file)
+    field_idx: dict[str, int] = {}  # name -> position in `fields`
+    seen: dict[str, tuple] = {}  # name -> (widest dataType so far, its file)
     lsn_lo: int | None = None
     lsn_hi: int | None = None
     stats_valid = True
@@ -750,16 +752,28 @@ def read_event_log(spark: SparkSession, *paths: str) -> DataFrame:
             prev = seen.get(f.name)
             if prev is None:
                 seen[f.name] = (f.dataType, p)
+                field_idx[f.name] = len(fields)
                 fields.append(T.StructField(f.name, f.dataType, True))
             elif prev[0] != f.dataType:
-                # additive evolution means NEW columns, never retyped
-                # ones — fail fast with the offending file instead of an
-                # opaque vectorized-reader error mid-replay
-                raise ValueError(
-                    f"segment schema conflict on column {f.name!r}: "
-                    f"{prev[0].simpleString()} in {prev[1]} vs "
-                    f"{f.dataType.simpleString()} in {p}"
-                )
+                # Retyped columns are legal exactly when the retype is a
+                # LOSSLESS WIDENING (upstream ALTER COLUMN ... TYPE, e.g.
+                # a counter outgrowing int32): the unified read schema
+                # takes the wider type and the vectorized reader upcasts
+                # the narrow segments — the same promotion matrix the
+                # lake table's widen_columns uses, so _evolve_if_needed
+                # widens the sink to match. Anything else fails fast with
+                # the offending file instead of an opaque reader error
+                # mid-replay.
+                if is_lossless_widening(prev[0], f.dataType):
+                    seen[f.name] = (f.dataType, p)
+                    fields[field_idx[f.name]] = T.StructField(f.name, f.dataType, True)
+                elif not is_lossless_widening(f.dataType, prev[0]):
+                    raise ValueError(
+                        f"segment schema conflict on column {f.name!r}: "
+                        f"{prev[0].simpleString()} in {prev[1]} vs "
+                        f"{f.dataType.simpleString()} in {p} (not a "
+                        "lossless widening in either direction)"
+                    )
         # Bounds are only trustworthy if EVERY row group of EVERY segment
         # has lsn min/max stats: one stats-less segment must poison the
         # whole fast path, or replay would slice LSN ranges that miss it.

@@ -96,6 +96,29 @@ class Snapshot:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
 
+    def child(self, *, summary: dict[str, Any], **overrides: Any) -> "Snapshot":
+        """The next snapshot in the chain: every carried-forward field
+        (schema, bucket spec, key cols, file lists, ``dropped_cols``)
+        defaults to THIS snapshot's value and changes only by explicit
+        override. Commit sites must build children through here — a
+        hand-rolled ``Snapshot(...)`` that forgets one carried field
+        silently resets an invariant (e.g. an empty ``dropped_cols``
+        reopens the column-resurrection hazard with no test failing)."""
+        base: dict[str, Any] = dict(
+            snapshot_id=self.snapshot_id + 1,
+            parent_id=self.snapshot_id,
+            schema_json=self.schema_json,
+            n_buckets=self.n_buckets,
+            key_cols=self.key_cols,
+            files=self.files,
+            delta_files=self.delta_files,
+            dropped_cols=self.dropped_cols,
+            summary=summary,
+            timestamp_ms=int(time.time() * 1000),
+        )
+        base.update(overrides)
+        return Snapshot(**base)
+
     def to_json(self) -> dict:
         return {
             "snapshot_id": self.snapshot_id,
@@ -595,6 +618,14 @@ class LakeTable:
                 continue
             if is_lossless_widening(it, f.dataType):
                 casts[f.name] = F.col(f.name).cast(f.dataType)
+            elif f.name in snap.key_cols:
+                # widen_columns categorically refuses keys (bucket hashes
+                # are type-sensitive), so don't send the caller there
+                raise ValueError(
+                    f"update KEY column {f.name!r} is {it.simpleString()} "
+                    f"but the table key is {f.dataType.simpleString()}; key "
+                    "type migrations require a rebucket() rewrite"
+                )
             else:
                 raise ValueError(
                     f"update column {f.name!r} is {it.simpleString()} but the "
@@ -631,17 +662,9 @@ class LakeTable:
                     "rewrite the table"
                 )
             schema = schema.add(nf)
-        snap = Snapshot(
-            snapshot_id=cur.snapshot_id + 1,
-            parent_id=cur.snapshot_id,
+        snap = cur.child(
             schema_json=schema.jsonValue(),
-            n_buckets=cur.n_buckets,
-            key_cols=cur.key_cols,
-            files=cur.files,
-            delta_files=cur.delta_files,
-            dropped_cols=cur.dropped_cols,
             summary={"operation": "add-columns", **(summary or {})},
-            timestamp_ms=int(time.time() * 1000),
         )
         self._write_snapshot(snap)
         self._commit_hint(snap.snapshot_id)
@@ -662,19 +685,56 @@ class LakeTable:
 
         Columns the batch carries NARROWER need nothing here: the write
         path's ``_conform_types`` upcasts them. Incompatible types are
-        left for the write path to refuse loudly."""
-        made: list[Snapshot] = []
+        left for the write path to refuse loudly. Names in
+        ``dropped_cols`` are SKIPPED, not re-added: historical WAL
+        segments keep carrying a dropped column forever, and wedging
+        every subsequent batch on the resurrect guard would force the
+        full-rewrite the metadata-only drop exists to avoid — the write
+        path ignores the column, same as the non-evolving path. When the
+        batch both adds and widens, ONE combined metadata commit is
+        written (a crash can never leave a half-evolved schema, and the
+        snapshot chain — walked by resume ledgers — grows by one, not
+        two)."""
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
         table_types = {f.name: f.dataType for f in cur.schema.fields}
+        skip = set(reserved) | set(cur.dropped_cols)
         new = [
             T.StructField(f.name, f.dataType, True)
             for f in batch_schema.fields
-            if f.name not in table_types and f.name not in reserved
+            if f.name not in table_types and f.name not in skip
         ]
+        widen = {
+            f.name: f.dataType
+            for f in batch_schema.fields
+            if f.name in table_types
+            and f.name not in skip
+            and f.name not in cur.key_cols
+            and is_lossless_widening(table_types[f.name], f.dataType)
+        }
+        if new and widen:
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, widen.get(f.name, f.dataType), f.nullable, f.metadata)
+                    for f in cur.schema.fields
+                ]
+                + new
+            )
+            snap = cur.child(
+                schema_json=schema.jsonValue(),
+                summary={
+                    "operation": "evolve",
+                    "evolved_columns": [f.name for f in new],
+                    "widened": {n: t.simpleString() for n, t in widen.items()},
+                    **(summary or {}),
+                },
+            )
+            self._write_snapshot(snap)
+            self._commit_hint(snap.snapshot_id)
+            return [snap]
         if new:
-            made.append(
+            return [
                 self.add_columns(
                     new,
                     summary={
@@ -682,18 +742,10 @@ class LakeTable:
                         **(summary or {}),
                     },
                 )
-            )
-        widen = {
-            f.name: f.dataType
-            for f in batch_schema.fields
-            if f.name in table_types
-            and f.name not in reserved
-            and f.name not in cur.key_cols
-            and is_lossless_widening(table_types[f.name], f.dataType)
-        }
+            ]
         if widen:
-            made.append(self.widen_columns(widen, summary=summary))
-        return made
+            return [self.widen_columns(widen, summary=summary)]
+        return []
 
     def drop_columns(self, names: list[str], summary: dict | None = None) -> Snapshot:
         """Drop value columns as a METADATA-ONLY commit — zero files
@@ -721,17 +773,10 @@ class LakeTable:
         if not [f for f in cur.schema.fields if f.name not in doomed and f.name not in cur.key_cols]:
             raise ValueError("cannot drop every value column")
         schema = T.StructType([f for f in cur.schema.fields if f.name not in doomed])
-        snap = Snapshot(
-            snapshot_id=cur.snapshot_id + 1,
-            parent_id=cur.snapshot_id,
+        snap = cur.child(
             schema_json=schema.jsonValue(),
-            n_buckets=cur.n_buckets,
-            key_cols=cur.key_cols,
-            files=cur.files,
-            delta_files=cur.delta_files,
             dropped_cols=sorted(set(cur.dropped_cols) | doomed),
             summary={"operation": "drop-columns", "dropped": sorted(doomed), **(summary or {})},
-            timestamp_ms=int(time.time() * 1000),
         )
         self._write_snapshot(snap)
         self._commit_hint(snap.snapshot_id)
@@ -787,21 +832,13 @@ class LakeTable:
                 for f in cur.schema.fields
             ]
         )
-        snap = Snapshot(
-            snapshot_id=cur.snapshot_id + 1,
-            parent_id=cur.snapshot_id,
+        snap = cur.child(
             schema_json=schema.jsonValue(),
-            n_buckets=cur.n_buckets,
-            key_cols=cur.key_cols,
-            files=cur.files,
-            delta_files=cur.delta_files,
-            dropped_cols=cur.dropped_cols,
             summary={
                 "operation": "widen-columns",
                 "widened": {n: t.simpleString() for n, t in changes.items()},
                 **(summary or {}),
             },
-            timestamp_ms=int(time.time() * 1000),
         )
         self._write_snapshot(snap)
         self._commit_hint(snap.snapshot_id)
@@ -850,12 +887,9 @@ class LakeTable:
             if rels:
                 files[str(bk)] = rels
             per_bucket.append({"partition_id": bk, "n_files": len(rels)})
-        snap = Snapshot(
+        snap = cur.child(
             snapshot_id=commit_id,
-            parent_id=cur.snapshot_id,
-            schema_json=cur.schema_json,
             n_buckets=n_buckets,
-            key_cols=key_cols,
             files=files,
             delta_files={},
             # a rebucket rewrites EVERY file via read() under the current
@@ -868,7 +902,6 @@ class LakeTable:
                 "to_buckets": n_buckets,
                 **(summary or {}),
             },
-            timestamp_ms=int(time.time() * 1000),
         )
         self._write_snapshot(snap)
         self._commit_hint(snap.snapshot_id)
@@ -1057,17 +1090,11 @@ class LakeTable:
             for b, paths in cur.delta_files.items()
             if int(b) not in touched
         }
-        snap = Snapshot(
+        snap = cur.child(
             snapshot_id=commit_id,
-            parent_id=cur.snapshot_id,
-            schema_json=cur.schema_json,
-            n_buckets=cur.n_buckets,
-            key_cols=key_cols,
             files=new_files,
             delta_files=new_deltas,
-            dropped_cols=cur.dropped_cols,
             summary={"operation": "merge", **totals, **(summary or {})},
-            timestamp_ms=int(time.time() * 1000),
         )
         self._write_snapshot(snap)
         self._commit_hint(snap.snapshot_id)
@@ -1231,17 +1258,10 @@ class LakeTable:
                         per_bucket.append({"partition_id": int(bk), "n_files": len(rels)})
 
         with phase("mor.commit"):
-            snap = Snapshot(
+            snap = cur.child(
                 snapshot_id=commit_id,
-                parent_id=cur.snapshot_id,
-                schema_json=cur.schema_json,
-                n_buckets=cur.n_buckets,
-                key_cols=cur.key_cols,
-                files=cur.files,
                 delta_files=new_deltas,
-                dropped_cols=cur.dropped_cols,
                 summary={"operation": "merge-mor", **totals, **(summary or {})},
-                timestamp_ms=int(time.time() * 1000),
             )
             self._write_snapshot(snap)
             self._commit_hint(snap.snapshot_id)
@@ -1291,21 +1311,15 @@ class LakeTable:
                 new_files[str(bk)] = rels
             else:
                 new_files.pop(str(bk), None)  # bucket fully deleted
-        snap = Snapshot(
+        snap = cur.child(
             snapshot_id=commit_id,
-            parent_id=cur.snapshot_id,
-            schema_json=cur.schema_json,
-            n_buckets=cur.n_buckets,
-            key_cols=cur.key_cols,
             files=new_files,
             delta_files=new_deltas,
-            dropped_cols=cur.dropped_cols,
             summary={
                 "operation": "compact",
                 "compacted_buckets": victims,
                 **(summary or {}),
             },
-            timestamp_ms=int(time.time() * 1000),
         )
         self._write_snapshot(snap)
         self._commit_hint(snap.snapshot_id)

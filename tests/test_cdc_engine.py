@@ -280,6 +280,72 @@ def test_schema_evolution_type_widens_mid_stream(spark, tmp_path):
     assert got["p3"] == 103  # narrow pre-widen row upcast intact
 
 
+def test_replay_continues_after_column_drop(spark, tmp_path):
+    """Historical WAL segments keep carrying a dropped column forever;
+    evolution must SKIP the poisoned name (the write path ignores the
+    column), not wedge every subsequent batch on the resurrect guard —
+    that would force exactly the full rewrite metadata-only drop avoids."""
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("content_sha256", T.StringType(), True),
+            T.StructField("last_lsn", T.LongType(), True),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    table = LakeTable.create(spark, str(tmp_path / "lake"), schema, A.KEY_COLS, n_buckets=8)
+    seg = "repo string, path string, content string, lsn long, op string, note string"
+    ev1 = spark.createDataFrame(
+        [("r1", f"p{i}", f"c{i}", i, "insert", f"n{i}") for i in range(4)], schema=seg
+    )
+    CdcRunner(spark, table, run_id="d1").replay(ev1, n_batches=1)
+    table.drop_columns(["note"])
+    ev2 = spark.createDataFrame(
+        [("r1", "p0", "c0v2", 100, "update", "ghost"), ("r1", "p9", "c9", 101, "insert", "g9")],
+        schema=seg,
+    )
+    CdcRunner(spark, table, run_id="d2").replay(ev2, n_batches=1)  # must not raise
+    assert "note" not in table.read().columns
+    got = {r["path"]: r["last_lsn"] for r in table.read().collect()}
+    assert got["p0"] == 100 and got["p9"] == 101
+
+
+def test_read_event_log_accepts_widened_segments(spark, tmp_path):
+    """An upstream ALTER COLUMN ... TYPE retypes a column between WAL
+    segments (int32 -> int64 here): the unified read schema takes the
+    WIDER type and upcasts the narrow segment — reachable end to end, not
+    just via separately-built DataFrames. A non-widening conflict still
+    fails fast."""
+    seg1 = str(tmp_path / "seg1.parquet")
+    seg2 = str(tmp_path / "seg2.parquet")
+    spark.createDataFrame(
+        [("r1", "a", "c1", 1, "insert", 100)],
+        schema="repo string, path string, content string, lsn long, op string, size_bytes int",
+    ).coalesce(1).write.parquet(seg1)
+    spark.createDataFrame(
+        [("r1", "b", "c2", 2, "insert", 2**40)],
+        schema="repo string, path string, content string, lsn long, op string, size_bytes long",
+    ).coalesce(1).write.parquet(seg2)
+    ev = read_event_log(spark, seg1, seg2)
+    assert dict(ev.dtypes)["size_bytes"] == "bigint"
+    got = {r["path"]: r["size_bytes"] for r in ev.collect()}
+    assert got == {"a": 100, "b": 2**40}
+    # order independence: widest type wins whichever segment comes first
+    ev_rev = read_event_log(spark, seg2, seg1)
+    assert dict(ev_rev.dtypes)["size_bytes"] == "bigint"
+    assert ev_rev.count() == 2
+    # cross-family conflict still refused loudly
+    seg3 = str(tmp_path / "seg3.parquet")
+    spark.createDataFrame(
+        [("r1", "c", "c3", 3, "insert", "oops")],
+        schema="repo string, path string, content string, lsn long, op string, size_bytes string",
+    ).coalesce(1).write.parquet(seg3)
+    with pytest.raises(ValueError, match="schema conflict"):
+        read_event_log(spark, seg1, seg3)
+
+
 # ---------------------------------------------------------- pipelining
 
 
@@ -592,10 +658,18 @@ def test_read_event_log_nested_dirs_junk_globs_and_type_conflicts(
     empty.mkdir()
     with pytest.raises(FileNotFoundError, match="empty-seg"):
         read_event_log(spark, str(seg), str(empty))
-    # retyped column across segments = fail fast with the culprit path
+    # a LOSSLESSLY-widenable retype (int32 lsn vs int64) is legal — the
+    # unified schema takes the wider type (upstream ALTER COLUMN case)
+    narrow = tmp_path / "narrow.parquet"
+    nrw = src.copy()
+    nrw["lsn"] = nrw["lsn"].astype("int32")
+    pq.write_table(pa.Table.from_pandas(nrw), str(narrow))
+    df2 = read_event_log(spark, str(seg), str(narrow))
+    assert dict(df2.dtypes)["lsn"] == "bigint" and df2.count() == 20
+    # an incompatible retype = fail fast with the culprit path
     conflict = tmp_path / "conflict.parquet"
     bad = src.copy()
-    bad["lsn"] = bad["lsn"].astype("int32")
+    bad["lsn"] = bad["lsn"].astype(str)
     pq.write_table(pa.Table.from_pandas(bad), str(conflict))
     with pytest.raises(ValueError, match="lsn"):
         read_event_log(spark, str(seg), str(conflict))

@@ -176,16 +176,21 @@ def test_merge_evolve_schema_adds_and_widens_in_one_call(spark, table):
     )
     with pytest.raises(ValueError, match="widen_columns"):
         table.merge(batch)
+    before = table.current_snapshot().snapshot_id
     table.merge(batch, evolve_schema=True)
     got = dict(table.read().dtypes)
     assert got["hits"] == "bigint" and got["tag"] == "string"
     rows = {r["path"]: (r["hits"], r["tag"]) for r in table.read().collect()}
     assert rows == {"a": (5_000_000_000, "tagged"), "b": (2, None)}
-    # the evolution commits never carry a batch_id: a crash between the
+    # add + widen together land as ONE combined metadata commit (no
+    # half-evolved crash window, snapshot chain grows by one), and
+    # evolution commits never carry a batch_id: a crash between the
     # metadata commit and the data commit must not mark the batch done
-    for s in table.snapshot_chain():
-        if s.summary.get("operation") in ("add-columns", "widen-columns"):
-            assert "batch_id" not in s.summary
+    assert table.current_snapshot().snapshot_id == before + 2  # evolve + merge
+    evo = [s for s in table.snapshot_chain() if s.summary.get("operation") == "evolve"]
+    assert len(evo) == 1 and "batch_id" not in evo[0].summary
+    assert evo[0].summary["evolved_columns"] == ["tag"]
+    assert evo[0].summary["widened"] == {"hits": "bigint"}
     # merge-on-read path evolves too
     b2 = spark.createDataFrame(
         [("r9", "z", 1, 2.5, "x", 3, "insert")],
@@ -196,6 +201,22 @@ def test_merge_evolve_schema_adds_and_widens_in_one_call(spark, table):
     assert got["score"] == "double" and got["extra"] == "int"
     [z] = table.read().filter(F.col("path") == "z").collect()
     assert (z["extra"], z["tag"]) == (3, "x")
+
+
+def test_wider_key_batch_error_points_at_rebucket(spark, tmp_path):
+    """A batch whose KEY arrives wider than the table's must not be sent
+    to widen_columns (which categorically refuses keys) — the error names
+    rebucket(), the operation that can actually do a key migration."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "wk"), schema, ["k"], n_buckets=4)
+    wide = spark.createDataFrame([(1, "x", "insert")], schema="k long, v string, op string")
+    with pytest.raises(ValueError, match="rebucket"):
+        t.merge(wide)
 
 
 def test_widen_decimal_precision_and_scale(spark, tmp_path):
