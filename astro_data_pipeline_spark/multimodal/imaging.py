@@ -855,9 +855,22 @@ def img_cosmic_ray_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("img_quality_scores")  # rows-only: pixel kernels aren't SQL
 def img_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 per-image quality metrics + 0-100 combined score, worst
-    first — the reference surfaces these per processing job."""
+    first — the reference surfaces these per processing job.
+
+    The global sort sits behind a materialize barrier: a bare
+    ``orderBy`` on a map-only child runs the child TWICE (the range
+    partitioner's boundary sampler executes the plan once, the real
+    shuffle again) — for a pixel kernel that is the whole query cost
+    doubled (measured 3.7 s -> 1.9 s at sf0.1). The barrier pins the
+    ~100 B/image metrics once; sampler and sort both read the pinned
+    blocks, and pixels never re-render."""
+    from ..session import materialize_barrier
+
     out = process_images(image_catalog(spark, sf_dir), parts={"quality"})
-    return out.select(
-        "doc_id", "snr", "seeing_fwhm", "limiting_mag",
-        "stellarity", "n_sources", "quality_score",
-    ).orderBy("quality_score", "doc_id")
+    slim = materialize_barrier(
+        out.select(
+            "doc_id", "snr", "seeing_fwhm", "limiting_mag",
+            "stellarity", "n_sources", "quality_score",
+        )
+    )
+    return slim.orderBy("quality_score", "doc_id")
