@@ -260,6 +260,70 @@ class LakeTable:
             snap = self._read_snapshot(snap.parent_id) if snap.parent_id else None
         return out
 
+    def snapshot_as_of(self, ts_ms: int) -> Snapshot:
+        """Time travel by TIMESTAMP (Iceberg/Delta ``AS OF TIMESTAMP``
+        analog): the latest snapshot committed at or before ``ts_ms``.
+        Raises if the table did not exist yet, or if the requested point
+        has been expired out of the retained chain (reading an expired
+        point would silently return a NEWER state than asked for)."""
+        best: Snapshot | None = None
+        oldest: Snapshot | None = None
+        for s in self.snapshot_chain():  # newest -> oldest
+            oldest = s
+            if s.timestamp_ms <= ts_ms:
+                best = s
+                break
+        if best is not None:
+            return best
+        # expire_snapshots re-roots the kept chain (parent link cut), so
+        # a truncated history is recognized by its oldest retained
+        # snapshot not being the original 'create' root
+        if oldest is not None and oldest.summary.get("operation") != "create":
+            raise ValueError(
+                f"no retained snapshot at or before ts={ts_ms}: history "
+                f"older than snapshot {oldest.snapshot_id} "
+                f"(ts={oldest.timestamp_ms}) has been expired"
+            )
+        raise ValueError(
+            f"no snapshot at or before ts={ts_ms}: table history starts "
+            f"at ts={oldest.timestamp_ms if oldest else 'never'}"
+        )
+
+    def history(self) -> DataFrame:
+        """The retained snapshot chain as a DataFrame (Delta ``DESCRIBE
+        HISTORY`` analog): one row per commit, newest first — id, parent,
+        operation, timestamp, bucket count, file/delta counts, and the
+        full summary as a map for operation-specific fields (batch ids,
+        rows applied, widened/dropped columns)."""
+        rows = [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_id": s.parent_id,
+                "operation": str(s.summary.get("operation")),
+                "timestamp_ms": s.timestamp_ms,
+                "n_buckets": s.n_buckets,
+                "n_files": sum(len(v) for v in s.files.values()),
+                "n_delta_files": sum(len(v) for v in s.delta_files.values()),
+                "dropped_cols": list(s.dropped_cols),
+                "summary": {k: str(v) for k, v in s.summary.items()},
+            }
+            for s in self.snapshot_chain()
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("parent_id", T.LongType(), True),
+                T.StructField("operation", T.StringType(), True),
+                T.StructField("timestamp_ms", T.LongType(), False),
+                T.StructField("n_buckets", T.IntegerType(), False),
+                T.StructField("n_files", T.IntegerType(), False),
+                T.StructField("n_delta_files", T.IntegerType(), False),
+                T.StructField("dropped_cols", T.ArrayType(T.StringType()), False),
+                T.StructField("summary", T.MapType(T.StringType(), T.StringType()), False),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def committed_batch_ids(self, run_scope: str | None = None) -> set:
         """Batch ids already durably applied (exactly-once resume check).
 

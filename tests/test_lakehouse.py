@@ -174,6 +174,35 @@ def test_dropped_cols_survive_snapshot_expiry(spark, tmp_path):
         t.add_columns([T.StructField("x", T.LongType(), True)])
 
 
+def test_snapshot_as_of_timestamp_and_history(spark, table):
+    """AS OF TIMESTAMP resolves to the latest commit at-or-before the
+    point; asking before the table existed or past the expired horizon
+    raises instead of silently returning a different state."""
+    table.merge(_updates(spark, [("r1", "a", 1, "insert")]))
+    s1 = table.current_snapshot()
+    table.merge(_updates(spark, [("r1", "a", 2, "update")]))
+    s2 = table.current_snapshot()
+    # timestamps are ms-resolution; force distinctness for the test
+    assert s2.timestamp_ms >= s1.timestamp_ms
+    assert table.snapshot_as_of(s1.timestamp_ms).snapshot_id == s1.snapshot_id
+    assert table.snapshot_as_of(s2.timestamp_ms + 10_000).snapshot_id == s2.snapshot_id
+    got = table.read(snapshot=table.snapshot_as_of(s1.timestamp_ms)).collect()
+    assert [r["v"] for r in got] == [1]
+    with pytest.raises(ValueError, match="history starts"):
+        table.snapshot_as_of(0)
+
+    hist = table.history().toPandas()
+    assert list(hist["snapshot_id"]) == sorted(hist["snapshot_id"], reverse=True)
+    assert hist.iloc[0]["operation"] == "merge"
+    assert hist.iloc[-1]["operation"] == "create"
+    # expiry: points older than the retained chain refuse loudly
+    for i in range(5):
+        table.merge(_updates(spark, [("r1", f"x{i}", i, "insert")]))
+    table.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        table.snapshot_as_of(s1.timestamp_ms)
+
+
 def test_commit_is_atomic_under_partial_failure(spark, table, tmp_path):
     """A snapshot json written without the hint flip is invisible."""
     table.merge(_updates(spark, [("r1", "a", 1, "insert")]))
