@@ -93,6 +93,84 @@ def test_stream_restart_is_exactly_once(spark, tmp_path, fixture_meta, oracle_st
     )
 
 
+def test_stream_restart_across_type_widening(spark, tmp_path):
+    """Upstream ALTER COLUMN ... TYPE while the tail is running: a file
+    source pins its schema at start, so the wider segment fails the
+    stream (loudly — a narrowing read, never silent truncation); the
+    operator restarts with the unified wider schema and the SAME
+    checkpoint. The checkpoint skips consumed files (old narrow segments
+    re-read fine under the wide schema anyway — upcast), the ledger keeps
+    exactly-once, and the sink auto-widens via _evolve_if_needed."""
+    import os
+
+    seg_dir = tmp_path / "wal"
+    seg_dir.mkdir()
+    narrow_schema = (
+        "lsn long, op string, repo string, path string, content string, size_bytes int"
+    )
+    wide_schema = (
+        "lsn long, op string, repo string, path string, content string, size_bytes long"
+    )
+    spark.createDataFrame(
+        [(i, "insert", "r1", f"p{i}", f"c{i}", 100 + i) for i in range(5)],
+        schema=narrow_schema,
+    ).coalesce(1).write.parquet(str(seg_dir / "seg-000.parquet"))
+
+    table_schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("content_sha256", T.StringType(), True),
+            T.StructField("last_lsn", T.LongType(), True),
+            T.StructField("size_bytes", T.IntegerType(), True),
+        ]
+    )
+    table = LakeTable.create(spark, str(tmp_path / "lake"), table_schema, A.KEY_COLS, n_buckets=4)
+    glob = os.path.join(str(seg_dir), "seg-*.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    stream_schema_v1 = spark.createDataFrame([], narrow_schema).schema
+    reports = stream_replay_available_now(
+        spark, glob, table, ckpt, run_id="w1", schema=stream_schema_v1
+    )
+    assert [r["status"] for r in reports] == ["applied"]
+    assert dict(table.read().dtypes)["size_bytes"] == "int"
+
+    # upstream widens: the next segment carries int64 size_bytes
+    big = 2**40
+    spark.createDataFrame(
+        [(100, "update", "r1", "p0", "c0v2", big), (101, "insert", "r1", "p9", "c9", big + 9)],
+        schema=wide_schema,
+    ).coalesce(1).write.parquet(str(seg_dir / "seg-001.parquet"))
+
+    # the running narrow-schema tail must FAIL on the wide segment (a
+    # narrowing read), not silently truncate int64 values to int32
+    # exact exception wrapper varies by Spark version (StreamingQueryException
+    # wrapping SparkException); the load-bearing assert is the MESSAGE —
+    # a parquet type mismatch, not a silent success
+    with pytest.raises(Exception, match="(?i)parquet|data type"):
+        stream_replay_available_now(
+            spark, glob, table, ckpt, run_id="w1b", schema=stream_schema_v1
+        )
+
+    # restart with the unified wider schema over the SAME checkpoint
+    stream_schema_v2 = spark.createDataFrame([], wide_schema).schema
+    reports2 = stream_replay_available_now(
+        spark, glob, table, ckpt, run_id="w2", schema=stream_schema_v2
+    )
+    assert any(r["status"] == "applied" for r in reports2)
+    assert dict(table.read().dtypes)["size_bytes"] == "bigint"
+    got = {r["path"]: r["size_bytes"] for r in table.read().collect()}
+    assert got["p0"] == big and got["p9"] == big + 9 and got["p3"] == 103
+    # exactly-once: restarting again applies nothing new
+    snap = table.current_snapshot().snapshot_id
+    reports3 = stream_replay_available_now(
+        spark, glob, table, ckpt, run_id="w3", schema=stream_schema_v2
+    )
+    assert all(r["status"] != "applied" for r in reports3)
+    assert table.current_snapshot().snapshot_id == snap
+
+
 def test_stream_epoch_dedupe_closes_foreachbatch_gap(spark, tmp_path, fixture_meta):
     """Simulate 'merge committed but checkpoint lost': replaying the same
     epoch id against the table must be skipped by the manifest check."""
