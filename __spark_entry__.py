@@ -31,10 +31,10 @@ from astro_data_pipeline_spark import registry
 # CORRECTNESS_r02 row on unchanged code sorts past the 50-row window,
 # where its r2 row remains the valid evidence. After this round the
 # union of CORRECTNESS_r{1,2,3} covers all 102 registered queries on
-# current code (the list now runs 52 long after the late-round
-# cdc_type_widening/cdc_column_drop additions, so the LAST TWO section-5
-# names fall past the window — both byte-unchanged since round 1 with
-# green r1 rows, the cheapest evidence to defer).
+# current code (the list now runs 53 long after the late-round
+# cdc_type_widening/cdc_column_drop/img_quality_scores additions, so the
+# LAST THREE section-5 names fall past the window — all byte-unchanged
+# since round 1 with green r1 rows, the cheapest evidence to defer).
 #   1. new this round (never gated anywhere)
 #   2. driver-dark pipeline_* control-plane set (implemented+oracled in
 #      round 2, deliberately past r2's window — zero driver rows yet)
@@ -78,7 +78,10 @@ _GATE_PRIORITY = [
     "cdc_incremental_changes",
     "cdc_time_travel_read",
     "cdc_workflow_activation",
-    # -- 4b. changed this round: materialize_barrier swap ----------------
+    # -- 4b. changed this round: materialize_barrier swap (plus
+    #        img_quality_scores, whose global sort moved behind a barrier
+    #        late in the round — its r2 row is a row of the old plan) ----
+    "img_quality_scores",
     "text_tfidf_top_terms",
     "text_unigram_rarity_score",
     "dedup_substring_overlap_pairs",
