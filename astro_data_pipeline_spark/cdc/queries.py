@@ -728,6 +728,94 @@ def cdc_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_restore_rollback",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+    FROM events
+    """,
+)
+def cdc_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE end to end — the undo for a bad batch (Delta ``RESTORE
+    TABLE`` / Iceberg rollback analog; reference: re-running a failed job
+    from its last good processing_jobs checkpoint,
+    ProcessingJobService.java:142-164, restated at table granularity):
+    land a good batch, corrupt a slice with a bad merge-on-read batch,
+    ``restore`` to the good snapshot (asserted in-query: metadata-only —
+    the target's files re-referenced verbatim, zero rewrites; the bad
+    batch's id REMOVED from the exactly-once ledger so a WAL rewind would
+    re-apply it; ``changes(good → restore)`` is the empty diff), then
+    land the corrected batch on top. The oracle computes the final state
+    as if the bad batch never happened — any restore fault (a leaked bad
+    row, a lost good row, a mis-parented chain breaking the post-restore
+    merge's LWW sequence) diverges."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        schema = _T.StructType(
+            [
+                _T.StructField("event_id", _T.LongType(), False),
+                _T.StructField("user_id", _T.LongType(), True),
+                _T.StructField("value", _T.DoubleType(), True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=16
+        )
+        table.merge(
+            ev.select("event_id", "user_id", "value", F.lit("insert").alias("op")),
+            summary={"batch_id": "good-1"},
+        )
+        good = table.current_snapshot()
+
+        bad_rows = ev.filter(eid % 3 == 0).select(
+            "event_id",
+            "user_id",
+            (F.col("value") * -999).alias("value"),
+            F.lit("update").alias("op"),
+        )
+        bad_dels = ev.filter(eid % 11 == 0).select(
+            "event_id",
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit("delete").alias("op"),
+        )
+        # LWW-collapse the two slices (keys where %3 and %11 overlap):
+        # deletes outrank the corrupt updates, matching one bad upstream
+        # batch's net effect
+        bad = bad_dels.unionByName(bad_rows.join(bad_dels, "event_id", "left_anti"))
+        table.merge_mor(bad, summary={"batch_id": "bad-2"})
+
+        restored = table.restore(good.snapshot_id)
+        if restored.files != good.files or restored.delta_files != good.delta_files:
+            raise RuntimeError("restore rewrote data files; must be metadata-only")
+        ledger = table.committed_batch_ids()
+        if "bad-2" in ledger or "good-1" not in ledger:
+            raise RuntimeError(f"restore did not rewind the batch ledger: {ledger}")
+        if table.changes(good.snapshot_id, restored.snapshot_id).count() != 0:
+            raise RuntimeError("state(restore) must equal state(target): empty diff")
+
+        corrected = ev.filter(eid % 7 == 0).select(
+            "event_id",
+            "user_id",
+            (F.col("value") * 2).alias("value"),
+            F.lit("update").alias("op"),
+        )
+        table.merge_mor(corrected, summary={"batch_id": "fix-3"})
+        return _materialize(spark, table.read().select("event_id", "user_id", "value"))
+
+
+@query(
     "cdc_batch_ledger_stats",
     oracle="""
     SELECT CAST(floor(event_id / 2000) AS BIGINT) AS batch_id,

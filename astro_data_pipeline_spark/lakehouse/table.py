@@ -1429,6 +1429,88 @@ class LakeTable:
 
     # ----------------------------------------------------------- maintain
 
+    def restore(self, snapshot_id: int, summary: dict | None = None) -> Snapshot:
+        """Roll the table back to a retained ancestor's state as a NEW
+        commit (Delta ``RESTORE TABLE ... TO VERSION AS OF`` / Iceberg
+        rollback analog) — the undo for a bad batch. METADATA-ONLY: the
+        restore snapshot is built as a child of the TARGET, re-referencing
+        the target's files/deltas/schema/bucket-spec/dropped-name-poison
+        verbatim; zero data files move (reference analog: re-running a
+        failed job from its last good ``processing_jobs`` checkpoint,
+        ProcessingJobService.java:142-164, restated at table granularity).
+
+        The restore's parent link points at the TARGET, so the undone
+        commits fall OFF the snapshot chain. That one choice makes every
+        chain-walking contract correct with no special cases:
+
+        - ``committed_batch_ids`` no longer sees the undone commits, so
+          their batch ids leave the exactly-once ledger and a WAL replay
+          RE-APPLIES them — rewind-and-replay, the reason a CDC sink
+          restores at all (fix the transform, restore, resume; the ledger
+          rewind is recorded in the summary as ``rolled_back_batches``).
+          A batch re-committed AFTER the restore re-enters the ledger via
+          its new snapshot, so re-applied work is skipped exactly like
+          first-time work on the next resume.
+        - ``changes(from, to)`` across a restore walks through it to the
+          target: the restore contributes no deltas (state(restore) ==
+          state(target) — an empty diff is the true diff), undone
+          merge-on-read deltas are no longer on the walk, and asking for
+          ``from`` = an undone snapshot fails the existing not-an-ancestor
+          guard instead of diffing against discarded state.
+        - ``expire_snapshots`` garbage-collects the undone snapshots as a
+          side effect (their JSONs are off-chain, their unshared data
+          files unreferenced) and — critically — never folds their batch
+          ids into the inherited ledger, because only on-chain expired
+          snapshots fold.
+
+        The undone snapshot ids and their batch ids are recorded in the
+        restore summary for audit (``history()`` shows the restore row;
+        the undone snapshots themselves remain readable via
+        ``snapshot(id)``/``read(snapshot=...)`` until expiry). Restoring
+        to an expired snapshot, to a snapshot undone by a PRIOR restore,
+        or to the current snapshot is refused."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        if snapshot_id == cur.snapshot_id:
+            raise ValueError(f"snapshot {snapshot_id} is already current")
+        undone: list[Snapshot] = []
+        snap: Snapshot | None = cur
+        while snap is not None and snap.snapshot_id > snapshot_id:
+            undone.append(snap)
+            snap = self._read_snapshot(snap.parent_id) if snap.parent_id else None
+        if snap is None or snap.snapshot_id != snapshot_id:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not a retained ancestor of "
+                f"{cur.snapshot_id}: expired, undone by a prior restore, "
+                "or never committed"
+            )
+        target = snap
+        rolled_back = [
+            {
+                "batch_id": s.summary.get("batch_id"),
+                "run_scope": s.summary.get("run_scope"),
+            }
+            for s in undone
+            if s.summary.get("batch_id") is not None
+        ]
+        new = target.child(
+            # ids stay monotonic (never reuse an undone id): merge commit
+            # sequences are snapshot ids, and LWW-by-_seq needs every
+            # future write to outrank every write it supersedes
+            snapshot_id=cur.snapshot_id + 1,
+            summary={
+                "operation": "restore",
+                "restored_from": target.snapshot_id,
+                "undone_snapshots": [s.snapshot_id for s in undone],
+                "rolled_back_batches": rolled_back,
+                **(summary or {}),
+            },
+        )
+        self._write_snapshot(new)
+        self._commit_hint(new.snapshot_id)
+        return new
+
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Drop snapshot metadata older than the last N and delete data
         files no live snapshot references (reference analog: S3 lifecycle
