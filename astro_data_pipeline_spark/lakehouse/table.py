@@ -1468,7 +1468,13 @@ class LakeTable:
         the undone snapshots themselves remain readable via
         ``snapshot(id)``/``read(snapshot=...)`` until expiry). Restoring
         to an expired snapshot, to a snapshot undone by a PRIOR restore,
-        or to the current snapshot is refused."""
+        or to the current snapshot is refused.
+
+        Streaming tails: a structured-streaming checkpoint's source
+        offsets do NOT rewind with the ledger — resume the stream with a
+        FRESH checkpoint dir and the SAME run_id so retained epochs skip
+        by batch id while rolled-back epochs re-apply (contract pinned by
+        ``test_stream_restore_rewind_requires_fresh_checkpoint``)."""
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")

@@ -458,3 +458,59 @@ def test_shingles_short_docs_yield_no_shingles(spark):
     got = _shingles(docs).collect()
     assert {r["doc_id"] for r in got} == {5}
     assert sorted(r["shingle"] for r in got) == ["a b c", "b c d"]
+
+
+def test_stream_restore_rewind_requires_fresh_checkpoint(
+    spark, tmp_path, fixture_meta, oracle_state
+):
+    """Restore × streaming-resume interplay (the recovery contract):
+
+    ``LakeTable.restore`` rewinds the TABLE's exactly-once ledger, but a
+    structured-streaming checkpoint's SOURCE OFFSETS do not rewind — the
+    file source remembers consumed segments forever. So re-draining over
+    the SAME checkpoint after a restore applies nothing and the table
+    silently stays rolled back (the Delta-documented RESTORE+streaming
+    footgun, pinned here so it fails loudly if the behavior ever drifts).
+    The correct rewind-and-replay recipe is a FRESH checkpoint with the
+    SAME run_id: epochs renumber from 0 and reconstruct the original
+    ``{run_id}:epoch:{N}`` batch ids, so still-committed epochs skip via
+    the ledger while the rolled-back epochs re-apply — and the
+    strict-order guard's high-water mark, reseeded from the restored
+    chain, rewinds with them instead of bricking the stream."""
+    table = _new_table(spark, tmp_path)
+    ckpt1 = str(tmp_path / "ckpt1")
+    reports = stream_replay_available_now(
+        spark, _glob(fixture_meta), table, ckpt1, run_id="s1"
+    )
+    applied = [r for r in reports if r["status"] == "applied"]
+    assert len(applied) >= 2
+    expected = oracle_state[FINAL_COLS].reset_index(drop=True)
+    expected = expected.assign(
+        lang_meta=expected["lang_meta"].where(pd.notna(expected["lang_meta"]), None)
+    )
+    pd.testing.assert_frame_equal(_final_state(table), expected, check_dtype=False)
+
+    # roll back to the state after the FIRST applied epoch (undoes the
+    # schema-evolution commit and every later epoch)
+    table.restore(applied[0]["snapshot_id"])
+    rolled_back = _final_state(table)
+    assert len(rolled_back) != len(expected) or not rolled_back.equals(expected)
+    assert applied[-1]["batch_id"] not in table.committed_batch_ids(run_scope="s1")
+
+    # SAME checkpoint: source offsets never rewind -> nothing re-applies,
+    # the table stays rolled back
+    reports_same = stream_replay_available_now(
+        spark, _glob(fixture_meta), table, ckpt1, run_id="s1"
+    )
+    assert all(r["status"] != "applied" for r in reports_same)
+    pd.testing.assert_frame_equal(_final_state(table), rolled_back, check_dtype=False)
+
+    # FRESH checkpoint + SAME run_id: retained epochs skip by batch id,
+    # rolled-back epochs re-apply, state reconverges to the oracle
+    reports_fresh = stream_replay_available_now(
+        spark, _glob(fixture_meta), table, str(tmp_path / "ckpt2"), run_id="s1"
+    )
+    statuses = [r["status"] for r in reports_fresh]
+    assert statuses.count("applied") == len(applied) - 1
+    assert statuses.count("skipped") >= 1
+    pd.testing.assert_frame_equal(_final_state(table), expected, check_dtype=False)
