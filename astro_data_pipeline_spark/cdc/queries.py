@@ -816,6 +816,65 @@ def cdc_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_stats_pruned_scan",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           value
+    FROM events
+    WHERE user_id BETWEEN 30 AND 60
+    """,
+)
+def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats range scan end to end (Iceberg manifest pruning /
+    Delta data skipping + OPTIMIZE ZORDER analog; reference: the
+    {type}_{YYYYMM} partition-pruned hot-table queries,
+    V2_1__Add_Processing_Context_Tables.sql:48-69, generalized to any
+    clustered column): land events via copy-on-write MERGE (per-file
+    min/max collected from parquet footers into the snapshot manifest),
+    ``cluster_by`` rewrites each bucket sorted by ``user_id`` into
+    bounded files — restoring the value locality hash bucketing destroys
+    — then ``read_between`` prunes non-overlapping base files at
+    PLANNING time (asserted in-query via ``prune_report``: files were
+    actually skipped) and applies the exact predicate on top. The oracle
+    is the plain WHERE BETWEEN over the full table; any pruning fault
+    (a skipped file that held a matching row, a wrong bound encoding)
+    loses rows and breaks the hash match."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        schema = _T.StructType(
+            [
+                _T.StructField("event_id", _T.LongType(), False),
+                _T.StructField("user_id", _T.LongType(), True),
+                _T.StructField("value", _T.DoubleType(), True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=16
+        )
+        table.merge(
+            ev.select("event_id", "user_id", "value", F.lit("insert").alias("op"))
+        )
+        n = ev.count()
+        table.cluster_by("user_id", target_rows_per_file=max(200, n // 128))
+        rep = table.prune_report("user_id", 30, 60)
+        if rep["base_files"] > 16 and rep["pruned"] == 0:
+            raise RuntimeError(f"clustered scan pruned nothing: {rep}")
+        return _materialize(
+            spark, table.read_between("user_id", 30, 60).select("event_id", "user_id", "value")
+        )
+
+
+@query(
     "cdc_batch_ledger_stats",
     oracle="""
     SELECT CAST(floor(event_id / 2000) AS BIGINT) AS batch_id,

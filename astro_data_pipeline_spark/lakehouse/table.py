@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..perf import phase
+from . import stats as _stats
 
 BUCKET_COL = "_bucket"
 SEQ_COL = "_seq"  # commit sequence stamped into every data file
@@ -91,6 +92,14 @@ class Snapshot:
     # refuses it until a rebucket rewrites every file). Carried forward
     # commit-over-commit, so it survives snapshot expiry.
     dropped_cols: list[str] = field(default_factory=list)
+    # per-BASE-file column min/max for planning-time scan pruning
+    # (Iceberg-manifest / Delta data-skipping analog): rel path ->
+    # {col: {"min","max"[,"nan_hidden"]} | {"allnull": True}}. Entries
+    # may be MISSING (pre-stats files, unknown ranges) — missing means
+    # "cannot prune", never "no rows", so staleness degrades safely.
+    # Delta files never get entries (read_between must scan every delta
+    # for LWW soundness).
+    file_stats: dict[str, dict] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -113,6 +122,7 @@ class Snapshot:
             files=self.files,
             delta_files=self.delta_files,
             dropped_cols=self.dropped_cols,
+            file_stats=self.file_stats,
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
         )
@@ -131,6 +141,7 @@ class Snapshot:
             "timestamp_ms": self.timestamp_ms,
             "delta_files": self.delta_files,
             "dropped_cols": self.dropped_cols,
+            "file_stats": self.file_stats,
         }
 
     @staticmethod
@@ -146,7 +157,21 @@ class Snapshot:
             timestamp_ms=d.get("timestamp_ms", 0),
             delta_files=d.get("delta_files", {}),
             dropped_cols=d.get("dropped_cols", []),
+            file_stats=d.get("file_stats", {}),
         )
+
+
+def _carry_stats(
+    old: dict[str, dict], files: dict[str, list[str]], added: dict[str, dict]
+) -> dict[str, dict]:
+    """File-stats map for a child snapshot: old entries survive only for
+    base files still referenced (rewritten/removed files drop theirs —
+    the map never outgrows the live file set), new files bring their
+    freshly collected entries."""
+    live = {p for fs in files.values() for p in fs}
+    out = {p: s for p, s in old.items() if p in live}
+    out.update(added)
+    return out
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
@@ -840,6 +865,13 @@ class LakeTable:
         snap = cur.child(
             schema_json=schema.jsonValue(),
             dropped_cols=sorted(set(cur.dropped_cols) | doomed),
+            # stats for a dropped name are dead weight (read_between
+            # validates against the current schema) — strip them
+            file_stats={
+                p: kept
+                for p, e in cur.file_stats.items()
+                if (kept := {c: s for c, s in e.items() if c not in doomed})
+            },
             summary={"operation": "drop-columns", "dropped": sorted(doomed), **(summary or {})},
         )
         self._write_snapshot(snap)
@@ -896,8 +928,36 @@ class LakeTable:
                 for f in cur.schema.fields
             ]
         )
+        # file-stats bounds are encoded per TYPE FAMILY: integer widenings
+        # keep their encoding, but date→timestamp moves from epoch-days to
+        # epoch-micros — convert in place or read_between would compare a
+        # days-scale min/max against micros-scale bounds and prune wrong
+        day_to_us = {
+            name
+            for name, new_t in changes.items()
+            if isinstance(fields[name].dataType, T.DateType)
+            and isinstance(new_t, T.TimestampNTZType)
+        }
+        new_stats = cur.file_stats
+        if day_to_us:
+            new_stats = {
+                p: {
+                    c: (
+                        {
+                            **s,
+                            "min": s["min"] * 86_400_000_000,
+                            "max": s["max"] * 86_400_000_000,
+                        }
+                        if c in day_to_us and not s.get("allnull")
+                        else s
+                    )
+                    for c, s in e.items()
+                }
+                for p, e in cur.file_stats.items()
+            }
         snap = cur.child(
             schema_json=schema.jsonValue(),
+            file_stats=new_stats,
             summary={
                 "operation": "widen-columns",
                 "widened": {n: t.simpleString() for n, t in changes.items()},
@@ -946,16 +1006,19 @@ class LakeTable:
         )
         files: dict[str, list[str]] = {}
         per_bucket: list[dict] = []
+        new_rels: list[str] = []
         for bk in range(n_buckets):
             rels = self._bucket_files(rel_dir, bk)
             if rels:
                 files[str(bk)] = rels
+                new_rels += rels
             per_bucket.append({"partition_id": bk, "n_files": len(rels)})
         snap = cur.child(
             snapshot_id=commit_id,
             n_buckets=n_buckets,
             files=files,
             delta_files={},
+            file_stats=_stats.collect_file_stats(self.root, new_rels, cur.schema),
             # a rebucket rewrites EVERY file via read() under the current
             # schema, so previously-dropped physical columns are purged
             # and their names become safe to reuse
@@ -1049,6 +1112,7 @@ class LakeTable:
         totals = {"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0,
                   "rows_delete_noop": 0}
         per_bucket: list[dict] = []
+        new_rels: list[str] = []
 
         if touched:
             base = self.read_buckets(touched)
@@ -1146,6 +1210,7 @@ class LakeTable:
                 rels = self._bucket_files(rel_dir, bk)
                 if rels:
                     new_files[str(bk)] = rels
+                    new_rels += rels
                 per_bucket.append({"partition_id": bk, "n_files": len(rels)})
 
         # CoW rewrite of a touched bucket folds in and supersedes its deltas
@@ -1158,6 +1223,11 @@ class LakeTable:
             snapshot_id=commit_id,
             files=new_files,
             delta_files=new_deltas,
+            file_stats=_carry_stats(
+                cur.file_stats,
+                new_files,
+                _stats.collect_file_stats(self.root, new_rels, cur.schema),
+            ),
             summary={"operation": "merge", **totals, **(summary or {})},
         )
         self._write_snapshot(snap)
@@ -1369,16 +1439,23 @@ class LakeTable:
         new_deltas = {
             b: list(p) for b, p in cur.delta_files.items() if int(b) not in victims
         }
+        new_rels: list[str] = []
         for bk in victims:
             rels = self._bucket_files(rel_dir, bk)
             if rels:
                 new_files[str(bk)] = rels
+                new_rels += rels
             else:
                 new_files.pop(str(bk), None)  # bucket fully deleted
         snap = cur.child(
             snapshot_id=commit_id,
             files=new_files,
             delta_files=new_deltas,
+            file_stats=_carry_stats(
+                cur.file_stats,
+                new_files,
+                _stats.collect_file_stats(self.root, new_rels, cur.schema),
+            ),
             summary={
                 "operation": "compact",
                 "compacted_buckets": victims,
@@ -1388,6 +1465,158 @@ class LakeTable:
         self._write_snapshot(snap)
         self._commit_hint(snap.snapshot_id)
         return snap
+
+    def cluster_by(
+        self, col: str, target_rows_per_file: int, summary: dict | None = None
+    ) -> Snapshot:
+        """1-D clustering rewrite (Delta ``OPTIMIZE ZORDER BY (col)`` /
+        Iceberg sort-order rewrite analog, single dimension): rewrite the
+        current net state with each bucket's rows SORTED by ``col`` and
+        split into files of ≤ ``target_rows_per_file`` rows, so
+        consecutive files cover disjoint ``col`` ranges and their footer
+        min/max (collected into the snapshot manifest) make
+        ``read_between`` prune to ~the files that actually overlap.
+
+        This exists because hash bucketing deliberately DESTROYS value
+        locality — per-file stats on a freshly merged table are near
+        useless (every file spans the whole value range). Clustering
+        restores locality for the one column your range scans use (for a
+        CDC table: event time / LSN), the same reason Delta pays an
+        OPTIMIZE rewrite to make data skipping effective. Cost is one
+        full rewrite like ``rebucket`` (MoR deltas fold in; the row-level
+        changelog survives on disk for ``changes()``, which treats this
+        like a compaction); buckets and key layout are unchanged, so
+        point-lookup pruning is unaffected."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        if col not in {f.name for f in cur.schema.fields}:
+            raise ValueError(f"unknown column {col!r}")
+        if target_rows_per_file < 1:
+            raise ValueError("target_rows_per_file must be >= 1")
+        commit_id = cur.snapshot_id + 1
+        paths, _ = self._bucket_paths(cur, None, include_deltas=True)
+        resolved = (
+            self._resolve(
+                self._scan(cur, paths, with_internals=True), cur, fuse_bucket=True
+            )
+            .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
+            .withColumn(TOMBSTONE_COL, F.lit(False))
+        )
+        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            # the fused resolve leaves rows clustered by bucket; the
+            # within-partition sort on (bucket, col) + maxRecordsPerFile
+            # makes the partitioned writer cut each bucket's stream into
+            # consecutive col-ranged files — the whole point of the op
+            resolved.sortWithinPartitions(BUCKET_COL, col)
+            .write.option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        buckets = sorted({int(b) for b in (set(cur.files) | set(cur.delta_files))})
+        new_files: dict[str, list[str]] = {}
+        new_rels: list[str] = []
+        for bk in buckets:
+            rels = self._bucket_files(rel_dir, bk)
+            if rels:
+                new_files[str(bk)] = rels
+                new_rels += rels
+        snap = cur.child(
+            snapshot_id=commit_id,
+            files=new_files,
+            delta_files={},
+            file_stats=_stats.collect_file_stats(self.root, new_rels, cur.schema),
+            summary={
+                "operation": "cluster",
+                "cluster_col": col,
+                "target_rows_per_file": target_rows_per_file,
+                "n_files": len(new_rels),
+                **(summary or {}),
+            },
+        )
+        self._write_snapshot(snap)
+        self._commit_hint(snap.snapshot_id)
+        return snap
+
+    def _prune_base_paths(
+        self, snap: Snapshot, col: str, lo, hi
+    ) -> tuple[list[str], int, int]:
+        """Base-file paths (absolute) overlapping [lo, hi] per the
+        manifest stats, plus (kept, total) counts. Files without a stats
+        entry are kept — missing means unprunable, never empty."""
+        elo, ehi = _stats.encode_bound(lo), _stats.encode_bound(hi)
+        kept: list[str] = []
+        total = 0
+        for _b, rels in sorted(snap.files.items()):
+            for rel in rels:
+                total += 1
+                entry = snap.file_stats.get(rel, {}).get(col)
+                if _stats.file_overlaps(entry, elo, ehi):
+                    kept.append(os.path.join(self.root, rel))
+        return kept, len(kept), total
+
+    def read_between(
+        self, col: str, lo=None, hi=None, snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Range scan ``lo <= col <= hi`` (either bound open) with
+        PLANNING-TIME file pruning off the manifest stats — zero file
+        opens for skipped files, which at 10^5-10^6 files is the
+        difference between a driver dict walk and a distributed footer
+        storm. The exact predicate still applies on top (stats prune
+        files, never rows).
+
+        Sound under merge-on-read: only BASE files prune; every delta
+        file is always scanned. Within a bucket every delta outranks
+        every base row (CoW/compact rewrites fold and supersede deltas),
+        and base rows are key-unique — so for any key the LWW winner over
+        (all deltas ∪ kept base rows) equals the winner over everything:
+        if the key has delta rows the base copy never wins anyway, and if
+        not, its single base row is either kept or provably outside the
+        range. NaN and NULL semantics are encoded in the stats entries
+        (``stats.file_overlaps``); unknown entries never prune."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        if col not in {f.name for f in snap.schema.fields}:
+            raise ValueError(f"unknown column {col!r}")
+        base_paths, _, _ = self._prune_base_paths(snap, col, lo, hi)
+        delta_paths = [
+            os.path.join(self.root, p)
+            for b in sorted(snap.delta_files)
+            for p in snap.delta_files[b]
+        ]
+        if delta_paths:
+            df = self._resolve(
+                self._scan(snap, base_paths + delta_paths, with_internals=True), snap
+            )
+        else:
+            df = self._scan(snap, base_paths, with_internals=False)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return df.filter(pred)
+
+    def prune_report(
+        self, col: str, lo=None, hi=None, snapshot: Snapshot | None = None
+    ) -> dict:
+        """Observability twin of ``read_between``: how many base files the
+        manifest stats would skip for this range (delta files are never
+        pruned)."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        _, kept, total = self._prune_base_paths(snap, col, lo, hi)
+        return {
+            "base_files": total,
+            "kept": kept,
+            "pruned": total - kept,
+            "delta_files": sum(len(v) for v in snap.delta_files.values()),
+        }
 
     def _append_lineage(self, snap: Snapshot, per_bucket: list[dict], summary: dict) -> None:
         """Append-only per-(batch, partition) lineage rows (reference:

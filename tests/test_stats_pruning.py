@@ -1,0 +1,227 @@
+"""Manifest file-stats + planning-time range pruning + 1-D clustering.
+
+Iceberg-manifest / Delta-data-skipping analog: per-base-file column
+min/max ride in the snapshot JSON (collected from parquet footers at
+commit time — pure metadata), ``cluster_by`` restores the value locality
+hash bucketing destroys, and ``read_between`` prunes base files at
+planning time with zero file opens for skipped files.
+
+The two load-bearing safety claims pinned here:
+
+- **MoR soundness**: only base files prune, every delta always scans;
+  within a bucket every delta outranks every base row and base rows are
+  key-unique, so the LWW winner over (deltas ∪ kept base) equals the
+  winner over everything — including the adversarial shapes (delta moves
+  a key INTO a range whose base file was pruned; delta moves a key OUT
+  of a kept range; tombstones).
+- **NaN soundness**: parquet writers EXCLUDE NaN from min/max while
+  Spark orders NaN ABOVE every value, so float/double entries carry
+  ``nan_hidden`` and only the ``min > hi`` prune rule applies to them —
+  a file of [small values + NaN] must survive a ``col >= huge`` scan.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from astro_data_pipeline_spark.lakehouse import LakeTable
+from astro_data_pipeline_spark.lakehouse.stats import encode_bound, file_overlaps
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("s", T.StringType(), True),
+    ]
+)
+
+
+def _rows(spark, n=4000):
+    return spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") * 1.0).alias("v"),
+        F.timestamp_seconds(F.col("id") * 60).cast("timestamp_ntz").alias("ts"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.lit("insert").alias("op"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["id"], n_buckets=4)
+    t.merge(_rows(spark))
+    return t
+
+
+def test_stats_collected_on_commit(table):
+    snap = table.current_snapshot()
+    all_files = [p for fs in snap.files.values() for p in fs]
+    assert all_files and set(snap.file_stats) == set(all_files)
+    for entry in snap.file_stats.values():
+        assert set(entry) == {"id", "v", "ts"}  # strings are ineligible
+        assert entry["id"]["min"] <= entry["id"]["max"]
+        assert entry["v"].get("nan_hidden") is True  # double: NaN-unsafe max
+        assert "nan_hidden" not in entry["id"]  # long: full two-sided prune
+
+
+def test_cluster_by_restores_locality(spark, table):
+    # hash bucketing spreads ids uniformly: no file prunable pre-cluster
+    assert table.prune_report("id", 100, 200)["pruned"] == 0
+    table.cluster_by("id", target_rows_per_file=250)
+    rep = table.prune_report("id", 100, 200)
+    assert rep["pruned"] > rep["base_files"] // 2
+    got = sorted(r["id"] for r in table.read_between("id", 100, 200).collect())
+    assert got == list(range(100, 201))
+    # open bounds
+    assert table.read_between("id", hi=50).count() == 51
+    assert table.read_between("id", lo=3950).count() == 50
+    # correlated column (ts rides id): pruning transfers
+    lo = datetime.datetime(1970, 1, 1, 2)
+    hi = datetime.datetime(1970, 1, 1, 3)
+    assert table.prune_report("ts", lo, hi)["pruned"] > 0
+    assert table.read_between("ts", lo, hi).count() == 61
+
+
+def test_read_between_mor_adversarial(spark, table):
+    """Deltas must defeat stale base stats in every direction."""
+    table.cluster_by("id", target_rows_per_file=250)
+    upd = spark.createDataFrame(
+        [
+            # moves OUT of the probe range [100, 200]: its base file is
+            # kept, the delta row must still win and be filtered out
+            (150, 999999.0, None, "x", "update"),
+            # base row v=3000 lives in a PRUNED file for a v-range probe;
+            # the delta moves it INTO range — must appear
+            (3000, 150.0, None, "y", "update"),
+            # tombstone inside the range — must vanish
+            (120, None, None, None, "delete"),
+        ],
+        schema="id long, v double, ts timestamp_ntz, s string, op string",
+    )
+    table.merge_mor(upd)
+    # probe on v (values == id pre-update, so range [100,200] is tight)
+    got = {r["id"]: r["v"] for r in table.read_between("v", 100.0, 200.0).collect()}
+    want = {i: float(i) for i in range(100, 201)}
+    del want[150], want[120]
+    want[3000] = 150.0
+    assert got == want
+    # same truth as the unpruned scan + exact filter
+    ref = {
+        r["id"]: r["v"]
+        for r in table.read()
+        .filter((F.col("v") >= 100.0) & (F.col("v") <= 200.0))
+        .collect()
+    }
+    assert got == ref
+
+
+def test_nan_rows_survive_pruned_lower_bound(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["id"], n_buckets=2)
+    rows = [(i, float(i), None, "a", "insert") for i in range(100)]
+    rows += [(1000 + i, float("nan"), None, "n", "insert") for i in range(5)]
+    t.merge(
+        spark.createDataFrame(
+            rows, schema="id long, v double, ts timestamp_ntz, s string, op string"
+        )
+    )
+    # every file's recorded v-max is <= 99.0, but the NaN rows satisfy
+    # v >= 1e9 under Spark ordering — nan_hidden must keep their files
+    got = sorted(r["id"] for r in t.read_between("v", lo=1e9).collect())
+    assert got == [1000, 1001, 1002, 1003, 1004]
+    # exactness in the other direction too (parquet-mr omits min/max for
+    # NaN-containing double chunks entirely -> unknown -> kept, still safe)
+    assert t.read_between("v", hi=-1.0).count() == 0
+
+
+def test_min_above_hi_prunes_nan_free_doubles(table):
+    # v is 0..3999 with no NaN anywhere: every file's min is >= 0, so a
+    # hi below it prunes the whole table (the one sound max-side rule
+    # for nan_hidden columns is min > hi — exercised here)
+    rep = table.prune_report("v", hi=-1.0)
+    assert rep["pruned"] == rep["base_files"] >= 1
+    assert table.read_between("v", hi=-1.0).count() == 0
+
+
+def test_file_overlaps_unit_semantics():
+    assert file_overlaps(None, 0, 10)  # missing entry: cannot prune
+    assert not file_overlaps({"allnull": True}, 0, 10)
+    assert not file_overlaps({"min": 20, "max": 30}, 0, 10)  # above
+    assert not file_overlaps({"min": 1, "max": 5}, 6, 10)  # below
+    assert file_overlaps({"min": 1, "max": 6}, 6, 10)  # touches
+    assert file_overlaps({"min": 1, "max": 5, "nan_hidden": True}, 6, 10)  # NaN may lurk
+    assert not file_overlaps({"min": 11, "max": 12, "nan_hidden": True}, None, 10)
+    assert file_overlaps({"min": 1, "max": 5}, None, None)
+
+
+def test_encode_bound_total_order():
+    assert encode_bound(datetime.date(1970, 1, 2)) == 1
+    assert encode_bound(datetime.datetime(1970, 1, 1, 0, 0, 1)) == 1_000_000
+    assert encode_bound(None) is None
+    assert encode_bound(float("nan")) is None
+    assert encode_bound(3) == 3 and encode_bound(3.5) == 3.5
+
+
+def test_allnull_files_prune_for_any_range(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["id"], n_buckets=1)
+    t.merge(
+        spark.createDataFrame(
+            [(i, None, None, "a", "insert") for i in range(50)],
+            schema="id long, v double, ts timestamp_ntz, s string, op string",
+        )
+    )
+    rep = t.prune_report("v", 0.0, 1e18)
+    assert rep["base_files"] == rep["pruned"] >= 1
+    assert t.read_between("v", 0.0, 1e18).count() == 0
+
+
+def test_stats_follow_evolution_and_restore(spark, tmp_path):
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("x", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, ["id"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame(
+            [(i, datetime.date(2020, 1, 1 + i % 28), i, "insert") for i in range(200)],
+            schema="id long, d date, x int, op string",
+        )
+    )
+    before = t.current_snapshot()
+    # widen date -> timestamp_ntz: stored epoch-day bounds convert to
+    # epoch-micros so datetime probes compare in the right unit
+    t.widen_columns({"d": T.TimestampNTZType()})
+    lo = datetime.datetime(2020, 1, 1)
+    hi = datetime.datetime(2020, 1, 2)
+    n = t.read_between("d", lo, hi).count()
+    assert n == t.read().filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))).count()
+    assert n > 0
+    # drop strips the column's stats entries
+    t.drop_columns(["x"])
+    assert all("x" not in e for e in t.current_snapshot().file_stats.values())
+    # restore brings the target's stats back verbatim
+    t.restore(before.snapshot_id)
+    assert t.current_snapshot().file_stats == before.file_stats
+
+
+def test_compact_refreshes_stats(spark, table):
+    table.merge_mor(
+        spark.createDataFrame(
+            [(1, -5.0, None, "z", "update")],
+            schema="id long, v double, ts timestamp_ntz, s string, op string",
+        )
+    )
+    snap = table.compact()
+    assert snap is not None and not snap.delta_files
+    all_files = [p for fs in snap.files.values() for p in fs]
+    assert set(snap.file_stats) == set(all_files)
+    # the folded-in update is visible to stats-pruned scans
+    got = {r["id"]: r["v"] for r in table.read_between("v", -10.0, -1.0).collect()}
+    assert got == {1: -5.0}
