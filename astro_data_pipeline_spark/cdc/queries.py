@@ -875,6 +875,103 @@ def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_concurrent_writers",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CASE WHEN event_id % 6 = event_id % 2 AND event_id % 14 != event_id % 2
+                THEN value * 3 ELSE value END AS val
+    FROM events
+    WHERE event_id % 14 != event_id % 2
+    """,
+)
+def cdc_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer optimistic concurrency end to end (Iceberg
+    optimistic-commit analog; reference: concurrent ingest workers
+    sharing one Postgres catalog whose transactional MERGE provides the
+    isolation — DatabaseOptimizationConfig.java HikariCP pools,
+    db_performance_test.py:327-375 concurrent personas): two writer
+    threads race merge-on-read commits into ONE lake table through
+    ``commit_with_retries`` — each handles a disjoint key half (writer p
+    takes event_id%2==p) and lands an insert batch then an
+    update+delete batch. The version-hint CAS serializes the four
+    commits in some interleaving-dependent ORDER, but because keys are
+    disjoint and each writer's own commits stay thread-ordered, the
+    final LWW state is interleaving-INDEPENDENT — which is exactly what
+    the fixed SQL oracle asserts. In-query: all four batch ids must
+    appear in the snapshot chain (a silently dropped commit — the
+    last-writer-wins hint-rename failure mode this protocol replaces —
+    breaks it) and the chain must hold exactly create+4 commits."""
+    import tempfile as _tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("long").alias("user_id"), "value"
+    )
+    eid = F.col("event_id")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+        import threading as _threading
+
+        schema = _T.StructType(
+            [
+                _T.StructField("event_id", _T.LongType(), False),
+                _T.StructField("user_id", _T.LongType(), True),
+                _T.StructField("val", _T.DoubleType(), True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=16
+        )
+        barrier = _threading.Barrier(2)
+
+        def writer(p: int) -> None:
+            half = ev.filter(eid % 2 == p)
+            inserts = half.select(
+                "event_id", "user_id", F.col("value").alias("val"),
+                F.lit("insert").alias("op"),
+            )
+            updates = half.filter((eid % 6 == p) & (eid % 14 != p)).select(
+                "event_id", "user_id", (F.col("value") * 3).alias("val"),
+                F.lit("update").alias("op"),
+            )
+            deletes = half.filter(eid % 14 == p).select(
+                "event_id", "user_id", F.lit(None).cast("double").alias("val"),
+                F.lit("delete").alias("op"),
+            )
+            barrier.wait()
+            table.commit_with_retries(
+                lambda: table.merge_mor(inserts, summary={"batch_id": f"w{p}-b1"}),
+                attempts=20,
+            )
+            table.commit_with_retries(
+                lambda: table.merge_mor(
+                    updates.unionByName(deletes), summary={"batch_id": f"w{p}-b2"}
+                ),
+                attempts=20,
+            )
+
+        with ThreadPoolExecutor(2) as ex:
+            for f in [ex.submit(writer, 0), ex.submit(writer, 1)]:
+                f.result()  # re-raise writer failures
+
+        chain = table.snapshot_chain()
+        tags = {s.summary.get("batch_id") for s in chain} - {None}
+        if tags != {"w0-b1", "w0-b2", "w1-b1", "w1-b2"}:
+            raise RuntimeError(f"dropped commit under concurrency: {sorted(tags)}")
+        if len(chain) != 5:
+            raise RuntimeError(f"expected create+4 commits, chain={len(chain)}")
+        return _materialize(
+            spark, table.read().select("event_id", "user_id", "val")
+        )
+
+
+@query(
     "cdc_batch_ledger_stats",
     oracle="""
     SELECT CAST(floor(event_id / 2000) AS BIGINT) AS batch_id,

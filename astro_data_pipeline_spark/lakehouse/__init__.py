@@ -1,3 +1,3 @@
-from .table import LakeTable, Snapshot
+from .table import CommitConflictError, LakeTable, Snapshot
 
-__all__ = ["LakeTable", "Snapshot"]
+__all__ = ["CommitConflictError", "LakeTable", "Snapshot"]

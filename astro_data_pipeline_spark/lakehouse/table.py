@@ -23,10 +23,25 @@ own table format with exactly the properties the north rule needs:
 - **time travel / lineage**: the snapshot chain is retained until
   expired; each snapshot records per-bucket files and summary metrics.
 
-Concurrency contract: SINGLE WRITER, many readers — the standard CDC-sink
-shape (one replay job owns the table; readers see committed snapshots
-only). On an object store the ``os.replace`` version-hint flip swaps for
-a catalog compare-and-swap (Iceberg/Nessie style); nothing else changes.
+Concurrency contract: MANY WRITERS, many readers, optimistic (Iceberg
+style — the reference gets write isolation for free from Postgres'
+transactional MERGE via its HikariCP pools,
+DatabaseOptimizationConfig.java, db_performance_test.py concurrent
+personas; a lake table has no database underneath, so the engine
+supplies the protocol itself). Every commit is a compare-and-swap on
+the version hint: the publisher re-reads the head under a short flock
+critical section and commits only if the head is still the snapshot it
+planned against, else raises ``CommitConflictError`` and the caller
+re-runs the whole operation against the new head
+(``commit_with_retries``). Each attempt writes its data files under an
+attempt-unique directory, so racing attempts never clobber each other's
+parquet output; a losing attempt's files are unreferenced orphans that
+``expire_snapshots`` collects (with an mtime grace window protecting
+still-in-flight attempts). Readers never lock — they follow the hint.
+On an object store the flock+hint CAS swaps for a catalog
+compare-and-swap (Iceberg/Nessie style); nothing else changes.
+Maintenance (``expire_snapshots``) assumes a single maintenance
+process, like Iceberg's remove-orphan-files action.
 
 Two merge strategies (both atomic, both exactly-once):
 
@@ -43,12 +58,17 @@ Layout::
 
     <root>/
       metadata/
-        version-hint.txt        # current snapshot id (os.replace = commit)
+        version-hint.txt        # current snapshot id (CAS'd = commit)
+        commit.lock             # flock serializing the hint CAS
         snapshot-<id>.json
         lineage.jsonl           # per-(batch, partition) lineage rows
       data/
-        commit-<id>/_bucket=<k>/part-*.parquet    # CoW / compaction output
-        delta-<id>/_bucket=<k>/part-*.parquet     # MoR delta commits
+        commit-<id>-<tok>/_bucket=<k>/part-*.parquet  # CoW / compaction
+        delta-<id>-<tok>/_bucket=<k>/part-*.parquet   # MoR delta commits
+
+``<tok>`` is a per-attempt random token: concurrent attempts at the
+same commit id write disjoint directories, and only the winning
+attempt's files enter the snapshot manifest.
 """
 
 from __future__ import annotations
@@ -56,7 +76,10 @@ from __future__ import annotations
 import functools
 import json
 import operator
+import contextlib
+import fcntl
 import os
+import random
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -72,6 +95,13 @@ from . import stats as _stats
 BUCKET_COL = "_bucket"
 SEQ_COL = "_seq"  # commit sequence stamped into every data file
 TOMBSTONE_COL = "_tombstone"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer advanced the table head between this commit's plan
+    and its publish. The attempt's data files are orphans (collected by
+    ``expire_snapshots``); re-run the whole operation against the new
+    head — ``LakeTable.commit_with_retries`` does so automatically."""
 
 
 @dataclass
@@ -244,8 +274,7 @@ class LakeTable:
             summary={"operation": "create"},
             timestamp_ms=int(time.time() * 1000),
         )
-        t._write_snapshot(snap)
-        t._commit_hint(snap.snapshot_id)
+        t._publish(snap, expected_head=None)
         return t
 
     @classmethod
@@ -403,8 +432,76 @@ class LakeTable:
         self._atomic_write(p, json.dumps(snap.to_json()))
 
     def _commit_hint(self, sid: int) -> None:
-        """THE commit point: atomic rename of the version hint."""
+        """Atomic rename of the version hint (call via ``_publish`` —
+        the bare rename is last-writer-wins and multi-writer UNSAFE)."""
         self._atomic_write(os.path.join(self._meta, "version-hint.txt"), str(sid))
+
+    def _read_hint(self) -> int | None:
+        try:
+            with open(os.path.join(self._meta, "version-hint.txt")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Short advisory-lock critical section serializing hint CAS on
+        this host (flock releases on process death — a crashed committer
+        never wedges the table). On an object store this swaps for the
+        catalog's own compare-and-swap."""
+        lf = open(os.path.join(self._meta, "commit.lock"), "a+")
+        try:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+            lf.close()
+
+    def _publish(self, snap: Snapshot, *, expected_head: int | None) -> None:
+        """THE commit point, multi-writer safe: compare-and-swap the
+        version hint. Commits only if the head is still
+        ``expected_head`` (the snapshot the operation planned against);
+        otherwise raises :class:`CommitConflictError` — the operation
+        must re-run against the new head, because its data files bake in
+        a ``_seq`` equal to its claimed commit id and its writes were
+        planned against the stale base (``commit_with_retries`` wraps
+        this loop).
+
+        Crash window: a writer dying after the snapshot-JSON write but
+        before the hint flip leaves an orphan ``snapshot-<id>.json`` the
+        next committer simply overwrites — correct, because the crashed
+        commit never became visible (the hint is the only commit
+        point)."""
+        with self._commit_lock():
+            head = self._read_hint()
+            if head != expected_head:
+                raise CommitConflictError(
+                    f"table head moved: planned against {expected_head}, "
+                    f"found {head} while committing snapshot "
+                    f"{snap.snapshot_id} ({snap.summary.get('operation')})"
+                )
+            self._write_snapshot(snap)
+            self._commit_hint(snap.snapshot_id)
+
+    def commit_with_retries(
+        self,
+        op,
+        attempts: int = 6,
+        base_backoff_s: float = 0.05,
+    ):
+        """Run a committing operation (a zero-arg callable wrapping e.g.
+        ``merge`` / ``merge_mor``), re-running it from scratch on
+        :class:`CommitConflictError` with jittered exponential backoff.
+        Re-running — not just re-pointing — is required: each attempt's
+        delta rows carry ``_seq`` = its claimed commit id, and a CoW
+        attempt joined against the superseded base."""
+        for i in range(attempts):
+            try:
+                return op()
+            except CommitConflictError:
+                if i == attempts - 1:
+                    raise
+                time.sleep(base_backoff_s * (2**i) * (0.5 + random.random()))
 
     # --------------------------------------------------------------- read
 
@@ -605,12 +702,18 @@ class LakeTable:
             if snap.n_buckets != from_snap.n_buckets:
                 spec_stable = False
             if op == "merge-mor":
-                prefix = os.path.join("data", f"delta-{snap.snapshot_id}")
+                # tokenized attempt dirs (delta-<id>-<tok>/...) plus the
+                # pre-token layout (delta-<id>/...) still on disk in
+                # tables written by earlier engine versions; the "-" /
+                # separator requirement keeps delta-5 from matching
+                # delta-51
+                stem = os.path.join("data", f"delta-{snap.snapshot_id}")
+                prefixes = (stem + "-", stem + os.sep)
                 delta_rels += [
                     p
                     for paths in snap.delta_files.values()
                     for p in paths
-                    if p.startswith(prefix)
+                    if p.startswith(prefixes)
                 ]
             snap = self._read_snapshot(snap.parent_id) if snap.parent_id else None
         if snap is None or snap.snapshot_id != from_snapshot_id:
@@ -755,8 +858,7 @@ class LakeTable:
             schema_json=schema.jsonValue(),
             summary={"operation": "add-columns", **(summary or {})},
         )
-        self._write_snapshot(snap)
-        self._commit_hint(snap.snapshot_id)
+        self._publish(snap, expected_head=cur.snapshot_id)
         return snap
 
     def evolve_to(
@@ -819,8 +921,7 @@ class LakeTable:
                     **(summary or {}),
                 },
             )
-            self._write_snapshot(snap)
-            self._commit_hint(snap.snapshot_id)
+            self._publish(snap, expected_head=cur.snapshot_id)
             return [snap]
         if new:
             return [
@@ -874,8 +975,7 @@ class LakeTable:
             },
             summary={"operation": "drop-columns", "dropped": sorted(doomed), **(summary or {})},
         )
-        self._write_snapshot(snap)
-        self._commit_hint(snap.snapshot_id)
+        self._publish(snap, expected_head=cur.snapshot_id)
         return snap
 
     def widen_columns(
@@ -964,8 +1064,7 @@ class LakeTable:
                 **(summary or {}),
             },
         )
-        self._write_snapshot(snap)
-        self._commit_hint(snap.snapshot_id)
+        self._publish(snap, expected_head=cur.snapshot_id)
         return snap
 
     def rebucket(self, n_buckets: int, summary: dict | None = None) -> Snapshot:
@@ -996,7 +1095,7 @@ class LakeTable:
             .withColumn(TOMBSTONE_COL, F.lit(False))
             .withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
         )
-        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
         (
             result.repartition(n_buckets, F.col(BUCKET_COL))
@@ -1030,8 +1129,7 @@ class LakeTable:
                 **(summary or {}),
             },
         )
-        self._write_snapshot(snap)
-        self._commit_hint(snap.snapshot_id)
+        self._publish(snap, expected_head=cur.snapshot_id)
         self._append_lineage(snap, per_bucket, summary or {})
         return snap
 
@@ -1178,7 +1276,7 @@ class LakeTable:
                 ).alias(BUCKET_COL),
             )
 
-            rel_dir = os.path.join("data", f"commit-{commit_id}")
+            rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
             out_dir = os.path.join(self.root, rel_dir)
             # co-locate buckets before the partitioned write: one shuffle,
             # files land one-per-bucket-per-task
@@ -1230,8 +1328,7 @@ class LakeTable:
             ),
             summary={"operation": "merge", **totals, **(summary or {})},
         )
-        self._write_snapshot(snap)
-        self._commit_hint(snap.snapshot_id)
+        self._publish(snap, expected_head=cur.snapshot_id)
         self._append_lineage(snap, per_bucket, summary or {})
         return snap, {"totals": totals, "per_bucket": per_bucket}
 
@@ -1327,7 +1424,7 @@ class LakeTable:
                 bucket_expr(key_cols, cur.n_buckets).alias(BUCKET_COL),
             )
         )
-        rel_dir = os.path.join("data", f"delta-{commit_id}")
+        rel_dir = os.path.join("data", f"delta-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
         # bucket-align before the partitioned write: without this, every
         # upstream shuffle partition fans out one file per bucket it
@@ -1368,12 +1465,15 @@ class LakeTable:
         # these guards protect the on-disk ledger (an out-of-order
         # finalize would commit a snapshot whose parent skips a commit) —
         # real raises, not asserts that python -O strips
+        # CommitConflictError (a RuntimeError): under single-writer
+        # pipelining these indicate an ordering bug; under multi-writer
+        # racing they are ordinary conflicts commit_with_retries re-runs
         if expect_parent is not None and cur.snapshot_id != expect_parent:
-            raise RuntimeError(
+            raise CommitConflictError(
                 f"commit order violated: parent {cur.snapshot_id} != {expect_parent}"
             )
         if commit_id != cur.snapshot_id + 1:
-            raise RuntimeError(
+            raise CommitConflictError(
                 f"non-sequential commit {commit_id} onto {cur.snapshot_id}"
             )
         out_dir = os.path.join(self.root, rel_dir)
@@ -1397,8 +1497,7 @@ class LakeTable:
                 delta_files=new_deltas,
                 summary={"operation": "merge-mor", **totals, **(summary or {})},
             )
-            self._write_snapshot(snap)
-            self._commit_hint(snap.snapshot_id)
+            self._publish(snap, expected_head=cur.snapshot_id)
             self._append_lineage(snap, per_bucket, summary or {})
         return snap, {"totals": totals, "per_bucket": per_bucket}
 
@@ -1428,7 +1527,7 @@ class LakeTable:
             .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
             .withColumn(TOMBSTONE_COL, F.lit(False))
         )
-        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
         (
             resolved.write.partitionBy(BUCKET_COL)
@@ -1462,8 +1561,7 @@ class LakeTable:
                 **(summary or {}),
             },
         )
-        self._write_snapshot(snap)
-        self._commit_hint(snap.snapshot_id)
+        self._publish(snap, expected_head=cur.snapshot_id)
         return snap
 
     def cluster_by(
@@ -1503,7 +1601,7 @@ class LakeTable:
             .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
             .withColumn(TOMBSTONE_COL, F.lit(False))
         )
-        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
         (
             # the fused resolve leaves rows clustered by bucket; the
@@ -1537,8 +1635,7 @@ class LakeTable:
                 **(summary or {}),
             },
         )
-        self._write_snapshot(snap)
-        self._commit_hint(snap.snapshot_id)
+        self._publish(snap, expected_head=cur.snapshot_id)
         return snap
 
     def _prune_base_paths(
@@ -1742,14 +1839,21 @@ class LakeTable:
                 **(summary or {}),
             },
         )
-        self._write_snapshot(new)
-        self._commit_hint(new.snapshot_id)
+        self._publish(new, expected_head=cur.snapshot_id)
         return new
 
-    def expire_snapshots(self, keep_last: int = 5) -> int:
+    def expire_snapshots(self, keep_last: int = 5, orphan_grace_s: float = 0.0) -> int:
         """Drop snapshot metadata older than the last N and delete data
         files no live snapshot references (reference analog: S3 lifecycle
         transitions, terraform/01-data/s3.tf:51-84).
+
+        ``orphan_grace_s``: unreferenced files younger than this survive.
+        Under multi-writer optimistic concurrency an in-flight attempt's
+        data files are indistinguishable from a lost attempt's orphans
+        until its commit CAS resolves, so concurrent maintenance must
+        pass a grace window comfortably above the longest write+commit
+        latency (Iceberg's remove-orphan-files has the same contract).
+        The default 0 is for quiesced tables.
 
         Crash-safe ordering: the oldest KEPT snapshot is rewritten FIRST —
         parent link cut AND the expired snapshots' batch ids folded into
@@ -1804,13 +1908,19 @@ class LakeTable:
                 sid = int(fn[len("snapshot-"):-len(".json")])
                 if sid not in keep_ids:
                     os.remove(os.path.join(self._meta, fn))
-        # 3. orphan data files
+        # 3. orphan data files (outside the in-flight grace window)
         removed = 0
+        cutoff = time.time() - orphan_grace_s
         for dirpath, _dirnames, filenames in os.walk(self._data):
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
                 if fn.endswith(".parquet") and rel not in live_files:
-                    os.remove(full)
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue  # a concurrent GC/abort already removed it
                     removed += 1
         return removed
