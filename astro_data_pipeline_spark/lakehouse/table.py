@@ -503,6 +503,31 @@ class LakeTable:
                     raise
                 time.sleep(base_backoff_s * (2**i) * (0.5 + random.random()))
 
+    # -------------------------------------------------------------- write
+
+    def _write_opts(self, snap: Snapshot) -> dict[str, str]:
+        """Per-write parquet options: a bloom filter on every merge-key
+        column (conf ``spark.adps.parquet.bloom.enabled``, default on).
+
+        Point lookups filter on exact key equality, but hash bucketing
+        scatters key VALUES uniformly across every file in the bucket —
+        min/max stats can never prune them (the reference leans on
+        B-tree/GIN indexes for this, DatabaseOptimizationConfig.java;
+        a lake table's equivalent is the parquet bloom filter). With
+        blooms, the parquet reader drops whole row groups whose filter
+        misses the pushed-down key literal before touching a data page.
+        ``adaptive`` sizes each filter to the row group's observed NDV
+        instead of the worst-case max-bytes allocation."""
+        try:
+            enabled = self.spark.conf.get("spark.adps.parquet.bloom.enabled", "true")
+        except Exception:
+            enabled = "true"
+        if str(enabled).lower() != "true":
+            return {}
+        opts = {f"parquet.bloom.filter.enabled#{c}": "true" for c in snap.key_cols}
+        opts["parquet.bloom.filter.adaptive.enabled"] = "true"
+        return opts
+
     # --------------------------------------------------------------- read
 
     def _internal_schema(self, snap: Snapshot) -> T.StructType:
@@ -639,12 +664,75 @@ class LakeTable:
                 *[F.lit(key[c]).cast(types[c]).alias(c) for c in snap.key_cols]
             )
             bucket = row.select(bucket_expr(snap.key_cols, snap.n_buckets)).collect()[0][0]
-        df = self.read(snapshot=snap, buckets=[int(bucket)])
+        base_paths, _, _ = self._point_base_paths(snap, int(bucket), key, types)
+        delta_paths = [
+            os.path.join(self.root, p)
+            for p in snap.delta_files.get(str(int(bucket)), [])
+        ]
+        if delta_paths:
+            df = self._resolve(
+                self._scan(snap, base_paths + delta_paths, with_internals=True), snap
+            )
+        else:
+            df = self._scan(snap, base_paths, with_internals=False)
         pred = None
         for c in snap.key_cols:
             p = F.col(c) == F.lit(key[c]).cast(types[c])
             pred = p if pred is None else (pred & p)
         return df.filter(pred)
+
+    def _point_base_paths(
+        self, snap: Snapshot, bucket: int, key: dict, types: dict
+    ) -> tuple[list[str], int, int]:
+        """Base files of one bucket that can contain ``key`` per the
+        manifest stats (absolute paths, plus kept/total counts): second
+        prune stage after bucket hashing. On a key-clustered table
+        (``cluster_by`` on a key column) this narrows the bucket's file
+        list to ~one file at PLANNING time; the parquet bloom filters
+        then drop non-matching row groups inside whatever survives.
+        Sound under merge-on-read for the same reason as
+        ``read_between``: only base files prune, every delta in the
+        bucket is scanned, and within a bucket every delta outranks
+        every base row. Pruning uses only EXACT-typed int literals —
+        a value needing a cast has unknown encoded bounds, and a
+        missing/unsupported stats entry keeps the file."""
+        rels = snap.files.get(str(bucket), [])
+        total = len(rels)
+        bounds = []
+        for c in snap.key_cols:
+            v = key[c]
+            if (
+                isinstance(v, int)
+                and not isinstance(v, bool)
+                and isinstance(types[c], _stats._ELIGIBLE)
+            ):
+                bounds.append((c, _stats.encode_bound(v)))
+        kept = []
+        for rel in rels:
+            entry = snap.file_stats.get(rel, {})
+            if all(_stats.file_overlaps(entry.get(c), ev, ev) for c, ev in bounds):
+                kept.append(os.path.join(self.root, rel))
+        return kept, len(kept), total
+
+    def point_prune_report(self, key: dict, snapshot: Snapshot | None = None) -> dict:
+        """Observability twin of ``read_key``'s planning: how many of the
+        key's bucket files the manifest stats keep vs skip."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        row = self.spark.range(1).select(
+            *[F.lit(key[c]).cast(types[c]).alias(c) for c in snap.key_cols]
+        )
+        bucket = int(row.select(bucket_expr(snap.key_cols, snap.n_buckets)).collect()[0][0])
+        _, kept, total = self._point_base_paths(snap, bucket, key, types)
+        return {
+            "bucket": bucket,
+            "base_files": total,
+            "kept": kept,
+            "pruned": total - kept,
+            "delta_files": len(snap.delta_files.get(str(bucket), [])),
+        }
 
     def changes(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -1099,7 +1187,8 @@ class LakeTable:
         out_dir = os.path.join(self.root, rel_dir)
         (
             result.repartition(n_buckets, F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
+            .write.options(**self._write_opts(cur))
+            .partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -1282,7 +1371,8 @@ class LakeTable:
             # files land one-per-bucket-per-task
             (
                 result.repartition(len(touched), F.col(BUCKET_COL))
-                .write.partitionBy(BUCKET_COL)
+                .write.options(**self._write_opts(cur))
+                .partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(out_dir)
             )
@@ -1439,7 +1529,9 @@ class LakeTable:
             else delta.repartition(cur.n_buckets, F.col(BUCKET_COL))
         )
         with phase("mor.write_action"):
-            to_write.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
+            to_write.write.options(**self._write_opts(cur)).partitionBy(
+                BUCKET_COL
+            ).mode("overwrite").parquet(out_dir)
         with phase("mor.obs_get"):
             try:
                 totals = {k: int(v) for k, v in obs.get.items()}
@@ -1530,7 +1622,8 @@ class LakeTable:
         rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
         (
-            resolved.write.partitionBy(BUCKET_COL)
+            resolved.write.options(**self._write_opts(cur))
+            .partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -1610,6 +1703,7 @@ class LakeTable:
             # consecutive col-ranged files — the whole point of the op
             resolved.sortWithinPartitions(BUCKET_COL, col)
             .write.option("maxRecordsPerFile", target_rows_per_file)
+            .options(**self._write_opts(cur))
             .partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
