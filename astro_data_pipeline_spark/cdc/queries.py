@@ -875,6 +875,80 @@ def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_zorder_scan",
+    oracle="""
+    SELECT 'u' AS dim, event_id,
+           CAST(user_id AS BIGINT) AS user_id, value
+    FROM events WHERE user_id BETWEEN 30 AND 60
+    UNION ALL
+    SELECT 'v' AS dim, event_id,
+           CAST(user_id AS BIGINT) AS user_id, value
+    FROM events WHERE value BETWEEN 20.0 AND 40.0
+    """,
+)
+def cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension Z-order clustering end to end (Delta OPTIMIZE
+    ZORDER analog; reference: composite-index multi-predicate catalog
+    queries, DatabaseOptimizationConfig.java + V1 schema indexes): land
+    events via copy-on-write MERGE, one ``cluster_by([user_id, value])``
+    rewrite Morton-interleaves quantile-normalized dimension indices and
+    sorts each bucket's files by the z-value, then range scans on BOTH
+    dimensions prune files at planning time (asserted in-query via
+    ``prune_report`` on each dimension — z-order's whole point over a
+    1-D sort, which leaves the second dimension unprunable). The oracle
+    replays both range scans over the raw table; a z-curve fault that
+    breaks value locality silently would still pass it, which is why the
+    pruning assertions are in-query — but one that loses or duplicates
+    rows breaks the hash match."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        schema = _T.StructType(
+            [
+                _T.StructField("event_id", _T.LongType(), False),
+                _T.StructField("user_id", _T.LongType(), True),
+                _T.StructField("value", _T.DoubleType(), True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=8
+        )
+        table.merge(
+            ev.select(
+                "event_id",
+                F.col("user_id").cast("long").alias("user_id"),
+                "value",
+                F.lit("insert").alias("op"),
+            )
+        )
+        n = ev.count()
+        table.cluster_by(
+            ["user_id", "value"], target_rows_per_file=max(200, n // 128)
+        )
+        rep_u = table.prune_report("user_id", 30, 60)
+        rep_v = table.prune_report("value", 20.0, 40.0)
+        if rep_u["base_files"] > 16 and (rep_u["pruned"] == 0 or rep_v["pruned"] == 0):
+            raise RuntimeError(
+                f"z-order pruned nothing on one dimension: u={rep_u} v={rep_v}"
+            )
+        u = table.read_between("user_id", 30, 60).select(
+            F.lit("u").alias("dim"), "event_id", "user_id", "value"
+        )
+        v = table.read_between("value", 20.0, 40.0).select(
+            F.lit("v").alias("dim"), "event_id", "user_id", "value"
+        )
+        return _materialize(spark, u.unionByName(v))
+
+
+@query(
     "cdc_concurrent_writers",
     oracle="""
     SELECT event_id,

@@ -1657,32 +1657,92 @@ class LakeTable:
         self._publish(snap, expected_head=cur.snapshot_id)
         return snap
 
+    def _zorder_expr(self, cur: Snapshot, cols: list[str], bits: int) -> F.Column:
+        """Z-value (Morton interleave) over rank-normalized dimensions.
+
+        Each column maps to a ``bits``-wide bucket index through its
+        approximate quantile boundaries (one column-pruned
+        ``approxQuantile`` pass over the base files — the Delta OPTIMIZE
+        ZORDER sampling analog; quantiles, not min/max scaling, so a
+        skewed dimension still spreads across all 2^bits codes), then
+        the per-dimension indices bit-interleave into one long. Rows
+        sorted by that long place near rows near in EVERY dimension at
+        once, so per-file min/max stats prune range scans on any
+        clustered column. All pure JVM column expressions — the
+        boundary arrays are literals, the bucket index is a
+        higher-order-function count, the interleave is shift/or."""
+        sample = self._scan(
+            cur,
+            [os.path.join(self.root, p) for ps in cur.files.values() for p in ps],
+            with_internals=False,
+        ).select(*cols)
+        qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        # one pass for all dimensions (approxQuantile takes a col list)
+        all_bounds = sample.approxQuantile(cols, qs, 0.01)
+        z = F.lit(0).cast("long")
+        for d, (c, bounds) in enumerate(zip(cols, all_bounds)):
+            if not bounds:  # empty table: no boundaries, dimension is flat
+                continue
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            v = F.col(c).cast("double")
+            idx = F.when(v.isNull(), F.lit(0)).otherwise(
+                F.size(F.filter(arr, lambda b: b <= v))
+            ).cast("long")
+            for i in range(bits):
+                bit = F.shiftright(idx, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + d))
+        return z
+
     def cluster_by(
-        self, col: str, target_rows_per_file: int, summary: dict | None = None
+        self,
+        col: str | list[str],
+        target_rows_per_file: int,
+        summary: dict | None = None,
+        zorder_bits: int = 8,
     ) -> Snapshot:
-        """1-D clustering rewrite (Delta ``OPTIMIZE ZORDER BY (col)`` /
-        Iceberg sort-order rewrite analog, single dimension): rewrite the
-        current net state with each bucket's rows SORTED by ``col`` and
-        split into files of ≤ ``target_rows_per_file`` rows, so
-        consecutive files cover disjoint ``col`` ranges and their footer
-        min/max (collected into the snapshot manifest) make
-        ``read_between`` prune to ~the files that actually overlap.
+        """Clustering rewrite (Delta ``OPTIMIZE ZORDER BY`` / Iceberg
+        sort-order rewrite analog): rewrite the current net state with
+        each bucket's rows SORTED — by ``col`` itself for one dimension,
+        by the Morton z-value over ``col``'s columns for several — and
+        split into files of ≤ ``target_rows_per_file`` rows, so files
+        cover tight value ranges and their footer min/max (collected
+        into the snapshot manifest) make ``read_between`` prune to ~the
+        files that actually overlap, on ANY of the clustered columns.
 
         This exists because hash bucketing deliberately DESTROYS value
         locality — per-file stats on a freshly merged table are near
         useless (every file spans the whole value range). Clustering
-        restores locality for the one column your range scans use (for a
-        CDC table: event time / LSN), the same reason Delta pays an
-        OPTIMIZE rewrite to make data skipping effective. Cost is one
-        full rewrite like ``rebucket`` (MoR deltas fold in; the row-level
-        changelog survives on disk for ``changes()``, which treats this
-        like a compaction); buckets and key layout are unchanged, so
+        restores locality for the columns your range scans use (for a
+        CDC table: event time / LSN, plus e.g. repo size for z-order),
+        the same reason Delta pays an OPTIMIZE rewrite to make data
+        skipping effective. A z-range covering fraction r of the curve
+        spans ~r^(1/d) of each dimension, so multi-dimension pruning is
+        weaker per dimension than a dedicated 1-D sort but works on all
+        of them simultaneously. Cost is one full rewrite like
+        ``rebucket`` (MoR deltas fold in; the row-level changelog
+        survives on disk for ``changes()``, which treats this like a
+        compaction); buckets and key layout are unchanged, so
         point-lookup pruning is unaffected."""
+        cols = [col] if isinstance(col, str) else list(col)
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
-        if col not in {f.name for f in cur.schema.fields}:
-            raise ValueError(f"unknown column {col!r}")
+        field_types = {f.name: f.dataType for f in cur.schema.fields}
+        for c in cols:
+            if c not in field_types:
+                raise ValueError(f"unknown column {c!r}")
+        if len(cols) > 1:
+            numeric = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType,
+            )
+            for c in cols:
+                if not isinstance(field_types[c], numeric):
+                    raise ValueError(
+                        f"z-order needs numeric dimensions; {c!r} is "
+                        f"{field_types[c].simpleString()} (1-D cluster_by "
+                        "accepts any orderable column)"
+                    )
         if target_rows_per_file < 1:
             raise ValueError("target_rows_per_file must be >= 1")
         commit_id = cur.snapshot_id + 1
@@ -1694,14 +1754,19 @@ class LakeTable:
             .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
             .withColumn(TOMBSTONE_COL, F.lit(False))
         )
+        sort_key = (
+            F.col(cols[0])
+            if len(cols) == 1
+            else self._zorder_expr(cur, cols, zorder_bits)
+        )
         rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
         (
             # the fused resolve leaves rows clustered by bucket; the
-            # within-partition sort on (bucket, col) + maxRecordsPerFile
+            # within-partition sort on (bucket, key) + maxRecordsPerFile
             # makes the partitioned writer cut each bucket's stream into
-            # consecutive col-ranged files — the whole point of the op
-            resolved.sortWithinPartitions(BUCKET_COL, col)
+            # consecutive value-ranged files — the whole point of the op
+            resolved.sortWithinPartitions(F.col(BUCKET_COL), sort_key)
             .write.option("maxRecordsPerFile", target_rows_per_file)
             .options(**self._write_opts(cur))
             .partitionBy(BUCKET_COL)
@@ -1723,7 +1788,7 @@ class LakeTable:
             file_stats=_stats.collect_file_stats(self.root, new_rels, cur.schema),
             summary={
                 "operation": "cluster",
-                "cluster_col": col,
+                "cluster_col": cols[0] if len(cols) == 1 else cols,
                 "target_rows_per_file": target_rows_per_file,
                 "n_files": len(new_rels),
                 **(summary or {}),
