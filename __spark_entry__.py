@@ -30,13 +30,13 @@ from astro_data_pipeline_spark import registry
 # missing or predates the current code; everything with a green
 # CORRECTNESS_r02 row on unchanged code sorts past the 50-row window,
 # where its r2 row remains the valid evidence. After this round the
-# union of CORRECTNESS_r{1,2,3} covers all 106 registered queries on
-# current code (the list now runs 57 long after the late-round
+# union of CORRECTNESS_r{1,2,3} covers all 107 registered queries on
+# current code (the list now runs 58 long after the late-round
 # cdc_type_widening/cdc_column_drop/img_quality_scores/
 # cdc_restore_rollback/cdc_stats_pruned_scan/cdc_concurrent_writers/
-# cdc_zorder_scan additions, so the LAST SEVEN section-5 names fall
-# past the window — all byte-unchanged since round 1 with green r1
-# rows, the cheapest evidence to defer).
+# cdc_zorder_scan/cdc_wap_publish additions, so the LAST EIGHT
+# section-5 names fall past the window — all byte-unchanged since
+# round 1 with green r1 rows, the cheapest evidence to defer).
 #   1. new this round (never gated anywhere)
 #   2. driver-dark pipeline_* control-plane set (implemented+oracled in
 #      round 2, deliberately past r2's window — zero driver rows yet)
@@ -63,6 +63,7 @@ _GATE_PRIORITY = [
     "cdc_stats_pruned_scan",
     "cdc_concurrent_writers",
     "cdc_zorder_scan",
+    "cdc_wap_publish",
     # -- 2. driver-dark control plane ------------------------------------
     "pipeline_telescope_run",
     "pipeline_quality_monitoring",

@@ -875,6 +875,108 @@ def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_wap_publish",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CASE WHEN event_id % 2 = 1 AND event_id % 12 = 5
+                THEN value * 10 ELSE value END AS val
+    FROM events
+    WHERE event_id % 2 = 0 OR event_id % 3 = 0 OR event_id % 12 = 5
+    """,
+)
+def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end to end (Iceberg branch + fast-forward
+    analog; reference: staging-schema ingest promoted only after the
+    quality-verification DAG passes, data_quality_monitoring.py): main
+    lands a baseline batch; a STAGING BRANCH (metadata-only ref, shared
+    snapshots/files) receives two candidate batches — one that fails the
+    audit (negative values) and, after a branch-scoped ``restore`` undoes
+    it, one that passes — and only then does ``fast_forward`` publish the
+    branch head to main in one CAS. In-query asserts: main's state is
+    byte-unchanged while the bad batch sits on the branch (isolation),
+    the rejected rows never reach main (the restore + re-audit path),
+    and publish moves the ref WITHOUT creating snapshots. The oracle is
+    the final main state in SQL; a publish that leaked the bad batch or
+    lost the good one breaks the row/hash match."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("long").alias("user_id"), "value"
+    )
+    eid = F.col("event_id")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        schema = _T.StructType(
+            [
+                _T.StructField("event_id", _T.LongType(), False),
+                _T.StructField("user_id", _T.LongType(), True),
+                _T.StructField("val", _T.DoubleType(), True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=16
+        )
+        ins = lambda df: df.select(  # noqa: E731
+            "event_id", "user_id", F.col("value").alias("val"),
+            F.lit("insert").alias("op"),
+        )
+        table.merge(ins(ev.filter(eid % 2 == 0)))  # baseline on main
+        main_before = table.current_snapshot().snapshot_id
+
+        staging = table.create_branch("staging")
+        good_anchor = staging.current_snapshot().snapshot_id
+        # candidate 1: corrupt batch (audit will reject)
+        staging.merge_mor(
+            ev.filter(eid % 12 == 5).select(
+                "event_id", "user_id", (F.col("value") * -1).alias("val"),
+                F.lit("insert").alias("op"),
+            ),
+            summary={"batch_id": "bad"},
+        )
+        n_bad = staging.read().filter(F.col("val") < 0).count()
+        if n_bad == 0:
+            raise RuntimeError("audit fixture produced no rejectable rows")
+        if table.current_snapshot().snapshot_id != main_before:
+            raise RuntimeError("branch write moved main: isolation broken")
+        staging.restore(good_anchor)  # audit failed: undo on the branch
+        # candidate 2: corrected batches (audit passes)
+        staging.merge_mor(
+            ins(ev.filter((eid % 2 == 1) & (eid % 3 == 0))),
+            summary={"batch_id": "good-1"},
+        )
+        staging.merge_mor(
+            ev.filter((eid % 2 == 1) & (eid % 12 == 5)).select(
+                "event_id", "user_id", (F.col("value") * 10).alias("val"),
+                F.lit("update").alias("op"),
+            ),
+            summary={"batch_id": "good-2"},
+        )
+        if staging.read().filter(F.col("val") < 0).count() != 0:
+            raise RuntimeError("audit still failing after restore")
+        n_snaps_before = len(
+            [f for f in _os.listdir(_os.path.join(td, "lake", "metadata"))
+             if f.startswith("snapshot-")]
+        )
+        table.fast_forward("staging")  # PUBLISH
+        n_snaps_after = len(
+            [f for f in _os.listdir(_os.path.join(td, "lake", "metadata"))
+             if f.startswith("snapshot-")]
+        )
+        if n_snaps_after != n_snaps_before:
+            raise RuntimeError("publish created snapshots; must be a ref move")
+        if table.refs()["main"] != table.refs()["staging"]:
+            raise RuntimeError("publish did not advance main to the branch head")
+        return _materialize(spark, table.read().select("event_id", "user_id", "val"))
+
+
+@query(
     "cdc_zorder_scan",
     oracle="""
     SELECT 'u' AS dim, event_id,

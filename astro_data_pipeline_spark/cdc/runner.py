@@ -542,7 +542,10 @@ class CdcRunner:
 
         indexed: list[tuple[int, BatchReport]] = []
         inflight: list[tuple] = []
-        next_commit = base.snapshot_id + 1
+        # seed from the global allocator (not base+1): snapshot ids are
+        # table-global, so sibling-branch commits or a crashed writer's
+        # orphan claim may occupy ids above this ref's head
+        next_commit = self.table._alloc_commit_id(base)
 
         def drain_one() -> None:
             idx, batch_id, lo, hi, commit_id, fut, obs, manifest = inflight.pop(0)

@@ -58,8 +58,9 @@ Layout::
 
     <root>/
       metadata/
-        version-hint.txt        # current snapshot id (CAS'd = commit)
-        commit.lock             # flock serializing the hint CAS
+        version-hint.txt        # main's head snapshot id (CAS'd = commit)
+        ref-<name>.txt          # branch heads (write-audit-publish)
+        commit.lock             # flock serializing every ref CAS
         snapshot-<id>.json
         lineage.jsonl           # per-(batch, partition) lineage rows
       data/
@@ -236,11 +237,23 @@ def is_lossless_widening(old_t: T.DataType, new_t: T.DataType) -> bool:
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str):
+    _REF_RE = r"[A-Za-z0-9._-]+"
+
+    def __init__(self, spark: SparkSession, root: str, ref: str = "main"):
+        import re
+
+        if not re.fullmatch(self._REF_RE, ref):
+            raise ValueError(f"invalid ref name {ref!r}")
         self.spark = spark
         self.root = root
+        self.ref = ref
         self._meta = os.path.join(root, "metadata")
         self._data = os.path.join(root, "data")
+
+    def _ref_file(self, ref: str | None = None) -> str:
+        ref = ref if ref is not None else self.ref
+        name = "version-hint.txt" if ref == "main" else f"ref-{ref}.txt"
+        return os.path.join(self._meta, name)
 
     # ------------------------------------------------------------- create
 
@@ -278,24 +291,117 @@ class LakeTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
-        t = cls(spark, root)
+    def load(cls, spark: SparkSession, root: str, ref: str = "main") -> "LakeTable":
+        t = cls(spark, root, ref=ref)
         if t.current_snapshot() is None:
-            raise FileNotFoundError(f"no committed snapshot at {root}")
+            raise FileNotFoundError(f"no committed snapshot for ref {ref!r} at {root}")
         return t
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self._meta, "version-hint.txt"))
+        return os.path.exists(self._ref_file("main"))
+
+    # ------------------------------------------------------------ branches
+
+    def branch(self, name: str) -> "LakeTable":
+        """View of this table whose head is branch ``name`` (must exist —
+        ``create_branch`` first). Every operation works on a branch view:
+        merges, schema evolution, restore, time travel, the replay
+        runner's exactly-once ledger (``committed_batch_ids`` walks the
+        branch's chain, which shares main's history up to the fork)."""
+        t = LakeTable(self.spark, self.root, ref=name)
+        if t.current_snapshot() is None:
+            raise FileNotFoundError(f"no branch {name!r} at {self.root}")
+        return t
+
+    def create_branch(
+        self, name: str, from_snapshot_id: int | None = None
+    ) -> "LakeTable":
+        """Fork a branch at ``from_snapshot_id`` (default: this view's
+        head) — the write half of WRITE-AUDIT-PUBLISH (Iceberg branch /
+        WAP analog; the reference stages ingest into staging-schema
+        tables and promotes after validation, the quality-verification
+        DAG pattern): replay suspect batches onto the branch, run audits
+        against the branch view, then ``fast_forward`` main when they
+        pass. Metadata-only: a ref file naming a head; snapshots and
+        data files are shared with every other ref."""
+        if name == "main":
+            raise ValueError("'main' is reserved")
+        target = LakeTable(self.spark, self.root, ref=name)  # validates name
+        sid = from_snapshot_id if from_snapshot_id is not None else self._read_hint()
+        if sid is None or self._read_snapshot(sid) is None:
+            raise ValueError(f"unknown fork snapshot {sid}")
+        with self._commit_lock():
+            if target._read_hint() is not None:
+                raise ValueError(f"branch {name!r} already exists")
+            self._atomic_write(self._ref_file(name), str(sid))
+        return target
+
+    def refs(self) -> dict[str, int]:
+        """Every ref -> head snapshot id (``main`` plus branches)."""
+        out: dict[str, int] = {}
+        for fn in sorted(os.listdir(self._meta)):
+            if fn == "version-hint.txt":
+                out["main"] = self._read_hint("main")
+            elif fn.startswith("ref-") and fn.endswith(".txt"):
+                name = fn[len("ref-"):-len(".txt")]
+                out[name] = self._read_hint(name)
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch ref. Snapshots/files it alone referenced
+        become expirable (``expire_snapshots`` runs again once no
+        branches remain)."""
+        if name == "main":
+            raise ValueError("cannot drop 'main'")
+        with self._commit_lock():
+            try:
+                os.remove(self._ref_file(name))
+            except FileNotFoundError:
+                raise ValueError(f"no branch {name!r} at {self.root}") from None
+
+    def fast_forward(self, source_ref: str, target_ref: str | None = None) -> Snapshot:
+        """PUBLISH: atomically advance ``target_ref`` (default: this
+        view's ref) to ``source_ref``'s head — the audit-passed WAP
+        promotion. Requires the target's current head to be an ANCESTOR
+        of the source head (a true fast-forward): if the target moved
+        since the fork, the branch no longer contains its history and
+        publishing would silently drop commits — that raises
+        CommitConflictError instead (re-fork, re-apply, re-audit; same
+        re-run rule as every other conflict). One CAS under the commit
+        lock, shared with every other committer."""
+        target_ref = target_ref if target_ref is not None else self.ref
+        src_head = self._read_hint(source_ref)
+        if src_head is None:
+            raise ValueError(f"unknown ref {source_ref!r}")
+        with self._commit_lock():
+            tgt_head = self._read_hint(target_ref)
+            if tgt_head is None:
+                raise ValueError(f"unknown ref {target_ref!r}")
+            # ancestor walk src -> root, looking for the target head
+            snap = self._read_snapshot(src_head)
+            found = False
+            while snap is not None:
+                if snap.snapshot_id == tgt_head:
+                    found = True
+                    break
+                snap = (
+                    self._read_snapshot(snap.parent_id)
+                    if snap.parent_id is not None
+                    else None
+                )
+            if not found:
+                raise CommitConflictError(
+                    f"ref {target_ref!r} at {tgt_head} is not an ancestor of "
+                    f"{source_ref!r} at {src_head}: not a fast-forward"
+                )
+            self._atomic_write(self._ref_file(target_ref), str(src_head))
+        return self._read_snapshot(src_head)
 
     # ---------------------------------------------------------- snapshots
 
     def current_snapshot(self) -> Snapshot | None:
-        hint = os.path.join(self._meta, "version-hint.txt")
-        if not os.path.exists(hint):
-            return None
-        with open(hint) as f:
-            sid = int(f.read().strip())
-        return self._read_snapshot(sid)
+        sid = self._read_hint()
+        return None if sid is None else self._read_snapshot(sid)
 
     def snapshot(self, snapshot_id: int) -> Snapshot:
         """Public snapshot-by-id accessor (time travel): the metadata to
@@ -432,13 +538,14 @@ class LakeTable:
         self._atomic_write(p, json.dumps(snap.to_json()))
 
     def _commit_hint(self, sid: int) -> None:
-        """Atomic rename of the version hint (call via ``_publish`` —
-        the bare rename is last-writer-wins and multi-writer UNSAFE)."""
-        self._atomic_write(os.path.join(self._meta, "version-hint.txt"), str(sid))
+        """Atomic rename of this view's ref file — main's version hint or
+        a branch ref (call via ``_publish`` — the bare rename is
+        last-writer-wins and multi-writer UNSAFE)."""
+        self._atomic_write(self._ref_file(), str(sid))
 
-    def _read_hint(self) -> int | None:
+    def _read_hint(self, ref: str | None = None) -> int | None:
         try:
-            with open(os.path.join(self._meta, "version-hint.txt")) as f:
+            with open(self._ref_file(ref)) as f:
                 return int(f.read().strip())
         except FileNotFoundError:
             return None
@@ -457,28 +564,59 @@ class LakeTable:
             fcntl.flock(lf, fcntl.LOCK_UN)
             lf.close()
 
+    def _max_snapshot_file_id(self) -> int:
+        mx = 0
+        for fn in os.listdir(self._meta):
+            if fn.startswith("snapshot-") and fn.endswith(".json"):
+                try:
+                    mx = max(mx, int(fn[len("snapshot-"):-len(".json")]))
+                except ValueError:
+                    continue
+        return mx
+
+    def _alloc_commit_id(self, cur: Snapshot) -> int:
+        """Next snapshot id: greater than the parent AND every snapshot
+        file on disk. Ids are GLOBAL across refs — branches fork the
+        chain, so naive parent+1 would let a main commit and a branch
+        commit claim the same id and one would overwrite the other's
+        snapshot file. Skipping every existing file also skips orphan
+        claims left by writers that crashed pre-publish, so conflict
+        retries can never livelock on a dead writer's id. Monotonic
+        along any chain (child id > parent id), which is all the
+        ``_seq``-based LWW ordering needs."""
+        return max(cur.snapshot_id, self._max_snapshot_file_id()) + 1
+
     def _publish(self, snap: Snapshot, *, expected_head: int | None) -> None:
-        """THE commit point, multi-writer safe: compare-and-swap the
-        version hint. Commits only if the head is still
-        ``expected_head`` (the snapshot the operation planned against);
+        """THE commit point, multi-writer safe: compare-and-swap this
+        view's ref (main's version hint or a branch ref). Commits only
+        if the ref still names ``expected_head`` (the snapshot the
+        operation planned against) AND the snapshot id is unclaimed;
         otherwise raises :class:`CommitConflictError` — the operation
         must re-run against the new head, because its data files bake in
         a ``_seq`` equal to its claimed commit id and its writes were
         planned against the stale base (``commit_with_retries`` wraps
         this loop).
 
-        Crash window: a writer dying after the snapshot-JSON write but
-        before the hint flip leaves an orphan ``snapshot-<id>.json`` the
-        next committer simply overwrites — correct, because the crashed
-        commit never became visible (the hint is the only commit
-        point)."""
+        Snapshot files are NEVER overwritten: ids are global across
+        refs, so an existing file may be another ref's live commit (or a
+        concurrent claim of the same id) — both are conflicts. A writer
+        dying after the snapshot-JSON write but before the ref flip
+        leaves an orphan file whose id ``_alloc_commit_id`` skips and
+        ``expire_snapshots`` removes; the ref is the only commit
+        point."""
         with self._commit_lock():
             head = self._read_hint()
             if head != expected_head:
                 raise CommitConflictError(
-                    f"table head moved: planned against {expected_head}, "
+                    f"ref {self.ref!r} moved: planned against {expected_head}, "
                     f"found {head} while committing snapshot "
                     f"{snap.snapshot_id} ({snap.summary.get('operation')})"
+                )
+            p = os.path.join(self._meta, f"snapshot-{snap.snapshot_id}.json")
+            if os.path.exists(p):
+                raise CommitConflictError(
+                    f"snapshot id {snap.snapshot_id} already claimed "
+                    "(another ref's commit or a concurrent writer)"
                 )
             self._write_snapshot(snap)
             self._commit_hint(snap.snapshot_id)
@@ -943,6 +1081,7 @@ class LakeTable:
                 )
             schema = schema.add(nf)
         snap = cur.child(
+            snapshot_id=self._alloc_commit_id(cur),
             schema_json=schema.jsonValue(),
             summary={"operation": "add-columns", **(summary or {})},
         )
@@ -1001,6 +1140,7 @@ class LakeTable:
                 + new
             )
             snap = cur.child(
+                snapshot_id=self._alloc_commit_id(cur),
                 schema_json=schema.jsonValue(),
                 summary={
                     "operation": "evolve",
@@ -1052,6 +1192,7 @@ class LakeTable:
             raise ValueError("cannot drop every value column")
         schema = T.StructType([f for f in cur.schema.fields if f.name not in doomed])
         snap = cur.child(
+            snapshot_id=self._alloc_commit_id(cur),
             schema_json=schema.jsonValue(),
             dropped_cols=sorted(set(cur.dropped_cols) | doomed),
             # stats for a dropped name are dead weight (read_between
@@ -1144,6 +1285,7 @@ class LakeTable:
                 for p, e in cur.file_stats.items()
             }
         snap = cur.child(
+            snapshot_id=self._alloc_commit_id(cur),
             schema_json=schema.jsonValue(),
             file_stats=new_stats,
             summary={
@@ -1176,7 +1318,7 @@ class LakeTable:
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         key_cols = cur.key_cols
-        commit_id = cur.snapshot_id + 1
+        commit_id = self._alloc_commit_id(cur)
         result = (
             self.read()
             .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
@@ -1295,7 +1437,7 @@ class LakeTable:
         new_files: dict[str, list[str]] = {
             b: list(paths) for b, paths in cur.files.items() if int(b) not in touched
         }
-        commit_id = cur.snapshot_id + 1
+        commit_id = self._alloc_commit_id(cur)
         totals = {"rows_inserted": 0, "rows_updated": 0, "rows_deleted": 0,
                   "rows_delete_noop": 0}
         per_bucket: list[dict] = []
@@ -1461,7 +1603,7 @@ class LakeTable:
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
-        commit_id = cur.snapshot_id + 1
+        commit_id = self._alloc_commit_id(cur)
         w = self.mor_write(
             updates, commit_id, op_col=op_col, delete_op=delete_op,
             bucket_aligned=bucket_aligned, snapshot=cur,
@@ -1564,9 +1706,13 @@ class LakeTable:
             raise CommitConflictError(
                 f"commit order violated: parent {cur.snapshot_id} != {expect_parent}"
             )
-        if commit_id != cur.snapshot_id + 1:
+        # commit ids may SKIP (global allocation across refs steps over
+        # branch commits and orphan claims) but must outrank the parent:
+        # _seq-based LWW needs every commit to beat everything it
+        # supersedes
+        if commit_id <= cur.snapshot_id:
             raise CommitConflictError(
-                f"non-sequential commit {commit_id} onto {cur.snapshot_id}"
+                f"non-monotonic commit {commit_id} onto {cur.snapshot_id}"
             )
         out_dir = os.path.join(self.root, rel_dir)
 
@@ -1607,7 +1753,7 @@ class LakeTable:
         )
         if not victims:
             return None
-        commit_id = cur.snapshot_id + 1
+        commit_id = self._alloc_commit_id(cur)
         # bucket-fused resolve: LWW resolution and write alignment share
         # one shuffle (resolve-then-repartition would move the whole
         # victim set through two exchanges — measured ~2x compaction wall)
@@ -1745,7 +1891,7 @@ class LakeTable:
                     )
         if target_rows_per_file < 1:
             raise ValueError("target_rows_per_file must be >= 1")
-        commit_id = cur.snapshot_id + 1
+        commit_id = self._alloc_commit_id(cur)
         paths, _ = self._bucket_paths(cur, None, include_deltas=True)
         resolved = (
             self._resolve(
@@ -1989,7 +2135,7 @@ class LakeTable:
             # ids stay monotonic (never reuse an undone id): merge commit
             # sequences are snapshot ids, and LWW-by-_seq needs every
             # future write to outrank every write it supersedes
-            snapshot_id=cur.snapshot_id + 1,
+            snapshot_id=self._alloc_commit_id(cur),
             summary={
                 "operation": "restore",
                 "restored_from": target.snapshot_id,
@@ -2014,6 +2160,13 @@ class LakeTable:
         latency (Iceberg's remove-orphan-files has the same contract).
         The default 0 is for quiesced tables.
 
+        Maintenance runs from the ``main`` view only, and REFUSES while
+        branches exist: a branch chain shares main's history, so expiring
+        by main's retention could delete snapshots/files a branch still
+        references (and its data-file sweep would eat branch-only files
+        as "orphans"). Publish or drop branches first — the WAP flow
+        keeps branches short-lived by design.
+
         Crash-safe ordering: the oldest KEPT snapshot is rewritten FIRST —
         parent link cut AND the expired snapshots' batch ids folded into
         its ``inherited_batches`` ledger in one atomic file publish — and
@@ -2024,6 +2177,14 @@ class LakeTable:
         The inherited ledger keeps ``committed_batch_ids`` complete past
         the retention window, so exactly-once resume over the full WAL
         never re-applies an expired-but-committed batch."""
+        if self.ref != "main":
+            raise RuntimeError("expire_snapshots runs from the 'main' view")
+        branches = sorted(n for n in self.refs() if n != "main")
+        if branches:
+            raise RuntimeError(
+                f"cannot expire with live branches {branches}: their chains "
+                "share main's history — fast_forward or drop_branch first"
+            )
         chain = self.snapshot_chain()
         keep, expired = chain[:keep_last], chain[keep_last:]
         live_files = {p for s in keep for fs in s.files.values() for p in fs}
