@@ -35,8 +35,13 @@ from astro_data_pipeline_spark import registry
 # cdc_type_widening/cdc_column_drop/img_quality_scores/
 # cdc_restore_rollback/cdc_stats_pruned_scan/cdc_concurrent_writers/
 # cdc_zorder_scan/cdc_wap_publish additions, so the LAST EIGHT
-# section-5 names fall past the window — all byte-unchanged since
-# round 1 with green r1 rows, the cheapest evidence to defer).
+# section-5 names fall past the window — audited per-function against
+# the r1->r2 diff: every deferred name's implementation is unchanged
+# since round 1 (adjacent functions in the same modules changed, e.g.
+# keyset pagination next to sort_topk, but not these bodies) and has a
+# green r1 row; window_sessionize_events, whose r2 µs-fix made its r1
+# row stale, moved INTO the window with the other stale-evidence
+# names).
 #   1. new this round (never gated anywhere)
 #   2. driver-dark pipeline_* control-plane set (implemented+oracled in
 #      round 2, deliberately past r2's window — zero driver rows yet)
@@ -75,6 +80,9 @@ _GATE_PRIORITY = [
     "cdc_lww_window_variant",
     "cdc_idempotent_replay_dedup",
     "cdc_batch_ledger_stats",
+    # sessionize's µs-exactness fix landed in r2 but its only driver row
+    # is r1 — stale-evidence class, same as the CDC-core set above
+    "window_sessionize_events",
     # -- 4a. changed this round: _materialize rewrite ---------------------
     "cdc_replay_end_to_end",
     "cdc_streaming_replay_end_to_end",
@@ -113,7 +121,6 @@ _GATE_PRIORITY = [
     "agg_rollup_status_priority",
     "window_top1_order_per_customer",
     "window_scd2_intervals",
-    "window_sessionize_events",
     "sort_topk_global_orders",
     "filter_validate_split_documents",
     "filter_time_window_recent_events",
