@@ -143,7 +143,51 @@ def _writer_loop(spark, table, rest_events, deadline: float, result: dict) -> No
     result["wall_s"] = round(time.perf_counter() - t0, 2)
 
 
-def run(users: int, duration_s: float, sf: float) -> dict:
+def _storm_writer_loop(spark, table, batches, wid: int, result: dict) -> None:
+    """One of N INDEPENDENT racing writers (multi-writer optimistic
+    concurrency): each owns a disjoint key stripe of the change log and
+    commits its batches through commit_with_retries — conflicts are
+    expected and re-run, and the per-writer conflict count is reported.
+    This is the shape the single-runner pipelined path can't exercise:
+    uncoordinated ingest jobs racing CAS commits on one table."""
+    from astro_data_pipeline_spark.cdc import apply as A
+
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"writer-{wid}")
+    t0 = time.perf_counter()
+    commits = conflicts = rows = 0
+    try:
+        schema = table.current_snapshot().schema
+        for i, batch in enumerate(batches):
+            upd = A.to_table_rows(A.lww_collapse(batch), schema, native_sha=True)
+            attempts = {"n": 0}
+
+            def op(u=upd, i=i, attempts=attempts):
+                attempts["n"] += 1
+                return table.merge_mor(
+                    u,
+                    summary={
+                        "batch_id": f"storm-w{wid}-b{i}",
+                        "run_scope": f"storm-w{wid}",
+                    },
+                )
+
+            _snap, m = table.commit_with_retries(op, attempts=30)
+            commits += 1
+            conflicts += attempts["n"] - 1
+            rows += sum(
+                v for k, v in m["totals"].items() if k.startswith("rows_")
+            )
+    except Exception as e:  # noqa: BLE001
+        result["error"] = f"{type(e).__name__}: {e}"
+    result.update(
+        commits=commits,
+        conflicts=conflicts,
+        rows_applied=rows,
+        wall_s=round(time.perf_counter() - t0, 2),
+    )
+
+
+def run(users: int, duration_s: float, sf: float, writers: int = 1) -> dict:
     from astro_data_pipeline_spark.session import get_spark, scratch_tmpdir_base
 
     spark = get_spark(
@@ -164,17 +208,64 @@ def run(users: int, duration_s: float, sf: float) -> dict:
             )
             for i in range(users)
         ]
-        writer = threading.Thread(
-            target=_writer_loop,
-            args=(spark, table, rest_events, deadline, writer_result),
-            daemon=True,
-        )
+        if writers <= 1:
+            wthreads = [
+                threading.Thread(
+                    target=_writer_loop,
+                    args=(spark, table, rest_events, deadline, writer_result),
+                    daemon=True,
+                )
+            ]
+        else:
+            # disjoint key stripes x LSN-sliced batches per writer: the
+            # racing commits CAS-serialize, but with disjoint keys the
+            # final LWW state is interleaving-independent
+            from pyspark.sql import functions as F
+
+            # rest_events = events with lsn > mid (see _build_table)
+            full_lo, full_hi = lsn_bounds
+            lo = (full_lo + full_hi) // 2
+            hi = full_hi
+            n_batches = 4
+            cuts = [
+                lo + (hi - lo) * j // n_batches for j in range(n_batches + 1)
+            ]
+            stripe = F.pmod(F.xxhash64("repo", "path"), F.lit(writers))
+            per_writer_results: list[dict] = [dict() for _ in range(writers)]
+            wthreads = []
+            for wid in range(writers):
+                batches = [
+                    rest_events.filter(
+                        (stripe == wid)
+                        & (F.col("lsn") > cuts[j])
+                        & (F.col("lsn") <= cuts[j + 1])
+                    )
+                    for j in range(n_batches)
+                ]
+                wthreads.append(
+                    threading.Thread(
+                        target=_storm_writer_loop,
+                        args=(spark, table, batches, wid, per_writer_results[wid]),
+                        daemon=True,
+                    )
+                )
         for t in threads:
             t.start()
-        writer.start()
+        for w in wthreads:
+            w.start()
         for t in threads:
             t.join()
-        writer.join(timeout=max(60.0, duration_s))
+        for w in wthreads:
+            w.join(timeout=max(120.0, 2 * duration_s))
+        if writers > 1:
+            writer_result.update(
+                writers=writers,
+                per_writer=per_writer_results,
+                commits=sum(r.get("commits", 0) for r in per_writer_results),
+                conflicts=sum(r.get("conflicts", 0) for r in per_writer_results),
+                rows_applied=sum(r.get("rows_applied", 0) for r in per_writer_results),
+                errors=[r["error"] for r in per_writer_results if "error" in r],
+            )
         final_rows = table.read().count()
     spark.stop()
 
@@ -245,13 +336,35 @@ def write_md(res: dict, path: str) -> None:
         d = res["per_op"][op]
         lines.append(f"| {op} | {w}% | {d['n']} | {d['p50_ms']} | {d['p95_ms']} |")
     w = res["writer"]
+    if "writers" in w:
+        pw = " / ".join(
+            f"w{i}: {r.get('commits', 0)}c+{r.get('conflicts', 0)}x in "
+            f"{r.get('wall_s', '?')}s"
+            for i, r in enumerate(w["per_writer"])
+        )
+        lines += [
+            "",
+            f"**Multi-writer CAS storm**: {w['writers']} independent racing "
+            f"writers (disjoint key stripes), {w.get('commits', 0)} commits "
+            f"ALL landed with {w.get('conflicts', 0)} conflicts transparently "
+            f"re-run by `commit_with_retries` ({pw})"
+            + (f" — ERRORS: {w['errors']}" if w.get("errors") else "")
+            + f"; {w.get('rows_applied', 0)} rows applied, final table rows "
+            f"{res['final_rows']}. The reference gets this isolation from "
+            "Postgres' transactional MERGE; here it is the engine's own "
+            "optimistic-commit protocol under real contention.",
+            "",
+        ]
+    else:
+        lines += [
+            "",
+            f"Concurrent writer: {w.get('batches', 0)} merge commits, "
+            f"{w.get('rows_applied', 0)} rows applied in {w.get('wall_s', '?')} s"
+            + (f" — ERROR: {w['error']}" if "error" in w else "")
+            + f"; final table rows {res['final_rows']}.",
+            "",
+        ]
     lines += [
-        "",
-        f"Concurrent writer: {w.get('batches', 0)} merge commits, "
-        f"{w.get('rows_applied', 0)} rows applied in {w.get('wall_s', '?')} s"
-        + (f" — ERROR: {w['error']}" if "error" in w else "")
-        + f"; final table rows {res['final_rows']}.",
-        "",
         "Latencies are end-to-end per op on a shared 32-thread JVM under full",
         "contention (readers + writer + merge shuffles), not an idle-system",
         "microbenchmark. Point lookups stay bucket-pruned under load — the",
@@ -267,8 +380,12 @@ def main() -> None:
     ap.add_argument("--duration", type=float, default=45.0)
     ap.add_argument("--sf", type=float, default=0.01)
     ap.add_argument("--md", action="store_true", help="write BENCH/CONCURRENT.md")
+    ap.add_argument(
+        "--writers", type=int, default=1,
+        help=">1: N independent racing writers (CAS storm) instead of one runner",
+    )
     args = ap.parse_args()
-    res = run(args.users, args.duration, args.sf)
+    res = run(args.users, args.duration, args.sf, writers=args.writers)
     print(json.dumps(res))
     if args.md:
         write_md(res, os.path.join(REPO, "BENCH", "CONCURRENT.md"))
