@@ -359,6 +359,21 @@ class LakeTable:
             except FileNotFoundError:
                 raise ValueError(f"no branch {name!r} at {self.root}") from None
 
+    def branch_diff(self, name: str) -> DataFrame:
+        """The audit surface of WAP: the net per-key change a
+        ``fast_forward`` publish of branch ``name`` would apply to this
+        view — ``changes()`` from this head to the branch head. The
+        ancestor guard inside ``changes`` raises on a diverged main
+        (publish would conflict anyway), and the merge-on-read
+        requirement matches the branch ingest path."""
+        b = self._read_hint(name)
+        if b is None:
+            raise ValueError(f"unknown branch {name!r}")
+        head = self._read_hint()
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        return self.changes(head, b)
+
     def fast_forward(self, source_ref: str, target_ref: str | None = None) -> Snapshot:
         """PUBLISH: atomically advance ``target_ref`` (default: this
         view's ref) to ``source_ref``'s head — the audit-passed WAP

@@ -132,3 +132,31 @@ def test_create_branch_duplicate_and_reserved(spark, table):
         table.create_branch("main")
     with pytest.raises(ValueError, match="invalid ref"):
         table.create_branch("bad/name")
+
+
+def test_branch_diff_previews_publish(spark, table):
+    """branch_diff = the net change publish would apply: insert, update,
+    and delete classified against main's state; diverged main raises."""
+    table.merge_mor(_updates(spark, [("r2", "c", 3, "insert")]))
+    b = table.create_branch("staging")
+    b.merge_mor(
+        _updates(
+            spark,
+            [("r3", "d", 4, "insert"), ("r1", "a", 11, "update"), ("r2", "c", 0, "delete")],
+        )
+    )
+    diff = {
+        (r["repo"], r["path"]): (r["change_type"], r["v"])
+        for r in table.branch_diff("staging").collect()
+    }
+    assert diff == {
+        ("r3", "d"): ("insert", 4),
+        ("r1", "a"): ("update", 11),
+        ("r2", "c"): ("delete", None),
+    }
+    # diverged main: the ancestor guard refuses (publish would conflict)
+    table.merge_mor(_updates(spark, [("r9", "z", 9, "insert")]))
+    with pytest.raises(ValueError):
+        table.branch_diff("staging")
+    with pytest.raises(ValueError, match="unknown branch"):
+        table.branch_diff("nope")

@@ -514,3 +514,30 @@ def test_stream_restore_rewind_requires_fresh_checkpoint(
     assert statuses.count("applied") == len(applied) - 1
     assert statuses.count("skipped") >= 1
     pd.testing.assert_frame_equal(_final_state(table), expected, check_dtype=False)
+
+
+def test_stream_into_branch_then_publish(spark, tmp_path, fixture_meta, oracle_state):
+    """WAP over Structured Streaming: the stream tails the WAL into a
+    BRANCH view (main never moves), audits run against the branch, and
+    fast_forward publishes the audited state to main in one CAS."""
+    table = _new_table(spark, tmp_path)
+    staging = table.create_branch("staging")
+    reports = stream_replay_available_now(
+        spark,
+        _glob(fixture_meta),
+        staging,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        run_id="stream-wap",
+    )
+    assert [r["status"] for r in reports].count("applied") >= 2
+    # isolation: main is still the empty create snapshot
+    assert table.current_snapshot().summary["operation"] == "create"
+    assert table.read().count() == 0
+    # audit on the branch view, then publish
+    expected = oracle_state[FINAL_COLS].reset_index(drop=True)
+    expected = expected.assign(
+        lang_meta=expected["lang_meta"].where(pd.notna(expected["lang_meta"]), None)
+    )
+    pd.testing.assert_frame_equal(_final_state(staging), expected, check_dtype=False)
+    table.fast_forward("staging")
+    pd.testing.assert_frame_equal(_final_state(table), expected, check_dtype=False)
