@@ -41,6 +41,14 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--wap-branch",
+        default=None,
+        metavar="NAME",
+        help="write-audit-publish: replay into this branch, audit "
+        "(row-count + null-sha checks on the branch view), then "
+        "fast_forward main only if the audit passes",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import types as T
@@ -90,23 +98,47 @@ def main() -> None:
             spark, table_dir, T.StructType(A.BASE_TABLE_FIELDS), A.KEY_COLS, n_buckets=64
         )
 
+    sink = table
+    if args.wap_branch:
+        sink = table.create_branch(args.wap_branch)
+
     runner = CdcRunner(
         spark,
-        table,
+        sink,
         run_id=args.run_id,
         mode=args.mode,
         compact_every=args.compact_every,
     )
     reports = runner.replay(events, n_batches=args.n_batches)
-    if args.mode == "mor":
-        table.compact()
     summary = {
         "batches": [
             {"batch_id": r.batch_id, "status": r.status, **r.totals} for r in reports
         ],
-        "final_rows": table.read().count(),
-        "snapshot_id": table.current_snapshot().snapshot_id,
     }
+    if args.wap_branch:
+        # the audit half of WAP: validate the BRANCH view, publish on pass
+        from pyspark.sql import functions as F
+
+        n = sink.read().count()
+        n_null_sha = sink.read().filter(F.col("content_sha256").isNull()).count()
+        audit_pass = n > 0 and n_null_sha == 0
+        summary["wap"] = {
+            "branch": args.wap_branch,
+            "rows": n,
+            "null_sha_rows": n_null_sha,
+            "audit": "pass" if audit_pass else "fail",
+        }
+        if audit_pass:
+            table.fast_forward(args.wap_branch)
+            table.drop_branch(args.wap_branch)
+            summary["wap"]["published_snapshot"] = table.current_snapshot().snapshot_id
+        else:
+            table.drop_branch(args.wap_branch)
+            summary["wap"]["published_snapshot"] = None
+    if args.mode == "mor":
+        table.compact()
+    summary["final_rows"] = table.read().count()
+    summary["snapshot_id"] = table.current_snapshot().snapshot_id
     print(json.dumps(summary))
     spark.stop()
     if tmp is not None:

@@ -110,3 +110,39 @@ def test_demo_spark_submit_pyfiles_zip(tmp_path):
     assert summary["final_rows"] > 0
     assert len(summary["batches"]) == 2
     assert all(b["status"] == "applied" for b in summary["batches"])
+
+
+def test_demo_wap_branch_publish(tmp_path):
+    """--wap-branch replays into a branch, audits the branch view, and
+    publishes to main only on pass — the WAP flow in the deployment
+    shape. The published table must equal a direct replay's row count,
+    and the branch must be gone afterwards."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "astro_data_pipeline_spark.cdc.demo",
+            "--sf",
+            "0.001",
+            "--cpus",
+            "2",
+            "--n-batches",
+            "2",
+            "--table",
+            str(tmp_path / "lake"),
+            "--wap-branch",
+            "staging",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["wap"]["audit"] == "pass"
+    assert summary["wap"]["published_snapshot"] is not None
+    assert summary["final_rows"] > 0
+    # published and cleaned up: only the main ref remains on disk
+    meta = os.listdir(os.path.join(str(tmp_path / "lake"), "metadata"))
+    assert not [f for f in meta if f.startswith("ref-")]
