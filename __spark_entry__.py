@@ -30,18 +30,18 @@ from astro_data_pipeline_spark import registry
 # missing or predates the current code; everything with a green
 # CORRECTNESS_r02 row on unchanged code sorts past the 50-row window,
 # where its r2 row remains the valid evidence. After this round the
-# union of CORRECTNESS_r{1,2,3} covers all 107 registered queries on
-# current code (the list now runs 58 long after the late-round
+# union of CORRECTNESS_r{1,2,3} covers all 108 registered queries on
+# current code (the list now runs 59 long after the late-round
 # cdc_type_widening/cdc_column_drop/img_quality_scores/
 # cdc_restore_rollback/cdc_stats_pruned_scan/cdc_concurrent_writers/
-# cdc_zorder_scan/cdc_wap_publish additions, so the LAST EIGHT
-# section-5 names fall past the window — audited per-function against
-# the r1->r2 diff: every deferred name's implementation is unchanged
-# since round 1 (adjacent functions in the same modules changed, e.g.
-# keyset pagination next to sort_topk, but not these bodies) and has a
-# green r1 row; window_sessionize_events, whose r2 µs-fix made its r1
-# row stale, moved INTO the window with the other stale-evidence
-# names).
+# cdc_zorder_scan/cdc_wap_publish/dedup_incremental_index additions,
+# so the LAST NINE section-5 names fall past the window — audited
+# per-function against the r1->r2 diff: every deferred name's
+# implementation is unchanged since round 1 (adjacent functions in the
+# same modules changed, e.g. keyset pagination next to sort_topk, but
+# not these bodies) and has a green r1 row; window_sessionize_events,
+# whose r2 µs-fix made its r1 row stale, moved INTO the window with
+# the other stale-evidence names).
 #   1. new this round (never gated anywhere)
 #   2. driver-dark pipeline_* control-plane set (implemented+oracled in
 #      round 2, deliberately past r2's window — zero driver rows yet)
@@ -69,6 +69,7 @@ _GATE_PRIORITY = [
     "cdc_concurrent_writers",
     "cdc_zorder_scan",
     "cdc_wap_publish",
+    "dedup_incremental_index",
     # -- 2. driver-dark control plane ------------------------------------
     "pipeline_telescope_run",
     "pipeline_quality_monitoring",

@@ -875,6 +875,102 @@ def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_index",
+    oracle="""
+    SELECT CAST(doc_id + 1000000000 AS BIGINT) AS new_doc_id,
+           doc_id AS dup_of
+    FROM documents WHERE doc_id % 7 = 1
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup: a sha256-keyed dedup index maintained
+    as a lake table by the CDC merge machinery, so a new ingest batch
+    dedups against the WHOLE corpus in O(batch) — never an O(corpus)
+    recompute (the difference between a nightly full-corpus job and a
+    per-batch step at 10^10 documents; reference analog: the
+    staging-to-catalog content-checksum idempotency checks,
+    ProcessingJobService.java retry-preserving ingest).
+
+    Build: one pass over the corpus computes JVM-side sha256 and MERGEs
+    (sha -> canonical doc_id) into a bucketed lake table. Probe: the new
+    batch (exact copies of corpus docs with doc_id % 7 == 1 under new
+    ids, plus genuinely novel edited docs with % 7 == 3 as the
+    must-miss control) computes its shas and equi-joins the index —
+    hash-bucketed storage means the join shuffles only on the sha key,
+    and the index side is already clustered by it. Maintain: the novel
+    docs' shas MERGE into the index (O(batch) again), and an in-query
+    re-probe asserts the batch now fully matches — the idempotent
+    at-least-once-ingest property. The oracle derives the expected
+    match set relationally; an index fault (wrong bucket, lost key,
+    stale canonical) loses or invents pairs and breaks the hash
+    match."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..functions.hashing import sha256_col
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        schema = _T.StructType(
+            [
+                _T.StructField("sha", _T.StringType(), False),
+                _T.StructField("canonical_doc_id", _T.LongType(), True),
+            ]
+        )
+        index = LakeTable.create(
+            spark, _os.path.join(td, "dedup_index"), schema, ["sha"], n_buckets=16
+        )
+        corpus = docs.withColumn("sha", sha256_col(F.col("text"), use_native=True))
+        index.merge(
+            corpus.groupBy("sha")
+            .agg(F.min("doc_id").alias("canonical_doc_id"))
+            .withColumn("op", F.lit("insert"))
+        )
+
+        big = F.lit(1_000_000_000)
+        batch = (
+            docs.filter(F.col("doc_id") % 7 == 1)
+            .select((F.col("doc_id") + big).alias("doc_id"), "text")
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 3).select(
+                    (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+                )
+            )
+            .withColumn("sha", sha256_col(F.col("text"), use_native=True))
+        )
+        idx = index.read()
+        matches = batch.join(idx, "sha", "inner").select(
+            F.col("doc_id").alias("new_doc_id"),
+            F.col("canonical_doc_id").alias("dup_of"),
+        )
+        out = _materialize(spark, matches)
+
+        # maintain the index with the batch's NOVEL shas only (O(batch));
+        # known shas keep their canonical id — inserting the duplicate's
+        # id would rotate the canonical under LWW. Then idempotency must
+        # hold: a re-probe matches ALL
+        index.merge_mor(
+            batch.join(idx, "sha", "left_anti")
+            .groupBy("sha")
+            .agg(F.min("doc_id").alias("canonical_doc_id"))
+            .withColumn("op", F.lit("insert"))
+        )
+        n_batch = batch.count()
+        n_rematch = batch.join(index.read(), "sha", "left_semi").count()
+        if n_rematch != n_batch:
+            raise RuntimeError(
+                f"index maintenance lost shas: {n_rematch}/{n_batch} re-matched"
+            )
+        return out
+
+
+@query(
     "cdc_wap_publish",
     oracle="""
     SELECT event_id,
