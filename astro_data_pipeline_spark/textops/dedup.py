@@ -249,3 +249,158 @@ def dedup_simhash_hamming_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+_LSH_K = 8       # minhash functions
+_LSH_R = 2       # rows per band -> 4 bands; loose s-curve ~ (1/4)^(1/2)
+
+
+def _md5_band_rows(sh: DataFrame) -> DataFrame:
+    """doc_id -> (band, band_key) rows from md5-based minhash signatures.
+
+    md5 (not xxhash64) on purpose: this variant is the CROSS-ENGINE
+    oracle twin — DuckDB's md5() produces the identical hex string, so
+    the whole LSH pipeline (minhash, banding, bucket join) verifies
+    value-for-value. Production signatures use the xxhash64 path
+    (``dedup_minhash_lsh_candidates``): one JVM long per hash vs a
+    32-char string, same algebra. Everything here is JVM expressions —
+    the x8 hash fan-out rides the already-exploded shingle rows."""
+    hashes = sh.crossJoin(
+        F.broadcast(
+            sh.sparkSession.range(_LSH_K).select(F.col("id").cast("int").alias("j"))
+        )
+    ).select(
+        "doc_id",
+        "j",
+        F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    mh = hashes.groupBy("doc_id", "j").agg(F.min("h").alias("h"))
+    return (
+        mh.withColumn("band", (F.col("j") / _LSH_R).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "h"))),
+                    lambda s: s["h"],
+                ),
+                ":",
+            ).alias("band_key")
+        )
+    )
+
+
+_LSH_ORACLE_MH = f"""
+    SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+    FROM ({_SHINGLE_SQL}) sh,
+         (SELECT unnest(generate_series(0, {_LSH_K - 1})) AS j) js
+    GROUP BY doc_id, j
+"""
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH mh AS ({_LSH_ORACLE_MH}),
+    bands AS (
+        SELECT doc_id, j // {_LSH_R} AS band,
+               string_agg(h, ':' ORDER BY j) AS band_key
+        FROM mh GROUP BY doc_id, j // {_LSH_R}
+    )
+    SELECT DISTINCT b.doc_id AS new_doc_id, c.doc_id AS dup_candidate_id
+    FROM bands b
+    JOIN bands c ON b.band = c.band AND b.band_key = c.band_key
+    WHERE b.doc_id % 3 = 0 AND c.doc_id % 3 != 0
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup candidates: a MinHash-LSH band index
+    maintained as a lake table, so each new ingest batch mines its
+    near-dup candidates against the WHOLE corpus in O(batch) — the
+    near-dup sibling of ``dedup_incremental_index`` and the per-batch
+    restatement of the nightly O(corpus) MinHash job
+    (``dedup_minhash_lsh_candidates``), which cannot survive 10^10
+    documents as a recompute.
+
+    Build: corpus docs (doc_id % 3 != 0) explode to shingles once,
+    md5-minhash signatures band into (band, band_key) rows, MERGEd into
+    a lake table keyed by (band, band_key, doc_id) — the inverted index
+    IS the table, hash-bucketed on its own probe key. Probe: the new
+    batch (doc_id % 3 == 0) computes its band rows and equi-joins the
+    index on (band, band_key) — the same banding algebra, so the DuckDB
+    oracle reproduces the exact candidate set value-for-value (md5 is
+    engine-portable; the xxhash64 production path is rows-only for this
+    reason). Maintain: the batch's band rows MERGE in (O(batch)), and
+    an in-query re-probe asserts every banded batch doc now self-matches
+    — idempotent at-least-once ingest."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _md5_band_rows(_shingles(docs))
+    corpus_bands = bands.filter(F.col("doc_id") % 3 != 0)
+    batch_bands = bands.filter(F.col("doc_id") % 3 == 0)
+
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        schema = _T.StructType(
+            [
+                _T.StructField("band", _T.IntegerType(), False),
+                _T.StructField("band_key", _T.StringType(), False),
+                _T.StructField("doc_id", _T.LongType(), False),
+                _T.StructField("sig_ver", _T.IntegerType(), True),
+            ]
+        )
+        index = LakeTable.create(
+            spark,
+            _os.path.join(td, "lsh_index"),
+            schema,
+            ["band", "band_key", "doc_id"],
+            n_buckets=16,
+        )
+        index.merge(
+            corpus_bands.withColumn("sig_ver", F.lit(1)).withColumn(
+                "op", F.lit("insert")
+            )
+        )
+        idx = index.read().select(
+            "band", "band_key", F.col("doc_id").alias("dup_candidate_id")
+        )
+        pairs = (
+            batch_bands.withColumnRenamed("doc_id", "new_doc_id")
+            .join(idx, ["band", "band_key"])
+            .select("new_doc_id", "dup_candidate_id")
+            .distinct()
+        )
+        out = _materialize_local(spark, pairs)
+
+        index.merge_mor(
+            batch_bands.withColumn("sig_ver", F.lit(1)).withColumn(
+                "op", F.lit("insert")
+            )
+        )
+        n_banded = batch_bands.select("doc_id").distinct().count()
+        n_self = (
+            batch_bands.join(index.read(), ["band", "band_key", "doc_id"], "left_semi")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        if n_self != n_banded:
+            raise RuntimeError(
+                f"LSH index maintenance lost band rows: {n_self}/{n_banded}"
+            )
+        return out
+
+
+def _materialize_local(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Scratch-table results must outlive the TemporaryDirectory — same
+    contract as cdc.queries._materialize (parquet round-trip, no
+    driver-side collect)."""
+    from ..cdc.queries import _materialize
+
+    return _materialize(spark, out)
