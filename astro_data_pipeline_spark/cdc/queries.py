@@ -1408,6 +1408,93 @@ def cdc_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
 
 
+_MV_ORACLE = f"""
+WITH ev AS (
+{_EV_SQL}
+), w AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM ev
+), fin AS (
+    SELECT repo, lsn FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT repo,
+       count(*) AS n_files,
+       CAST(sum(lsn) AS BIGINT) AS sum_lsn,
+       avg(lsn) AS avg_lsn,
+       max(lsn) AS max_lsn,
+       min(lsn) AS min_lsn
+FROM fin GROUP BY repo
+"""
+
+
+@query("cdc_incremental_matview", oracle=_MV_ORACLE)
+def cdc_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate materialized view maintained by the change
+    feed (the canonical CDC downstream; reference analog: the rollups
+    data_quality_monitoring.py:214-340 recomputes from scratch per DAG
+    run). Replay phase 1 of the WAL, seed a per-repo aggregate view
+    (count / sum / avg / max / min over last_lsn) with its one full
+    pass, then replay phase 2 in two LSN-ordered slices with an
+    O(changed rows) ``refresh()`` after each: signed pre/post-image
+    contributions from ``changes(..., with_preimage=True)`` merge into
+    the view's own lake table under the exactly-once ledger
+    (batch_id = the refreshed snapshot range), with dirty-extreme
+    rescan only where a delete retracted a stored max/min. In-query
+    assert: the incrementally-maintained view is value-identical to a
+    full recompute from the base head — then the DuckDB oracle computes
+    the same aggregate straight from the raw events. At 10^10 events
+    the full recompute is the thing you can no longer afford; the
+    refresh cost here is O(phase-2 rows), independent of table size."""
+    import tempfile as _tempfile
+
+    from ..lakehouse.matview import AggSpec, IncrementalAggView
+    from ..session import scratch_tmpdir_base
+    from .runner import CdcRunner, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    cut = int(meta["evolution_lsn"])
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    # phase-2 sub-split must respect LSN order (cross-batch LWW rides on
+    # ordered delivery, like the real binlog tail)
+    max_lsn = events.agg(F.max("lsn")).collect()[0][0]
+    cut2 = (cut + int(max_lsn)) // 2
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        table = _scratch_lake(spark, td)
+        runner = CdcRunner(spark, table, run_id="e2e-mv", mode="mor")
+        runner.replay(events.filter(F.col("lsn") <= cut), n_batches=2)
+        view = IncrementalAggView.create(
+            spark,
+            _os.path.join(td, "mv"),
+            table,
+            ["repo"],
+            [
+                AggSpec("count", None, "n_files"),
+                AggSpec("sum", "last_lsn", "sum_lsn"),
+                AggSpec("avg", "last_lsn", "avg_lsn"),
+                AggSpec("max", "last_lsn", "max_lsn"),
+                AggSpec("min", "last_lsn", "min_lsn"),
+            ],
+            n_buckets=8,
+        )
+        for lo, hi in ((cut, cut2), (cut2, None)):
+            batch = events.filter(F.col("lsn") > lo)
+            if hi is not None:
+                batch = batch.filter(F.col("lsn") <= hi)
+            runner.replay(batch, n_batches=2)
+            stats = view.refresh()
+            if stats.get("noop"):
+                raise RuntimeError(f"refresh ({lo}, {hi}] applied nothing")
+        inc, full = view.read(), view.full_compute()
+        drift = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+        if drift:
+            raise RuntimeError(
+                f"incremental view drifted from full recompute: {drift} rows"
+            )
+        return _materialize(spark, inc)
+
+
 _WAL_ENVELOPE_SCHEMA = (
     "key BIGINT, op STRING, ts_ms BIGINT, "
     "after STRUCT<user_id: BIGINT, event_type: STRING, value: DOUBLE, props: STRING>"

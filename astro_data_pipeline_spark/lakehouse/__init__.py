@@ -1,3 +1,10 @@
+from .matview import AggSpec, IncrementalAggView
 from .table import CommitConflictError, LakeTable, Snapshot
 
-__all__ = ["CommitConflictError", "LakeTable", "Snapshot"]
+__all__ = [
+    "AggSpec",
+    "CommitConflictError",
+    "IncrementalAggView",
+    "LakeTable",
+    "Snapshot",
+]

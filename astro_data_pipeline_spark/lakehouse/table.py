@@ -888,12 +888,23 @@ class LakeTable:
         }
 
     def changes(
-        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        with_preimage: bool = False,
     ) -> DataFrame:
         """Incremental read: the NET per-key change between two committed
         snapshots (Iceberg incremental scan / changelog analog; reference's
         poll-for-new-work pattern, batch_processing_dag.py:96-135, restated
         as a table-level diff).
+
+        ``with_preimage=True`` additionally emits the OLD value columns as
+        ``_pre_<col>`` (Delta CDF's preimage half): the values the key held
+        at ``from`` for updates/deletes, NULL for inserts. The existence
+        probe already touches exactly those rows, so the pre-image costs
+        wider columns on that probe, never extra files — downstream
+        retractable consumers (incremental aggregate views) need the old
+        contribution to subtract.
 
         Scans ONLY the merge-on-read delta files appended by the commits in
         ``(from, to]`` — O(changed rows), never O(table) — then classifies
@@ -977,6 +988,14 @@ class LakeTable:
                 [fields[c] for c in key_cols]
                 + [fields[c] for c in val_cols]
                 + [T.StructField("change_type", T.StringType())]
+                + (
+                    [
+                        T.StructField(f"_pre_{c}", fields[c].dataType)
+                        for c in val_cols
+                    ]
+                    if with_preimage
+                    else []
+                )
             )
             return self.spark.createDataFrame([], empty)
 
@@ -1015,11 +1034,26 @@ class LakeTable:
             if spec_stable
             else None
         )
-        prior = (
-            self.read(snapshot=from_snap, buckets=touched)
-            .select(*key_cols)
-            .withColumn("_existed", F.lit(True))
-        )
+        prior_scan = self.read(snapshot=from_snap, buckets=touched)
+        if with_preimage:
+            # ``from`` may predate schema evolution: columns added since
+            # null-fill, widened columns cast up to the ``to`` type, so the
+            # pre-image always carries the ``to`` schema's shape.
+            from_cols = set(prior_scan.columns)
+            to_types = {f.name: f.dataType for f in to_snap.schema.fields}
+            pre_cols = [
+                (
+                    F.col(c).cast(to_types[c])
+                    if c in from_cols
+                    else F.lit(None).cast(to_types[c])
+                ).alias(f"_pre_{c}")
+                for c in val_cols
+            ]
+            prior = prior_scan.select(*key_cols, *pre_cols).withColumn(
+                "_existed", F.lit(True)
+            )
+        else:
+            prior = prior_scan.select(*key_cols).withColumn("_existed", F.lit(True))
         out = (
             net.join(prior, on=key_cols, how="left")
             .withColumn(
@@ -1030,7 +1064,8 @@ class LakeTable:
             )
             .filter(~F.col("_dead") | (F.col("change_type") == "delete"))
         )
-        return out.select(*key_cols, *val_cols, "change_type")
+        pre_out = [f"_pre_{c}" for c in val_cols] if with_preimage else []
+        return out.select(*key_cols, *val_cols, "change_type", *pre_out)
 
     def _conform_types(self, updates: DataFrame, snap: Snapshot) -> DataFrame:
         """Write-side schema enforcement: cast update columns whose type is
