@@ -278,13 +278,20 @@ class IncrementalAggView:
         if batch_id in self.table.committed_batch_ids(run_scope=self._SCOPE):
             return {"from": frm, "to": to, "noop": True, "ledger_skip": True}
 
-        ch = self.base.changes(frm, to, with_preimage=True)
         gcols = self.group_cols
         need = {s.col for s in self.specs if s.col is not None}
         # every column the contribution rows carry, deduped (a group col
         # may double as an agg col)
         carry = gcols + [c for c in sorted(need) if c not in gcols]
         base_keys = set(self.base.current_snapshot().key_cols)
+        # projected changelog: the base's payload columns (content blobs)
+        # must never ride the refresh shuffle
+        ch = self.base.changes(
+            frm,
+            to,
+            with_preimage=True,
+            columns=[c for c in carry if c not in base_keys],
+        )
 
         def _pre_src(c: str) -> F.Column:
             # base KEY columns have no pre-image (a key cannot change
@@ -329,6 +336,12 @@ class IncrementalAggView:
                     aggs.append(F.min(grow).alias(f"_g_{s.alias}"))
                     aggs.append(F.min(shrink).alias(f"_r_{s.alias}"))
         delta = contrib.groupBy(*gcols).agg(*aggs)
+        # one row per changed group, consumed by THREE jobs (bucket-id
+        # collect, dirty-group probe, the merge) — pin it once instead of
+        # re-running the changes() scan per consumer
+        from ..session import materialize_barrier
+
+        delta = materialize_barrier(delta, eager=True)
 
         # stored state for exactly the touched groups: bucket-pruned read
         snap = self.table.current_snapshot()
@@ -387,6 +400,10 @@ class IncrementalAggView:
                 )
                 dirty_flags.append(dirty.alias(f"_dirty_{s.alias}"))
         rows = merged.select(*out_cols, *dirty_flags)
+        if has_extremes and dirty_flags:
+            # the dirty probe (count) and the merge both consume rows —
+            # pin the stored-state join once
+            rows = materialize_barrier(rows, eager=True)
 
         n_dirty = 0
         if has_extremes and dirty_flags:
@@ -455,6 +472,9 @@ class IncrementalAggView:
                 "run_scope": self._SCOPE,
                 "mv_refresh_to": to,
             },
+            # the groups the merge touches are exactly the delta's groups,
+            # whose buckets the stored-state read already collected
+            touched_buckets=tb,
         )
         return {
             "from": frm,

@@ -892,6 +892,7 @@ class LakeTable:
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
         with_preimage: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Incremental read: the NET per-key change between two committed
         snapshots (Iceberg incremental scan / changelog analog; reference's
@@ -905,6 +906,15 @@ class LakeTable:
         wider columns on that probe, never extra files — downstream
         retractable consumers (incremental aggregate views) need the old
         contribution to subtract.
+
+        ``columns``: project the changelog to a subset of value columns.
+        This is not cosmetic: the net-winner resolution packs the emitted
+        value columns into its ``max_by`` struct, so an unprojected
+        changelog over a table with a wide payload column shuffles that
+        payload even when the consumer only wants a counter — with
+        ``columns=["last_lsn"]`` the payload never leaves the parquet
+        scan (column pruning reaches the delta files). Key columns and
+        ``change_type`` are always present.
 
         Scans ONLY the merge-on-read delta files appended by the commits in
         ``(from, to]`` — O(changed rows), never O(table) — then classifies
@@ -978,6 +988,13 @@ class LakeTable:
 
         key_cols = to_snap.key_cols
         val_cols = [f.name for f in to_snap.schema.fields if f.name not in key_cols]
+        if columns is not None:
+            bad = [c for c in columns if c not in val_cols]
+            if bad:
+                raise ValueError(
+                    f"changes(columns=...) not value columns of the table: {bad}"
+                )
+            val_cols = [c for c in val_cols if c in set(columns)]
         if not delta_rels:
             # same positional order as the non-empty branch (key cols,
             # value cols, change_type) — table schemas need not list the

@@ -81,6 +81,7 @@ def stream_replay_available_now(
     schema: T.StructType = EVENT_SCHEMA,
     strict_order: bool = True,
     max_files_per_trigger: int = 1,
+    views=None,
 ) -> list[dict]:
     """Drain all currently-available WAL segments into the lake table via
     ``foreachBatch`` (Trigger.AvailableNow), exactly-once.
@@ -92,7 +93,16 @@ def stream_replay_available_now(
     ``{run_id}:epoch:{N}`` — Spark keeps the epoch id stable across
     retries of the same epoch, and the run_id scopes it to THIS stream
     (pair run_id 1:1 with the checkpoint dir; see StreamApplier).
-    """
+
+    ``views``: optional :class:`IncrementalAggView` list maintained
+    continuously — each epoch's apply is followed by ``refresh()``, so
+    the aggregates are a Flink-style dynamic table over the stream. The
+    coupling is crash-safe WITHOUT any cross-table transaction: a view
+    refresh is idempotent under its own batch ledger (keyed by the base
+    snapshot range, not the epoch), so a retried epoch no-ops at both
+    layers, and a crash between the base commit and the refresh is
+    healed by the NEXT epoch's refresh, whose ``changes()`` range simply
+    spans both commits."""
     reports: list[dict] = []
     # strict_order / max_files_per_trigger are forwarded — the order
     # guard's own error message tells the operator to pass
@@ -103,6 +113,10 @@ def stream_replay_available_now(
         rep = applier(batch_df, epoch_id)
         if rep is not None:
             reports.append(rep)
+        for v in views or ():
+            # refresh even on a ledger-skipped epoch: a prior crash may
+            # have left the view one range behind the base
+            v.refresh()
 
     q = (
         event_log_stream(

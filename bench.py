@@ -177,6 +177,83 @@ def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 3) -> d
     }
 
 
+def bench_matview_refresh(spark, sf: float, trials: int = 2) -> dict:
+    """Incremental-matview maintenance vs the full rebuild it replaces,
+    apples to apples: replay the first ~90% of the change log, seed TWO
+    identical per-repo aggregate views (untimed), apply the ~10% tail,
+    then time (a) one incremental ``refresh()`` on the first view and
+    (b) one ``refresh(full=True)`` on the second — both end in a durable
+    committed view snapshot. (a) is O(tail): a projected changelog scan
+    (`changes(columns=...)` — the payload column never leaves parquet),
+    signed-contribution agg, bucket-pruned stored join, one MERGE. (b)
+    is O(base): a column-pruned scan + MoR LWW resolve of every base
+    row. At bench SFs the base is small enough that (b)'s single-job
+    shape can still win on fixed overhead (~4 s of driver planning +
+    job barriers in (a)); the crossover where (a) is the only
+    sustainable option is base ≫ tail — the 10^10-row operating point
+    this engine targets, where (b) is a full-table scan per refresh
+    cycle. Both numbers are reported so that trade is visible, not
+    hidden."""
+    from astro_data_pipeline_spark.cdc import apply as A
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from astro_data_pipeline_spark.lakehouse.matview import (
+        AggSpec,
+        IncrementalAggView,
+    )
+    from astro_data_pipeline_spark.session import scratch_tmpdir_base
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    meta = cdc_fixture_dir(sf)
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    cut = int(
+        events.selectExpr("percentile(lsn, 0.9) AS c").collect()[0]["c"]
+    )
+    head = events.filter(F.col("lsn") <= cut)
+    tail = events.filter(F.col("lsn") > cut)
+    n_tail = tail.count()
+    best_inc, best_full = None, None
+    for trial in range(trials):
+        with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+            table = LakeTable.create(
+                spark,
+                os.path.join(td, "lake"),
+                T.StructType(A.BASE_TABLE_FIELDS),
+                A.KEY_COLS,
+                n_buckets=64,
+            )
+            runner = CdcRunner(spark, table, run_id=f"mvb{trial}", mode="mor")
+            runner.replay(head, n_batches=3)
+            specs = [
+                AggSpec("count", None, "n_files"),
+                AggSpec("sum", "last_lsn", "sum_lsn"),
+                AggSpec("max", "last_lsn", "max_lsn"),
+            ]
+            v_inc = IncrementalAggView.create(
+                spark, os.path.join(td, "mv-inc"), table, ["repo"], specs,
+                n_buckets=16,
+            )
+            v_full = IncrementalAggView.create(
+                spark, os.path.join(td, "mv-full"), table, ["repo"], specs,
+                n_buckets=16,
+            )
+            runner.replay(tail, n_batches=1)
+            t0 = time.time()
+            v_inc.refresh()
+            t1 = time.time()
+            v_full.refresh(full=True)
+            t2 = time.time()
+            best_inc = t1 - t0 if best_inc is None else min(best_inc, t1 - t0)
+            best_full = t2 - t1 if best_full is None else min(best_full, t2 - t1)
+    return {
+        "mv_refresh_sec": round(best_inc, 3),
+        "mv_full_refresh_sec": round(best_full, 3),
+        "mv_tail_events": n_tail,
+        "mv_refresh_events_per_sec": round(n_tail / best_inc, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -204,6 +281,8 @@ def main() -> None:
 
     cdc = bench_cdc_replay(spark, sf)
     queries["cdc_replay"] = cdc["cdc_replay_sec"]
+    mv = bench_matview_refresh(spark, sf)
+    queries["mv_refresh"] = mv["mv_refresh_sec"]
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -217,6 +296,7 @@ def main() -> None:
         "cdc_events_per_sec_compacted": cdc["cdc_events_per_sec_compacted"],
         "cdc_events": cdc["cdc_events"],
         "cdc_final_rows": cdc["cdc_final_rows"],
+        **mv,
     }
     spark.stop()
     print(json.dumps(out))
