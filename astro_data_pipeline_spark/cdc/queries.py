@@ -1495,6 +1495,96 @@ def cdc_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, inc)
 
 
+@query(
+    "cdc_conditional_merge",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               event_type AS etype, value AS val
+        FROM events WHERE event_id % 3 <> 2
+    ), src AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               event_type, value * 2 AS sval
+        FROM events WHERE event_id % 2 = 0
+    )
+    SELECT b.event_id, b.user_id, b.etype,
+           CASE WHEN s.event_id IS NOT NULL THEN b.val + s.sval
+                ELSE b.val END AS val
+    FROM base b LEFT JOIN src s USING (event_id)
+    WHERE s.event_id IS NULL OR s.sval >= 1.0
+    UNION ALL
+    SELECT s.event_id, s.user_id, s.event_type AS etype, s.sval AS val
+    FROM src s LEFT JOIN base b USING (event_id)
+    WHERE b.event_id IS NULL AND s.event_id % 5 = 0
+    """,
+)
+def cdc_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative MERGE INTO with conditions and SET expressions over
+    both sides (Delta/Iceberg MERGE surface the op-column replay path
+    can't express): WHEN MATCHED AND s.sval < 1.0 THEN DELETE; WHEN
+    MATCHED THEN UPDATE SET val = t.val + s.sval (accumulate-on-merge,
+    etype untouched — a partial-column patch); WHEN NOT MATCHED AND
+    event_id % 5 = 0 THEN INSERT. One bucket-pruned clause join routes
+    every source row (first matching clause wins), then the routed rows
+    flow through the engine's ordinary CoW merge — conformance, atomic
+    commit, ledger, all inherited. The DuckDB oracle restates the three
+    clauses as relational algebra over the same parquet."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    base = ev.filter(eid % 3 != 2).select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("val"),
+    )
+    src = ev.filter(eid % 2 == 0).select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        (F.col("value") * 2).alias("sval"),
+    )
+    schema = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), False),
+            _T.StructField("user_id", _T.LongType(), True),
+            _T.StructField("etype", _T.StringType(), True),
+            _T.StructField("val", _T.DoubleType(), True),
+        ]
+    )
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=16
+        )
+        table.merge(base.withColumn("op", F.lit("insert")))
+        (
+            table.merge_builder(src)
+            .when_matched_delete(condition=F.col("s.sval") < 1.0)
+            .when_matched_update(
+                set={"val": F.col("t.val") + F.col("s.sval")}
+            )
+            .when_not_matched_insert(
+                values={
+                    "etype": F.col("s.event_type"),
+                    "val": F.col("s.sval"),
+                },
+                condition=F.pmod("s.event_id", F.lit(5)) == 0,
+            )
+            .execute(mode="cow")
+        )
+        return _materialize(
+            spark, table.read().select("event_id", "user_id", "etype", "val")
+        )
+
+
 _WAL_ENVELOPE_SCHEMA = (
     "key BIGINT, op STRING, ts_ms BIGINT, "
     "after STRUCT<user_id: BIGINT, event_type: STRING, value: DOUBLE, props: STRING>"

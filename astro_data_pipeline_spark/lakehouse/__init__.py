@@ -1,4 +1,5 @@
 from .matview import AggSpec, IncrementalAggView
+from .merge_builder import MergeBuilder
 from .table import CommitConflictError, LakeTable, Snapshot
 
 __all__ = [
@@ -6,5 +7,6 @@ __all__ = [
     "CommitConflictError",
     "IncrementalAggView",
     "LakeTable",
+    "MergeBuilder",
     "Snapshot",
 ]

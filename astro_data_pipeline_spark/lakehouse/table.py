@@ -1448,6 +1448,16 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def merge_builder(self, source: DataFrame):
+        """Fluent ``MERGE INTO`` clause builder (Delta/Iceberg analog):
+        ``when_matched_update(set=...)`` / ``when_matched_delete()`` /
+        ``when_not_matched_insert()`` with conditions and SET expressions
+        over both sides (``F.col("s.x")`` / ``F.col("t.x")``). See
+        :mod:`.merge_builder`."""
+        from .merge_builder import MergeBuilder
+
+        return MergeBuilder(self, source)
+
     def merge(
         self,
         updates: DataFrame,
