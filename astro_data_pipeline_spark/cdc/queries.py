@@ -1585,6 +1585,78 @@ def cdc_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+@query(
+    "cdc_row_level_ops",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               event_type AS etype, value AS val
+        FROM events WHERE event_id % 4 <> 3
+    ), upd AS (
+        SELECT event_id, user_id, etype,
+               CASE WHEN etype = 'click' THEN val * 2 ELSE val END AS val
+        FROM base
+    )
+    SELECT event_id, user_id, etype, val
+    FROM upd
+    WHERE NOT coalesce(val < 0.5, FALSE)
+    """,
+)
+def cdc_row_level_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE WHERE then DELETE WHERE (Delta/Iceberg statement
+    analogs) over a merge-on-read table: ``update_where`` doubles the
+    click rows' values (SET expression over the row, predicate pushed to
+    the scan), ``delete_where`` tombstones the sub-threshold rows in an
+    O(matches) append — no bucket is rewritten by either statement
+    (asserted in-query: the base file map is byte-identical before and
+    after), which is the selective-mutation shape that survives 100 TB.
+    The DuckDB oracle restates both statements relationally, including
+    the three-valued NULL-predicate contract (a NULL value matches
+    neither statement)."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..lakehouse import LakeTable
+    from ..session import scratch_tmpdir_base
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 4 != 3).select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("val"),
+    )
+    schema = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), False),
+            _T.StructField("user_id", _T.LongType(), True),
+            _T.StructField("etype", _T.StringType(), True),
+            _T.StructField("val", _T.DoubleType(), True),
+        ]
+    )
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        table = LakeTable.create(
+            spark, _os.path.join(td, "lake"), schema, ["event_id"], n_buckets=16
+        )
+        table.merge(base.withColumn("op", F.lit("insert")))
+        files_before = dict(table.current_snapshot().files)
+        table.update_where(
+            {"val": F.col("val") * 2}, F.col("etype") == "click", mode="mor"
+        )
+        table.delete_where(F.col("val") < 0.5, mode="mor")
+        if dict(table.current_snapshot().files) != files_before:
+            raise RuntimeError(
+                "row-level MoR statements rewrote base files; "
+                "they must only append deltas"
+            )
+        return _materialize(
+            spark, table.read().select("event_id", "user_id", "etype", "val")
+        )
+
+
 _WAL_ENVELOPE_SCHEMA = (
     "key BIGINT, op STRING, ts_ms BIGINT, "
     "after STRUCT<user_id: BIGINT, event_type: STRING, value: DOUBLE, props: STRING>"

@@ -1448,6 +1448,76 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def delete_where(
+        self, predicate: F.Column, mode: str = "mor", summary: dict | None = None
+    ) -> tuple["Snapshot", dict]:
+        """``DELETE FROM t WHERE p`` (Delta/Iceberg row-level delete
+        statement analog), compiled onto the merge machinery: one
+        column-pruned scan finds the matching KEYS (the predicate pushes
+        to parquet; manifest stats / bloom filters skip files that cannot
+        match), then the keys flow through the ordinary merge as delete
+        rows. ``mode='mor'`` appends tombstones — O(matches) write, zero
+        rewrite, the 100-TB shape for selective deletes (GDPR erasure of
+        one repo); ``mode='cow'`` rewrites only the touched buckets.
+
+        The scan and the commit are not one atomic unit: a concurrent
+        writer landing between them raises ``CommitConflictError`` at
+        publish (CAS) — re-run under ``commit_with_retries``."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        key_cols = cur.key_cols
+        updates = self.read(snapshot=cur).filter(predicate).select(*key_cols)
+        for f in cur.schema.fields:
+            if f.name not in key_cols:
+                updates = updates.withColumn(f.name, F.lit(None).cast(f.dataType))
+        updates = updates.withColumn("op", F.lit("delete"))
+        fn = self.merge_mor if mode == "mor" else self.merge
+        return fn(updates, summary={"statement": "delete_where", **(summary or {})})
+
+    def update_where(
+        self,
+        set: dict,
+        predicate: F.Column,
+        mode: str = "mor",
+        summary: dict | None = None,
+    ) -> tuple["Snapshot", dict]:
+        """``UPDATE t SET col = expr WHERE p``: the matching rows are
+        read (predicate pushdown + stats/bloom skipping), the SET
+        expressions applied in-plan, and the rewritten rows merged back —
+        ``mor`` appends the new versions (O(matches)), ``cow`` rewrites
+        touched buckets. Key columns cannot be SET (that is a
+        delete+insert, and a silently rekeyed row would shadow another
+        key's history)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        key_cols = cur.key_cols
+        bad = [c for c in set if c in key_cols]
+        if bad:
+            raise ValueError(
+                f"cannot SET key column(s) {bad}: delete the old key and "
+                "insert the new one instead"
+            )
+        unknown = [c for c in set if c not in {f.name for f in cur.schema.fields}]
+        if unknown:
+            raise ValueError(f"SET of unknown column(s) {unknown}")
+        val_cols = [f.name for f in cur.schema.fields if f.name not in key_cols]
+        updates = (
+            self.read(snapshot=cur)
+            .filter(predicate)
+            .select(
+                *key_cols,
+                *[
+                    (set[c] if c in set else F.col(c)).alias(c)
+                    for c in val_cols
+                ],
+            )
+            .withColumn("op", F.lit("update"))
+        )
+        fn = self.merge_mor if mode == "mor" else self.merge
+        return fn(updates, summary={"statement": "update_where", **(summary or {})})
+
     def merge_builder(self, source: DataFrame):
         """Fluent ``MERGE INTO`` clause builder (Delta/Iceberg analog):
         ``when_matched_update(set=...)`` / ``when_matched_delete()`` /
