@@ -1657,6 +1657,73 @@ def cdc_row_level_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+_REPL_ORACLE = f"""
+WITH ev AS (
+{_EV_SQL}
+), w AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM ev
+)
+SELECT repo, path, sha256(content) AS content_sha256, lsn AS last_lsn
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@query("cdc_replication_sync", oracle=_REPL_ORACLE)
+def cdc_replication_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical table-to-table replication over the change feed (Postgres
+    logical replication / Debezium re-publication restated on lake
+    machinery): replay phase 1 into the SOURCE table, seed a
+    column-pruned replica (sha + lsn only — the content payload never
+    crosses, by the changelog's column projection) with its own bucket
+    count, then replay phase 2 in two LSN-ordered slices with a
+    ``sync()`` after each. Each sync applies the source's NET diff as
+    one atomic MERGE under the replica's exactly-once ledger
+    (batch_id = the synced snapshot range), so a flip-flopped key
+    crosses once and a retried sync no-ops. In-query assert: the
+    replica equals the source's projection exactly. The DuckDB oracle
+    computes the same final state from the raw events."""
+    import tempfile as _tempfile
+
+    from ..lakehouse.replicate import Replicator
+    from ..session import scratch_tmpdir_base
+    from .runner import CdcRunner, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    cut = int(meta["evolution_lsn"])
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    max_lsn = int(events.agg(F.max("lsn")).collect()[0][0])
+    cut2 = (cut + max_lsn) // 2
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        table = _scratch_lake(spark, td)
+        runner = CdcRunner(spark, table, run_id="e2e-repl", mode="mor")
+        runner.replay(events.filter(F.col("lsn") <= cut), n_batches=2)
+        repl = Replicator.create_replica(
+            table,
+            _os.path.join(td, "replica"),
+            columns=["content_sha256", "last_lsn"],
+            n_buckets=8,
+        )
+        for lo, hi in ((cut, cut2), (cut2, None)):
+            batch = events.filter(F.col("lsn") > lo)
+            if hi is not None:
+                batch = batch.filter(F.col("lsn") <= hi)
+            runner.replay(batch, n_batches=2)
+            stats = repl.sync()
+            if stats.get("noop"):
+                raise RuntimeError(f"sync ({lo}, {hi}] applied nothing")
+        out = repl.replica.read().select(
+            "repo", "path", "content_sha256", "last_lsn"
+        )
+        src = table.read().select("repo", "path", "content_sha256", "last_lsn")
+        drift = out.exceptAll(src).count() + src.exceptAll(out).count()
+        if drift:
+            raise RuntimeError(f"replica drifted from source: {drift} rows")
+        return _materialize(spark, out)
+
+
 _WAL_ENVELOPE_SCHEMA = (
     "key BIGINT, op STRING, ts_ms BIGINT, "
     "after STRUCT<user_id: BIGINT, event_type: STRING, value: DOUBLE, props: STRING>"

@@ -1,5 +1,6 @@
 from .matview import AggSpec, IncrementalAggView
 from .merge_builder import MergeBuilder
+from .replicate import Replicator
 from .table import CommitConflictError, LakeTable, Snapshot
 
 __all__ = [
@@ -8,5 +9,6 @@ __all__ = [
     "IncrementalAggView",
     "LakeTable",
     "MergeBuilder",
+    "Replicator",
     "Snapshot",
 ]
