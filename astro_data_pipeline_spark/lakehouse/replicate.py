@@ -70,10 +70,23 @@ class Replicator:
         src_vals = [
             f.name for f in src_snap.schema.fields if f.name not in src_snap.key_cols
         ]
-        self.columns = list(columns) if columns is not None else src_vals
-        bad = [c for c in self.columns if c not in src_vals]
+        # columns=None means "replicate everything": the column list is
+        # re-derived per sync so source schema evolution flows through
+        self._all_columns = columns is None
+        self._columns = list(columns) if columns is not None else None
+        bad = [c for c in (self._columns or ()) if c not in src_vals]
         if bad:
             raise ValueError(f"not source value column(s): {bad}")
+
+    @property
+    def columns(self) -> list[str]:
+        """Replicated value columns — re-derived from the CURRENT source
+        schema for replicate-all replicas, so a column added upstream
+        starts replicating on the next sync."""
+        if not self._all_columns:
+            return list(self._columns)
+        snap = self.source.current_snapshot()
+        return [f.name for f in snap.schema.fields if f.name not in snap.key_cols]
 
     @classmethod
     def create_replica(
@@ -104,7 +117,9 @@ class Replicator:
             key_cols,
             n_buckets=n_buckets or src_snap.n_buckets,
         )
-        r = cls(source, replica, columns=vals)
+        # pass the ORIGINAL columns arg: None must stay "replicate all"
+        # so upstream schema evolution flows through future syncs
+        r = cls(source, replica, columns=columns)
         r._initial_sync(src_snap)
         return r
 
@@ -147,10 +162,18 @@ class Replicator:
             "the replica's chain); re-seed with create_replica"
         )
 
-    def sync(self, mode: str = "mor") -> dict:
+    def sync(self, mode: str = "mor", evolve: bool = True) -> dict:
         """Apply the source's net changes since the last sync as ONE
         atomic MERGE on the replica. ``mode='mor'`` appends (the
-        steady-state shape); ``'cow'`` rewrites touched buckets."""
+        steady-state shape); ``'cow'`` rewrites touched buckets.
+
+        ``evolve`` (default on): source schema evolution flows through —
+        a replicate-all replica picks up columns added upstream (the
+        changelog emits them with the ``to`` schema; the merge's
+        ``evolve_schema`` adds them to the replica), and a losslessly
+        WIDENED replicated column widens the replica the same way. With
+        ``evolve=False`` an evolved batch fails the replica's
+        conformance check loudly instead."""
         src_snap = self.source.current_snapshot()
         to = src_snap.snapshot_id
         frm = self.synced_to()
@@ -159,15 +182,16 @@ class Replicator:
         batch_id = self._batch_id(frm, to)
         if batch_id in self.replica.committed_batch_ids(run_scope=self._SCOPE):
             return {"from": frm, "to": to, "noop": True, "ledger_skip": True}
-        ch = self.source.changes(frm, to, columns=self.columns)
+        cols = self.columns
+        ch = self.source.changes(frm, to, columns=cols)
         key_cols = src_snap.key_cols
         rows = ch.select(
             *key_cols,
-            *self.columns,
+            *cols,
             F.when(F.col("change_type") == "delete", "delete")
             .otherwise("upsert")
             .alias("op"),
         )
         fn = self.replica.merge_mor if mode == "mor" else self.replica.merge
-        _, metrics = fn(rows, summary=self._summary(frm, to))
+        _, metrics = fn(rows, summary=self._summary(frm, to), evolve_schema=evolve)
         return {"from": frm, "to": to, "noop": False, **metrics}

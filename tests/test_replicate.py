@@ -120,3 +120,52 @@ def test_key_mismatch_refused(spark, tmp_path, source):
     )
     with pytest.raises(ValueError, match="key"):
         Replicator(source, other)
+
+
+def test_schema_evolution_flows_through_replication(spark, tmp_path, source):
+    """Source adds a column and widens nothing vs the replica: a
+    replicate-all replica picks the new column up on the next sync;
+    a fixed-column replica ignores it."""
+    r_all = Replicator.create_replica(source, str(tmp_path / "rall"))
+    r_fixed = Replicator.create_replica(
+        source, str(tmp_path / "rfix"), columns=["v"]
+    )
+    source.add_columns([T.StructField("extra", T.StringType(), True)])
+    source.merge_mor(
+        spark.createDataFrame(
+            [("a", 11, "pa", "boom", "update"), ("z", 7, "pz", "zing", "insert")],
+            schema="k string, v long, payload string, extra string, op string",
+        )
+    )
+    r_all.sync()
+    r_fixed.sync()
+    got = {r["k"]: r.asDict() for r in r_all.replica.read().collect()}
+    assert got["a"]["extra"] == "boom" and got["z"]["extra"] == "zing"
+    assert got["b"]["extra"] is None  # pre-evolution rows null-fill
+    assert "extra" not in r_fixed.replica.read().columns
+    assert {r["k"]: r["v"] for r in r_fixed.replica.read().collect()}["z"] == 7
+
+
+def test_widened_column_widens_replica(spark, tmp_path):
+    narrow = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("n", T.IntegerType(), True),
+        ]
+    )
+    src = LakeTable.create(spark, str(tmp_path / "wsrc"), narrow, ["k"], n_buckets=2)
+    src.merge(
+        spark.createDataFrame([("a", 1, "insert")], schema="k string, n int, op string")
+    )
+    r = Replicator.create_replica(src, str(tmp_path / "wrep"))
+    src.widen_columns({"n": T.LongType()})
+    src.merge_mor(
+        spark.createDataFrame(
+            [("b", 2**40, "insert")], schema="k string, n long, op string"
+        )
+    )
+    r.sync()
+    got = {row["k"]: row["n"] for row in r.replica.read().collect()}
+    assert got == {"a": 1, "b": 2**40}
+    n_type = [f.dataType for f in r.replica.current_snapshot().schema.fields if f.name == "n"][0]
+    assert isinstance(n_type, T.LongType)
