@@ -1511,7 +1511,11 @@ def cdc_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN s.event_id IS NOT NULL THEN b.val + s.sval
                 ELSE b.val END AS val
     FROM base b LEFT JOIN src s USING (event_id)
-    WHERE s.event_id IS NULL OR s.sval >= 1.0
+    -- NOT coalesce(<cond>, FALSE), not 'sval >= 1.0': the engine's
+    -- clause guard treats a NULL condition as not-matching (Delta MERGE
+    -- semantics), so a NULL sval row falls through to the update and is
+    -- KEPT - the oracle must mirror that three-valued contract
+    WHERE s.event_id IS NULL OR NOT coalesce(s.sval < 1.0, FALSE)
     UNION ALL
     SELECT s.event_id, s.user_id, s.event_type AS etype, s.sval AS val
     FROM src s LEFT JOIN base b USING (event_id)

@@ -38,13 +38,24 @@ Design:
   from the old group, post-image adds to the new one) — both fall out of
   the union-of-signed-contributions shape rather than special cases.
 
+Exactness contract: the "incremental ≡ full recompute" invariant is
+bit-exact for integral measures (count, and sum/avg over integer
+columns — double storage is exact below 2^53). For sums of ARBITRARY
+doubles it holds only to floating-point associativity: ``old + Σpost −
+Σpre`` and a fresh single-pass sum can differ in the last ulp after
+retraction cycles. Consumers comparing such a view against a recompute
+should use a tolerance (or carry a decimal measure column); the shipped
+gate query aggregates integer LSNs, where equality is exact.
+
 Nothing here is a port: the reference recomputes its rollups from
 scratch per DAG run and has no incremental-view machinery.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
 from dataclasses import dataclass
 
@@ -52,7 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .table import LakeTable, bucket_expr
+from .table import LakeTable, bucket_expr, null_safe_join as _null_safe_join
 
 _KINDS = ("count", "sum", "avg", "min", "max")
 _RETRACTABLE = ("count", "sum", "avg")
@@ -128,7 +139,8 @@ class IncrementalAggView:
                 raise ValueError(f"agg column {s.col!r} not in base schema")
 
         fields = [
-            T.StructField(c, base_types[c].dataType, False) for c in group_cols
+            T.StructField(c, base_types[c].dataType, base_types[c].nullable)
+            for c in group_cols
         ]
         fields.append(T.StructField(cls._N, T.LongType(), False))
         for s in specs:
@@ -283,7 +295,7 @@ class IncrementalAggView:
         # every column the contribution rows carry, deduped (a group col
         # may double as an agg col)
         carry = gcols + [c for c in sorted(need) if c not in gcols]
-        base_keys = set(self.base.current_snapshot().key_cols)
+        base_keys = set(base_snap.key_cols)
         # projected changelog: the base's payload columns (content blobs)
         # must never ride the refresh shuffle
         ch = self.base.changes(
@@ -354,7 +366,7 @@ class IncrementalAggView:
             .collect()
         )
         stored = self.table.read_buckets(tb) if tb else self.table.read()
-        merged = delta.join(stored, on=gcols, how="left")
+        merged = _null_safe_join(delta, stored, gcols, "left")
 
         n_new = F.coalesce(F.col(self._N), F.lit(0)) + F.col("_dn")
         out_cols = [F.col(c) for c in gcols] + [n_new.alias(self._N)]
@@ -428,12 +440,16 @@ class IncrementalAggView:
                     if s.kind in ("min", "max")
                 ]
                 recomp = (
-                    self.base.read(snapshot=base_snap)
-                    .join(F.broadcast(dirty_groups), on=gcols, how="left_semi")
+                    _null_safe_join(
+                        self.base.read(snapshot=base_snap),
+                        F.broadcast(dirty_groups),
+                        gcols,
+                        "left_semi",
+                    )
                     .groupBy(*gcols)
                     .agg(*ext_aggs)
                 )
-                rows = rows.join(recomp, on=gcols, how="left")
+                rows = _null_safe_join(rows, recomp, gcols, "left")
                 fixed = []
                 for c in rows.columns:
                     if c.startswith("_rc_") or c.startswith("_dirty_"):
@@ -489,7 +505,7 @@ class IncrementalAggView:
         to = base_snap.snapshot_id
         fresh = self._full_storage(base_snap)
         stored_keys = self.table.read().select(*self.group_cols)
-        dead = stored_keys.join(fresh, on=self.group_cols, how="left_anti")
+        dead = _null_safe_join(stored_keys, fresh, self.group_cols, "left_anti")
         vcols = [c for c in fresh.columns if c not in self.group_cols]
         dead_rows = dead.select(
             *self.group_cols,

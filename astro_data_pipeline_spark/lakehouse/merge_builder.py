@@ -47,7 +47,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .table import LakeTable, bucket_expr
+from .table import LakeTable, bucket_expr, is_lossless_widening
 
 
 @dataclass(frozen=True)
@@ -121,7 +121,28 @@ class MergeBuilder:
         if missing:
             raise ValueError(f"source lacks merge key column(s) {missing}")
 
-        src = self.source.alias("s")
+        # conform source KEY types to the table BEFORE hashing/joining:
+        # bucket_expr is type-sensitive (xxhash64(int k) != xxhash64(bigint
+        # k)), so an unconformed narrower key would prune the wrong buckets
+        # and misclassify every existing key as NOT MATCHED — silently
+        # dropped updates and live rows overwritten by insert clauses
+        source = self.source
+        tbl_types = {f.name: f.dataType for f in cur.schema.fields}
+        for f in source.schema.fields:
+            if f.name in key_cols and f.dataType != tbl_types[f.name]:
+                if is_lossless_widening(f.dataType, tbl_types[f.name]):
+                    source = source.withColumn(
+                        f.name, F.col(f.name).cast(tbl_types[f.name])
+                    )
+                else:
+                    raise ValueError(
+                        f"source key column {f.name!r} has type "
+                        f"{f.dataType.simpleString()}, table expects "
+                        f"{tbl_types[f.name].simpleString()}: cast the "
+                        "source explicitly (a lossy implicit cast could "
+                        "silently merge under the wrong key)"
+                    )
+        src = source.alias("s")
         # bucket pruning: the clause join touches only the source's buckets
         tb = sorted(
             r[0]

@@ -104,9 +104,16 @@ class Replicator:
             raise FileNotFoundError(f"no committed snapshot at {source.root}")
         key_cols = list(src_snap.key_cols)
         fields = {f.name: f for f in src_snap.schema.fields}
-        vals = columns if columns is not None else [
+        src_vals = [
             f.name for f in src_snap.schema.fields if f.name not in key_cols
         ]
+        vals = columns if columns is not None else src_vals
+        # validate BEFORE touching disk: a bad column list must not leave
+        # a half-created replica directory behind (and an unknown name
+        # should be a ValueError, not a KeyError from the schema dict)
+        bad = [c for c in vals if c not in src_vals]
+        if bad:
+            raise ValueError(f"not source value column(s): {bad}")
         schema = T.StructType(
             [fields[k] for k in key_cols] + [fields[c] for c in vals]
         )

@@ -216,6 +216,32 @@ def bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
 _WIDEN_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+def null_safe_join(
+    left: DataFrame, right: DataFrame, cols: list[str], how: str
+) -> DataFrame:
+    """Join on ``cols`` with NULL-safe key equality (``<=>``): a NULL
+    key/group value is legitimate (the merge path matches NULL keys via
+    eqNullSafe; SQL GROUP BY groups NULLs together), so every
+    state-maintenance join must match it too — a plain USING join would
+    classify each NULL-key row as brand-new and silently reset or drop
+    its stored state. For non-semi joins the key columns are kept from
+    the LEFT side; the two sides' non-key column names must be
+    disjoint. ``<=>`` is still an equi-join key for the planner (no
+    fallback to a nested-loop join)."""
+    l, r = left.alias("_l"), right.alias("_r")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}")) for c in cols],
+    )
+    j = l.join(r, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return j
+    keep = [F.col(f"_l.{c}").alias(c) for c in cols]
+    keep += [F.col(f"_l.{c}").alias(c) for c in left.columns if c not in cols]
+    keep += [F.col(f"_r.{c}").alias(c) for c in right.columns if c not in cols]
+    return j.select(*keep)
+
+
 def is_lossless_widening(old_t: T.DataType, new_t: T.DataType) -> bool:
     if isinstance(old_t, _WIDEN_INTEGRAL) and isinstance(new_t, _WIDEN_INTEGRAL):
         return _WIDEN_INTEGRAL.index(type(old_t)) < _WIDEN_INTEGRAL.index(type(new_t))
@@ -1072,7 +1098,10 @@ class LakeTable:
         else:
             prior = prior_scan.select(*key_cols).withColumn("_existed", F.lit(True))
         out = (
-            net.join(prior, on=key_cols, how="left")
+            # null-safe: a NULL merge key's prior row must match (same
+            # contract as the merge join), else its delete is classified
+            # 'insert' and silently dropped from the changelog
+            null_safe_join(net, prior, key_cols, "left")
             .withColumn(
                 "change_type",
                 F.when(F.col("_dead") & F.col("_existed").isNotNull(), "delete")

@@ -129,6 +129,12 @@ def stream_replay_available_now(
         .start()
     )
     q.awaitTermination()
+    # post-drain catch-up: "healed by the next epoch" needs a next epoch —
+    # a restart after a crash between the final base commit and its view
+    # refresh may find NO new files (zero epochs fire), so sweep once
+    # after the drain; a current view no-ops here (one snapshot compare)
+    for v in views or ():
+        v.refresh()
     return reports
 
 

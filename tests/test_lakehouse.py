@@ -556,3 +556,34 @@ def test_lineage_empty_before_first_merge(table):
     df = table.lineage()
     assert df.count() == 0
     assert "snapshot_id" in df.columns
+
+
+def test_changes_null_key_classified_and_preimaged(spark, tmp_path):
+    """NULL merge keys flow through the changelog like any other key:
+    the existence probe joins null-safely, so a delete of a NULL-key row
+    is a 'delete' (not a dropped phantom 'insert') and its pre-image
+    surfaces."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "nk"), schema, ["k"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame(
+            [(None, 1, "insert"), ("a", 2, "insert")],
+            schema="k string, v long, op string",
+        )
+    )
+    s1 = t.current_snapshot().snapshot_id
+    t.merge_mor(
+        spark.createDataFrame(
+            [(None, None, "delete"), ("a", 20, "update")],
+            schema="k string, v long, op string",
+        )
+    )
+    ch = {r["k"]: r for r in t.changes(s1, with_preimage=True).collect()}
+    assert ch[None]["change_type"] == "delete"
+    assert ch[None]["_pre_v"] == 1
+    assert ch["a"]["change_type"] == "update" and ch["a"]["_pre_v"] == 2

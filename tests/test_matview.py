@@ -232,3 +232,56 @@ def test_matview_incremental_equals_rebuilt_reference(spark, tmp_path, base):
         spark, str(view.root) + "-fresh", base, ["grp"], SPECS, n_buckets=4
     )
     assert _rows(view.read()) == _rows(fresh.read())
+
+
+def test_null_group_keeps_stored_state(spark, tmp_path):
+    """A NULL group value is a legitimate group (SQL GROUP BY semantics):
+    the maintenance joins must MATCH it against stored state — a
+    null-unsafe join would treat every NULL-group delta as a brand-new
+    group and silently reset its aggregates."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    base = LakeTable.create(spark, str(tmp_path / "nb"), schema, ["k"], n_buckets=2)
+    base.merge(
+        spark.createDataFrame(
+            [("a", None, 1, "insert"), ("b", None, 2, "insert"), ("c", "g", 3, "insert")],
+            schema="k string, grp string, v long, op string",
+        )
+    )
+    view = IncrementalAggView.create(
+        spark,
+        str(tmp_path / "nmv"),
+        base,
+        ["grp"],
+        [AggSpec("count", None, "n"), AggSpec("sum", "v", "sv"), AggSpec("max", "v", "mx")],
+        n_buckets=2,
+    )
+    # NULL group accumulates, not resets
+    base.merge_mor(
+        spark.createDataFrame(
+            [("d", None, 10, "insert")], schema="k string, grp string, v long, op string"
+        )
+    )
+    view.refresh()
+    _assert_consistent(view)
+    got = {r["grp"]: r for r in view.read().collect()}
+    assert got[None]["n"] == 3 and got[None]["sv"] == 13
+    # delete the NULL group's max (dirty rescan must match the NULL group too)
+    base.merge_mor(
+        spark.createDataFrame(
+            [("d", None, None, "delete")], schema="k string, grp string, v long, op string"
+        )
+    )
+    view.refresh()
+    _assert_consistent(view)
+    got = {r["grp"]: r for r in view.read().collect()}
+    assert got[None]["n"] == 2 and got[None]["mx"] == 2
+    # full rebuild's dead-group anti-join must also be null-safe
+    reloaded = IncrementalAggView.load(spark, str(tmp_path / "nmv"))
+    reloaded.refresh(full=True)
+    _assert_consistent(reloaded)

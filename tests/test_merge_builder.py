@@ -121,3 +121,37 @@ def test_source_missing_key_raises(spark, table):
     bad = spark.createDataFrame([(1,)], schema="v long")
     with pytest.raises(ValueError, match="merge key"):
         table.merge_builder(bad).when_not_matched_insert().execute()
+
+
+def test_narrow_source_key_type_is_conformed(spark, tmp_path):
+    """bucket_expr is type-sensitive: an int32 source key over a bigint
+    table must be cast BEFORE hashing, else existing keys prune the wrong
+    buckets and every match is silently classified NOT MATCHED."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), False), T.StructField("v", T.LongType(), True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "kt"), schema, ["id"], n_buckets=8)
+    t.merge(
+        spark.createDataFrame([(1, 10), (2, 20)], schema="id long, v long")
+        .withColumn("op", F.lit("insert"))
+    )
+    narrow_src = spark.createDataFrame([(1, 111), (3, 333)], schema="id int, v long")
+    t.merge_builder(narrow_src).when_matched_update(
+        set={"v": F.col("s.v")}
+    ).when_not_matched_insert().execute()
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 111, 2: 20, 3: 333}
+
+
+def test_incompatible_source_key_type_refused(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), False), T.StructField("v", T.LongType(), True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "kt2"), schema, ["id"], n_buckets=4)
+    t.merge(
+        spark.createDataFrame([(1, 10)], schema="id long, v long")
+        .withColumn("op", F.lit("insert"))
+    )
+    stringy = spark.createDataFrame([("1", 5)], schema="id string, v long")
+    with pytest.raises(ValueError, match="key column"):
+        t.merge_builder(stringy).when_not_matched_insert().execute()

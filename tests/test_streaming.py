@@ -587,3 +587,53 @@ def test_stream_maintains_incremental_matview(spark, tmp_path, fixture_meta):
     )
     assert view.table.current_snapshot().snapshot_id == view_snap
     assert _rows(view.read()) == _rows(view.full_compute())
+
+
+def test_stream_view_catches_up_after_crash_between_commit_and_refresh(
+    spark, tmp_path, fixture_meta
+):
+    """Crash window: the base commit landed but the view refresh did not
+    (process died between them). On restart the stream may find ZERO new
+    files — no epoch fires — so the post-drain sweep must still bring
+    the view current."""
+    from pyspark.sql import functions as F
+
+    from astro_data_pipeline_spark.lakehouse.matview import (
+        AggSpec,
+        IncrementalAggView,
+    )
+
+    table = _new_table(spark, tmp_path)
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "mv"), table, ["repo"],
+        [AggSpec("count", None, "n_files")], n_buckets=4,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream_replay_available_now(
+        spark, _glob(fixture_meta), table, ckpt, run_id="cw-1", views=[view]
+    )
+    # simulate the crash window: a base commit with NO view refresh
+    table.merge_mor(
+        spark.createDataFrame(
+            [("crashrepo", "f.py", "c1", "py", "x", "sha", 10**9, None)],
+            schema=("repo string, path string, commit string, lang string, "
+                    "content string, content_sha256 string, last_lsn long, "
+                    "lang_meta string"),
+        ).withColumn("op", F.lit("insert")),
+        summary={"batch_id": "crash-sim"},
+    )
+    # restart over the same checkpoint: no new WAL files, zero epochs
+    stream_replay_available_now(
+        spark, _glob(fixture_meta), table, ckpt, run_id="cw-2", views=[view]
+    )
+    got = {r["repo"]: r["n_files"] for r in view.read().collect()}
+    assert got.get("crashrepo") == 1
+
+    def _rows(df):
+        cols = sorted(df.columns)
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert _rows(view.read()) == _rows(view.full_compute())
