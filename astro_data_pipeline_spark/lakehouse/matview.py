@@ -425,13 +425,20 @@ class IncrementalAggView:
                     f_ = F.col(f"_dirty_{s.alias}")
                     any_dirty = f_ if any_dirty is None else (any_dirty | f_)
             dirty_groups = rows.filter(any_dirty).select(*gcols)
-            n_dirty = dirty_groups.count()
+            # rows is pinned, so this collect reads local blocks; the
+            # dirty set is bounded by the batch's changed groups
+            dirty_vals = dirty_groups.collect()
+            n_dirty = len(dirty_vals)
             if n_dirty:
-                # recompute extremes for dirty groups only; the semi-join
-                # prunes the base scan to their rows when the base is
-                # clustered on the group dimension, else it is a filtered
-                # full scan of the base — the honest cost of non-monotone
-                # retraction
+                # recompute extremes for dirty groups only. Small dirty
+                # sets (the common case — a retraction must TIE a stored
+                # extreme) compile to a LITERAL predicate, which pushes to
+                # the parquet scan: on a base cluster_by'd on the group
+                # dimension, file/row-group min-max stats skip everything
+                # else, so the rescan reads ~the dirty groups' rows. Large
+                # dirty sets fall back to a broadcast semi-join (runtime
+                # filtering, no pushdown) — the honest full-scan cost of
+                # mass retraction.
                 ext_aggs = [
                     (F.min(s.col) if s.kind == "min" else F.max(s.col)).alias(
                         f"_rc_{s.alias}"
@@ -439,16 +446,36 @@ class IncrementalAggView:
                     for s in self.specs
                     if s.kind in ("min", "max")
                 ]
-                recomp = (
-                    _null_safe_join(
-                        self.base.read(snapshot=base_snap),
-                        F.broadcast(dirty_groups),
-                        gcols,
-                        "left_semi",
+                base_rows = self.base.read(snapshot=base_snap)
+                if n_dirty <= 1000:
+                    if len(gcols) == 1:
+                        g = gcols[0]
+                        vals = [r[g] for r in dirty_vals]
+                        non_null = [v for v in vals if v is not None]
+                        pred = F.col(g).isin(non_null) if non_null else F.lit(False)
+                        if len(non_null) < len(vals):  # NULL group is dirty
+                            pred = pred | F.col(g).isNull()
+                        pruned = base_rows.filter(pred)
+                    else:
+                        pred = functools.reduce(
+                            operator.or_,
+                            [
+                                functools.reduce(
+                                    operator.and_,
+                                    [
+                                        F.col(g).eqNullSafe(F.lit(r[g]))
+                                        for g in gcols
+                                    ],
+                                )
+                                for r in dirty_vals
+                            ],
+                        )
+                        pruned = base_rows.filter(pred)
+                else:
+                    pruned = _null_safe_join(
+                        base_rows, F.broadcast(dirty_groups), gcols, "left_semi"
                     )
-                    .groupBy(*gcols)
-                    .agg(*ext_aggs)
-                )
+                recomp = pruned.groupBy(*gcols).agg(*ext_aggs)
                 rows = _null_safe_join(rows, recomp, gcols, "left")
                 fixed = []
                 for c in rows.columns:

@@ -285,3 +285,27 @@ def test_null_group_keeps_stored_state(spark, tmp_path):
     reloaded = IncrementalAggView.load(spark, str(tmp_path / "nmv"))
     reloaded.refresh(full=True)
     _assert_consistent(reloaded)
+
+
+def test_multi_column_group_with_dirty_rescan(spark, tmp_path, base):
+    """Two group columns (repo is a base key col, grp a value col): the
+    contribution union, stored join, and the multi-column literal
+    dirty-rescan predicate must all compose."""
+    view = IncrementalAggView.create(
+        spark,
+        str(tmp_path / "mv2"),
+        base,
+        ["repo", "grp"],
+        [AggSpec("count", None, "n"), AggSpec("max", "v", "mx")],
+        n_buckets=4,
+    )
+    base.merge_mor(_up(spark, [("r1", "c", "g1", 7, 1.0, "insert")]))
+    view.refresh()
+    _assert_consistent(view)
+    # delete (r1,g1)'s max row -> dirty rescan on a two-column group
+    base.merge_mor(_up(spark, [("r1", "b", None, None, None, "delete")]))
+    stats = view.refresh()
+    assert stats["dirty_rescans"] >= 1
+    _assert_consistent(view)
+    got = {(r["repo"], r["grp"]): r["mx"] for r in view.read().collect()}
+    assert got[("r1", "g1")] == 10
