@@ -123,6 +123,12 @@ class Snapshot:
     # refuses it until a rebucket rewrites every file). Carried forward
     # commit-over-commit, so it survives snapshot expiry.
     dropped_cols: list[str] = field(default_factory=list)
+    # active clustering spec ({"cols", "target_rows_per_file",
+    # "zorder_bits"} or None): set by cluster_by, carried forward so
+    # MAINTENANCE rewrites (compact, rebucket) keep restoring the sort
+    # instead of silently degrading data skipping; cleared when a spec
+    # column is dropped.
+    cluster_spec: dict | None = None
     # per-BASE-file column min/max for planning-time scan pruning
     # (Iceberg-manifest / Delta data-skipping analog): rel path ->
     # {col: {"min","max"[,"nan_hidden"]} | {"allnull": True}}. Entries
@@ -153,6 +159,7 @@ class Snapshot:
             files=self.files,
             delta_files=self.delta_files,
             dropped_cols=self.dropped_cols,
+            cluster_spec=self.cluster_spec,
             file_stats=self.file_stats,
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
@@ -172,6 +179,7 @@ class Snapshot:
             "timestamp_ms": self.timestamp_ms,
             "delta_files": self.delta_files,
             "dropped_cols": self.dropped_cols,
+            "cluster_spec": self.cluster_spec,
             "file_stats": self.file_stats,
         }
 
@@ -188,6 +196,7 @@ class Snapshot:
             timestamp_ms=d.get("timestamp_ms", 0),
             delta_files=d.get("delta_files", {}),
             dropped_cols=d.get("dropped_cols", []),
+            cluster_spec=d.get("cluster_spec"),
             file_stats=d.get("file_stats", {}),
         )
 
@@ -1287,9 +1296,15 @@ class LakeTable:
         if not [f for f in cur.schema.fields if f.name not in doomed and f.name not in cur.key_cols]:
             raise ValueError("cannot drop every value column")
         schema = T.StructType([f for f in cur.schema.fields if f.name not in doomed])
+        keeps_cluster = not (
+            cur.cluster_spec and set(cur.cluster_spec["cols"]) & doomed
+        )
         snap = cur.child(
             snapshot_id=self._alloc_commit_id(cur),
             schema_json=schema.jsonValue(),
+            # dropping a clustered column retires the spec: maintenance
+            # rewrites must not sort by a name scans can no longer read
+            cluster_spec=cur.cluster_spec if keeps_cluster else None,
             dropped_cols=sorted(set(cur.dropped_cols) | doomed),
             # stats for a dropped name are dead weight (read_between
             # validates against the current schema) — strip them
@@ -1424,7 +1439,14 @@ class LakeTable:
         rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
         (
-            result.repartition(n_buckets, F.col(BUCKET_COL))
+            (
+                result.repartition(n_buckets, F.col(BUCKET_COL))
+                .sortWithinPartitions(
+                    F.col(BUCKET_COL), self._cluster_sort_key(cur, cur.cluster_spec)
+                )
+                if cur.cluster_spec
+                else result.repartition(n_buckets, F.col(BUCKET_COL))
+            )
             .write.options(**self._write_opts(cur))
             .partitionBy(BUCKET_COL)
             .mode("overwrite")
@@ -1943,8 +1965,21 @@ class LakeTable:
         )
         rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
+        writer = resolved
+        opts = dict(self._write_opts(cur))
+        spec = cur.cluster_spec
+        if spec:
+            # maintain the active clustering through compaction: one
+            # within-partition sort on the already-bucket-fused stream
+            # (no extra shuffle) keeps file/row-group min-max stats tight
+            # instead of silently degrading data skipping until the next
+            # manual OPTIMIZE
+            writer = resolved.sortWithinPartitions(
+                F.col(BUCKET_COL), self._cluster_sort_key(cur, spec)
+            )
+            opts["maxRecordsPerFile"] = str(spec["target_rows_per_file"])
         (
-            resolved.write.options(**self._write_opts(cur))
+            writer.write.options(**opts)
             .partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
@@ -1978,6 +2013,14 @@ class LakeTable:
         )
         self._publish(snap, expected_head=cur.snapshot_id)
         return snap
+
+    def _cluster_sort_key(self, cur: Snapshot, spec: dict) -> F.Column:
+        """Sort key for the active cluster spec: the column itself for
+        one dimension, the Morton z-value for several."""
+        cols = list(spec["cols"])
+        if len(cols) == 1:
+            return F.col(cols[0])
+        return self._zorder_expr(cur, cols, int(spec.get("zorder_bits", 8)))
 
     def _zorder_expr(self, cur: Snapshot, cols: list[str], bits: int) -> F.Column:
         """Z-value (Morton interleave) over rank-normalized dimensions.
@@ -2107,6 +2150,11 @@ class LakeTable:
             snapshot_id=commit_id,
             files=new_files,
             delta_files={},
+            cluster_spec={
+                "cols": cols,
+                "target_rows_per_file": target_rows_per_file,
+                "zorder_bits": zorder_bits,
+            },
             file_stats=_stats.collect_file_stats(self.root, new_rels, cur.schema),
             summary={
                 "operation": "cluster",

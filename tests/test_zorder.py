@@ -97,3 +97,51 @@ def test_zorder_sound_under_mor_update(spark, table):
     # but deltas never prune — the range scan must still find it
     got = table.read_between("x", 990, 1000).select("k", "x").collect()
     assert [(r["k"], r["x"]) for r in got] == [(7, 999)]
+
+
+def test_compact_maintains_cluster_spec(spark, tmp_path):
+    """cluster_by persists a spec; a later MoR merge + compact must
+    restore the sort (tight per-file stats) instead of silently
+    degrading data skipping, and the spec must survive in the snapshot
+    chain. Dropping a clustered column retires the spec."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("x", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "cm"), schema, ["k"], n_buckets=2)
+    rows = [(i, i * 10, f"x{i}") for i in range(4000)]
+    t.merge(
+        spark.createDataFrame(rows, "k long, ts long, x string")
+        .withColumn("op", F.lit("insert"))
+    )
+    t.cluster_by("ts", 500)
+    assert t.current_snapshot().cluster_spec["cols"] == ["ts"]
+    # dirty the table, then compact: clustering must be restored
+    t.merge_mor(
+        spark.createDataFrame(
+            [(i, i * 10 + 1, "upd") for i in range(0, 4000, 7)],
+            "k long, ts long, x string",
+        ).withColumn("op", F.lit("update"))
+    )
+    t.compact()
+    snap = t.current_snapshot()
+    assert snap.cluster_spec["cols"] == ["ts"]  # carried through compact
+    assert not any(snap.delta_files.values())
+    rep = t.prune_report("ts", lo=100, hi=200)
+    assert rep["pruned"] > 0  # post-compact files are value-tight again
+    # correctness unaffected
+    got = t.read().filter((F.col("ts") >= 100) & (F.col("ts") <= 200)).count()
+    assert got == spark.createDataFrame(rows, "k long, ts long, x string").filter(
+        "ts between 100 and 200"
+    ).count()
+    # dropping the clustered column retires the spec
+    t.drop_columns(["ts"])
+    assert t.current_snapshot().cluster_spec is None
