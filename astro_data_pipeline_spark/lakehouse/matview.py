@@ -102,12 +102,20 @@ class IncrementalAggView:
     _SCOPE = "mv-refresh"
 
     def __init__(
-        self, spark: SparkSession, root: str, base: LakeTable, specs: list[AggSpec]
+        self,
+        spark: SparkSession,
+        root: str,
+        base: LakeTable,
+        specs: list[AggSpec],
+        write_mode: str = "cow",
     ):
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write_mode {write_mode!r}")
         self.spark = spark
         self.root = root
         self.base = base
         self.specs = specs
+        self.write_mode = write_mode
         self.table = LakeTable.load(spark, root)
         self.group_cols = list(self.table.current_snapshot().key_cols)
 
@@ -122,10 +130,18 @@ class IncrementalAggView:
         group_cols: list[str],
         specs: list[AggSpec],
         n_buckets: int = 8,
+        write_mode: str = "cow",
     ) -> "IncrementalAggView":
         """Create the view table and seed it with a FULL computation at
         the base's current snapshot (the one O(base) pass the view ever
-        makes outside dirty-extreme rescans)."""
+        makes outside dirty-extreme rescans).
+
+        ``write_mode``: how refreshes commit. ``cow`` (default) rewrites
+        touched view buckets — read-optimal, right for a leaf view.
+        ``mor`` appends refresh deltas, which keeps the view's own
+        row-level changelog alive: ``changes()`` works across refreshes,
+        so REPLICAS AND FURTHER VIEWS can stack on this one (cascaded
+        incremental maintenance); compact the view on your own cadence."""
         aliases = [s.alias for s in specs]
         if len(set(aliases)) != len(aliases):
             raise ValueError("duplicate agg aliases")
@@ -165,10 +181,11 @@ class IncrementalAggView:
             "base_root": base.root,
             "group_cols": group_cols,
             "specs": [{"kind": s.kind, "col": s.col, "alias": s.alias} for s in specs],
+            "write_mode": write_mode,
         }
         with open(os.path.join(root, cls._META), "w") as f:
             json.dump(meta, f)
-        view = cls(spark, root, base, specs)
+        view = cls(spark, root, base, specs, write_mode=write_mode)
         state = view._full_storage(base_snap)
         view.table.merge(
             state.withColumn("op", F.lit("insert")),
@@ -189,7 +206,9 @@ class IncrementalAggView:
         if base is None:
             base = LakeTable.load(spark, meta["base_root"])
         specs = [AggSpec(**d) for d in meta["specs"]]
-        return cls(spark, root, base, specs)
+        return cls(
+            spark, root, base, specs, write_mode=meta.get("write_mode", "cow")
+        )
 
     def last_refresh_to(self) -> int:
         """The base snapshot id the view is current through — read from
@@ -508,17 +527,21 @@ class IncrementalAggView:
         rows = rows.withColumn(
             "op", F.when(F.col(self._N) <= 0, "delete").otherwise("upsert")
         )
-        _, metrics = self.table.merge(
-            rows,
-            summary={
-                "batch_id": batch_id,
-                "run_scope": self._SCOPE,
-                "mv_refresh_to": to,
-            },
+        refresh_summary = {
+            "batch_id": batch_id,
+            "run_scope": self._SCOPE,
+            "mv_refresh_to": to,
+        }
+        if self.write_mode == "mor":
+            # delta-append refresh: the view keeps its own changelog so
+            # cascaded consumers (replicas, views-over-views) can follow
+            _, metrics = self.table.merge_mor(rows, summary=refresh_summary)
+        else:
             # the groups the merge touches are exactly the delta's groups,
             # whose buckets the stored-state read already collected
-            touched_buckets=tb,
-        )
+            _, metrics = self.table.merge(
+                rows, summary=refresh_summary, touched_buckets=tb
+            )
         return {
             "from": frm,
             "to": to,
@@ -541,7 +564,8 @@ class IncrementalAggView:
         # _mv_n is non-null in the schema; deletes only need the key but
         # merge aligns to the table schema — null-fill is fine for deletes
         up = fresh.withColumn("op", F.lit("upsert"))
-        _, metrics = self.table.merge(
+        fn = self.table.merge_mor if self.write_mode == "mor" else self.table.merge
+        _, metrics = fn(
             up.unionByName(dead_rows, allowMissingColumns=True),
             summary={
                 "batch_id": f"mv:full->{to}",

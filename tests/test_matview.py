@@ -309,3 +309,35 @@ def test_multi_column_group_with_dirty_rescan(spark, tmp_path, base):
     _assert_consistent(view)
     got = {(r["repo"], r["grp"]): r["mx"] for r in view.read().collect()}
     assert got[("r1", "g1")] == 10
+
+
+def test_cascaded_consumers_over_mor_view(spark, tmp_path, base):
+    """A view refreshed in MoR mode keeps its own changelog, so further
+    incremental consumers can stack on it: base -> matview(mor) ->
+    replica-of-the-view, each hop syncing through its own ledger."""
+    from astro_data_pipeline_spark.lakehouse import Replicator
+
+    view = IncrementalAggView.create(
+        spark,
+        str(tmp_path / "mvm"),
+        base,
+        ["grp"],
+        [AggSpec("count", None, "n_rows"), AggSpec("sum", "v", "sum_v")],
+        n_buckets=4,
+        write_mode="mor",
+    )
+    rep = Replicator.create_replica(view.table, str(tmp_path / "vrep"))
+    # two cycles incl. a group death
+    base.merge_mor(_up(spark, [("r7", "x", "g7", 70, 1.0, "insert")]))
+    view.refresh()
+    rep.sync()
+    base.merge_mor(_up(spark, [("r3", "a", None, None, None, "delete")]))
+    view.refresh()
+    rep.sync()
+    _assert_consistent(view)
+    assert _rows(rep.replica.read()) == _rows(view.table.read())
+    got = {r["grp"]: r for r in view.read().collect()}
+    assert got["g7"]["n_rows"] == 1
+    assert "g3" not in got
+    # reload keeps the mode
+    assert IncrementalAggView.load(spark, str(tmp_path / "mvm")).write_mode == "mor"
