@@ -138,6 +138,9 @@ def _file_stats(path: str, columns: set[str], nan_cols: set[str]) -> dict[str, d
         elif nulls[c][1] > 0 and nulls[c][0] == nulls[c][1]:
             # provably every value is NULL: any range predicate prunes it
             out[c] = {"allnull": True}
+    # file row count (footer metadata, free here): lets COUNT(*) on a
+    # delta-free snapshot answer from the manifest with zero file opens
+    out["_n_rows"] = {"n": int(md.num_rows)}
     return out
 
 
@@ -148,8 +151,10 @@ def collect_file_stats(
     Unreadable files or columns degrade to ABSENT entries (unprunable),
     never to wrong bounds."""
     cols = set(eligible_stats_cols(schema))
-    if not cols or not rel_paths:
+    if not rel_paths:
         return {}
+    # zero eligible range columns still collects row counts ({} cols is
+    # fine for _file_stats); row_count() depends on every file having one
     nan_cols = {
         f.name
         for f in schema.fields

@@ -1499,6 +1499,30 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def row_count(self, snapshot: Snapshot | None = None) -> int | None:
+        """Metadata-only ``COUNT(*)`` (Iceberg answers it from manifests;
+        at 10^5-10^6 files a distributed count job for a number the
+        footers already know is a metadata storm). Exact when the
+        snapshot is delta-free — every base row is live and unique by
+        key — and every referenced file carries a recorded footer count.
+        Returns None (caller falls back to ``read().count()``) when MoR
+        deltas exist (upsert-vs-insert is unknowable without resolving)
+        or any file predates row-count stats: None means "don't know",
+        never an approximation."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        if any(snap.delta_files.values()):
+            return None
+        total = 0
+        for paths in snap.files.values():
+            for p in paths:
+                ent = snap.file_stats.get(p, {}).get("_n_rows")
+                if ent is None:
+                    return None
+                total += int(ent["n"])
+        return total
+
     def delete_where(
         self, predicate: F.Column, mode: str = "mor", summary: dict | None = None
     ) -> tuple["Snapshot", dict]:

@@ -63,7 +63,9 @@ def test_stats_collected_on_commit(table):
     all_files = [p for fs in snap.files.values() for p in fs]
     assert all_files and set(snap.file_stats) == set(all_files)
     for entry in snap.file_stats.values():
-        assert set(entry) == {"id", "v", "ts"}  # strings are ineligible
+        # strings are ineligible for range stats; _n_rows is the
+        # file-level footer row count every entry now carries
+        assert set(entry) == {"id", "v", "ts", "_n_rows"}
         assert entry["id"]["min"] <= entry["id"]["max"]
         assert entry["v"].get("nan_hidden") is True  # double: NaN-unsafe max
         assert "nan_hidden" not in entry["id"]  # long: full two-sided prune
@@ -225,3 +227,33 @@ def test_compact_refreshes_stats(spark, table):
     # the folded-in update is visible to stats-pruned scans
     got = {r["id"]: r["v"] for r in table.read_between("v", -10.0, -1.0).collect()}
     assert got == {1: -5.0}
+
+
+def test_row_count_from_manifest(spark, tmp_path):
+    """Metadata-only COUNT(*): exact on a delta-free snapshot, None (not
+    a guess) while MoR deltas exist, exact again after compaction."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType(), True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "rc"), schema, ["k"], n_buckets=4)
+    t.merge(
+        spark.createDataFrame([(i, f"v{i}") for i in range(500)], "k long, v string")
+        .withColumn("op", F.lit("insert"))
+    )
+    assert t.row_count() == 500 == t.read().count()
+    # MoR deltas: upsert-vs-insert unknown -> None, never an approximation
+    t.merge_mor(
+        spark.createDataFrame([(1, "u"), (900, "n")], "k long, v string")
+        .withColumn("op", F.lit("update"))
+    )
+    assert t.row_count() is None
+    t.compact()
+    assert t.row_count() == 501 == t.read().count()
+    # deletes through the CoW path keep it exact
+    t.delete_where(F.col("k") < 100, mode="cow")
+    assert t.row_count() == 401 == t.read().count()
