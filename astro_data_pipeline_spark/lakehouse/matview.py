@@ -145,6 +145,10 @@ class IncrementalAggView:
         aliases = [s.alias for s in specs]
         if len(set(aliases)) != len(aliases):
             raise ValueError("duplicate agg aliases")
+        if write_mode not in ("cow", "mor"):
+            # validate BEFORE touching disk: failing in __init__ after
+            # LakeTable.create leaves an orphaned half-initialized view
+            raise ValueError(f"unknown write_mode {write_mode!r}")
         base_snap = base.current_snapshot()
         base_types = {f.name: f for f in base_snap.schema.fields}
         for c in group_cols:
@@ -444,10 +448,15 @@ class IncrementalAggView:
                     f_ = F.col(f"_dirty_{s.alias}")
                     any_dirty = f_ if any_dirty is None else (any_dirty | f_)
             dirty_groups = rows.filter(any_dirty).select(*gcols)
-            # rows is pinned, so this collect reads local blocks; the
-            # dirty set is bounded by the batch's changed groups
-            dirty_vals = dirty_groups.collect()
-            n_dirty = len(dirty_vals)
+            # rows is pinned, so this reads local blocks — but cap the
+            # collect: a MASS retraction could have millions of dirty
+            # groups, and the literal-predicate path only wants ≤1000;
+            # limit(1001) proves which side we're on without ever
+            # materializing an unbounded set on the driver
+            dirty_vals = dirty_groups.limit(1001).collect()
+            n_dirty = (
+                len(dirty_vals) if len(dirty_vals) <= 1000 else dirty_groups.count()
+            )
             if n_dirty:
                 # recompute extremes for dirty groups only. Small dirty
                 # sets (the common case — a retraction must TIE a stored

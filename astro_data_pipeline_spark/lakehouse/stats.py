@@ -81,7 +81,9 @@ def encode_bound(val):
     return None  # unsupported type — unknown, never wrong
 
 
-def _file_stats(path: str, columns: set[str], nan_cols: set[str]) -> dict[str, dict]:
+def _file_stats(
+    path: str, columns: set[str], nan_cols: set[str], record_count: bool = True
+) -> dict[str, dict]:
     """Aggregate one parquet file's row-group stats per column. Returns
     {col: {"min": x, "max": x[, "nan_hidden": True]} | {"allnull": True}};
     a column is simply absent when its range is unknown.
@@ -139,8 +141,12 @@ def _file_stats(path: str, columns: set[str], nan_cols: set[str]) -> dict[str, d
             # provably every value is NULL: any range predicate prunes it
             out[c] = {"allnull": True}
     # file row count (footer metadata, free here): lets COUNT(*) on a
-    # delta-free snapshot answer from the manifest with zero file opens
-    out["_n_rows"] = {"n": int(md.num_rows)}
+    # delta-free snapshot answer from the manifest with zero file opens.
+    # Skipped when a REAL column claims the name — clobbering its range
+    # entry would crash every pruning read of that column; the table just
+    # loses the fast count (row_count() returns None for it).
+    if record_count:
+        out["_n_rows"] = {"n": int(md.num_rows)}
     return out
 
 
@@ -154,7 +160,9 @@ def collect_file_stats(
     if not rel_paths:
         return {}
     # zero eligible range columns still collects row counts ({} cols is
-    # fine for _file_stats); row_count() depends on every file having one
+    # fine for _file_stats); row_count() depends on every file having one.
+    # A user column named "_n_rows" owns the name — no count recorded.
+    record_count = "_n_rows" not in {f.name for f in schema.fields}
     nan_cols = {
         f.name
         for f in schema.fields
@@ -163,7 +171,9 @@ def collect_file_stats(
 
     def one(rel: str) -> tuple[str, dict]:
         try:
-            return rel, _file_stats(os.path.join(root, rel), cols, nan_cols)
+            return rel, _file_stats(
+                os.path.join(root, rel), cols, nan_cols, record_count=record_count
+            )
         except Exception:
             return rel, {}
 

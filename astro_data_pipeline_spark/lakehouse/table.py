@@ -1438,16 +1438,22 @@ class LakeTable:
         )
         rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
-        (
-            (
-                result.repartition(n_buckets, F.col(BUCKET_COL))
-                .sortWithinPartitions(
-                    F.col(BUCKET_COL), self._cluster_sort_key(cur, cur.cluster_spec)
-                )
-                if cur.cluster_spec
-                else result.repartition(n_buckets, F.col(BUCKET_COL))
+        opts = dict(self._write_opts(cur))
+        writer = result.repartition(n_buckets, F.col(BUCKET_COL))
+        if cur.cluster_spec:
+            # keep the active clustering true through the spec change:
+            # same sort AND the same file-size split — one wide sorted
+            # file per bucket would leave every file spanning the whole
+            # value range (zero data skipping) while the spec still
+            # claimed clustering
+            writer = writer.sortWithinPartitions(
+                F.col(BUCKET_COL), self._cluster_sort_key(cur, cur.cluster_spec)
             )
-            .write.options(**self._write_opts(cur))
+            opts["maxRecordsPerFile"] = str(
+                cur.cluster_spec["target_rows_per_file"]
+            )
+        (
+            writer.write.options(**opts)
             .partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
@@ -1513,6 +1519,9 @@ class LakeTable:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
         if any(snap.delta_files.values()):
+            return None
+        if any(f.name == "_n_rows" for f in snap.schema.fields):
+            # a real column owns the stats key; no counts were recorded
             return None
         total = 0
         for paths in snap.files.values():
@@ -1733,9 +1742,22 @@ class LakeTable:
             out_dir = os.path.join(self.root, rel_dir)
             # co-locate buckets before the partitioned write: one shuffle,
             # files land one-per-bucket-per-task
+            writer = result.repartition(len(touched), F.col(BUCKET_COL))
+            write_opts = dict(self._write_opts(cur))
+            if cur.cluster_spec:
+                # a CoW rewrite of a touched bucket is delta-free, so
+                # compact will never revisit it — restore the cluster sort
+                # HERE or those buckets lose data skipping until a manual
+                # re-cluster (the sort is a local add-on to a rewrite
+                # already being paid for; boundaries are spec literals)
+                writer = writer.sortWithinPartitions(
+                    F.col(BUCKET_COL), self._cluster_sort_key(cur, cur.cluster_spec)
+                )
+                write_opts["maxRecordsPerFile"] = str(
+                    cur.cluster_spec["target_rows_per_file"]
+                )
             (
-                result.repartition(len(touched), F.col(BUCKET_COL))
-                .write.options(**self._write_opts(cur))
+                writer.write.options(**write_opts)
                 .partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(out_dir)
@@ -2040,11 +2062,19 @@ class LakeTable:
 
     def _cluster_sort_key(self, cur: Snapshot, spec: dict) -> F.Column:
         """Sort key for the active cluster spec: the column itself for
-        one dimension, the Morton z-value for several."""
+        one dimension, the Morton z-value for several — built from the
+        boundaries PERSISTED at cluster_by time, so a routine compaction
+        never re-runs the O(table) quantile pass (the distribution the
+        boundaries approximate barely moves between reclusters; a drifted
+        distribution costs pruning quality, never correctness)."""
         cols = list(spec["cols"])
         if len(cols) == 1:
             return F.col(cols[0])
-        return self._zorder_expr(cur, cols, int(spec.get("zorder_bits", 8)))
+        bits = int(spec.get("zorder_bits", 8))
+        bounds = spec.get("boundaries")
+        if bounds is None:  # spec written before boundary persistence
+            bounds = self._zorder_boundaries(cur, cols, bits)
+        return self._zorder_expr_from(cols, bits, bounds)
 
     def _zorder_expr(self, cur: Snapshot, cols: list[str], bits: int) -> F.Column:
         """Z-value (Morton interleave) over rank-normalized dimensions.
@@ -2060,14 +2090,30 @@ class LakeTable:
         clustered column. All pure JVM column expressions — the
         boundary arrays are literals, the bucket index is a
         higher-order-function count, the interleave is shift/or."""
+        return self._zorder_expr_from(
+            cols, bits, self._zorder_boundaries(cur, cols, bits)
+        )
+
+    def _zorder_boundaries(
+        self, cur: Snapshot, cols: list[str], bits: int
+    ) -> list[list[float]]:
+        """One column-pruned ``approxQuantile`` pass over the base files
+        for every z-order dimension. Expensive (O(table)); ``cluster_by``
+        runs it ONCE and persists the boundaries in ``cluster_spec`` so
+        maintenance rewrites never re-scan the table for them."""
         sample = self._scan(
             cur,
             [os.path.join(self.root, p) for ps in cur.files.values() for p in ps],
             with_internals=False,
         ).select(*cols)
         qs = [i / (1 << bits) for i in range(1, 1 << bits)]
-        # one pass for all dimensions (approxQuantile takes a col list)
-        all_bounds = sample.approxQuantile(cols, qs, 0.01)
+        return sample.approxQuantile(cols, qs, 0.01)
+
+    def _zorder_expr_from(
+        self, cols: list[str], bits: int, all_bounds: list[list[float]]
+    ) -> F.Column:
+        """The pure-expression half: Morton z-value from LITERAL boundary
+        arrays — no scan, safe to build on every maintenance rewrite."""
         z = F.lit(0).cast("long")
         for d, (c, bounds) in enumerate(zip(cols, all_bounds)):
             if not bounds:  # empty table: no boundaries, dimension is flat
@@ -2143,10 +2189,15 @@ class LakeTable:
             .withColumn(SEQ_COL, F.lit(commit_id).cast("long"))
             .withColumn(TOMBSTONE_COL, F.lit(False))
         )
+        boundaries = (
+            None
+            if len(cols) == 1
+            else self._zorder_boundaries(cur, cols, zorder_bits)
+        )
         sort_key = (
             F.col(cols[0])
             if len(cols) == 1
-            else self._zorder_expr(cur, cols, zorder_bits)
+            else self._zorder_expr_from(cols, zorder_bits, boundaries)
         )
         rel_dir = os.path.join("data", f"commit-{commit_id}-{uuid.uuid4().hex[:6]}")
         out_dir = os.path.join(self.root, rel_dir)
@@ -2178,6 +2229,8 @@ class LakeTable:
                 "cols": cols,
                 "target_rows_per_file": target_rows_per_file,
                 "zorder_bits": zorder_bits,
+                # persisted so maintenance rewrites never re-scan for them
+                "boundaries": boundaries,
             },
             file_stats=_stats.collect_file_stats(self.root, new_rels, cur.schema),
             summary={

@@ -257,3 +257,25 @@ def test_row_count_from_manifest(spark, tmp_path):
     # deletes through the CoW path keep it exact
     t.delete_where(F.col("k") < 100, mode="cow")
     assert t.row_count() == 401 == t.read().count()
+
+
+def test_user_column_named_n_rows_owns_the_stats_key(spark, tmp_path):
+    """A real column named _n_rows must keep its range stats intact
+    (range reads work); the table just loses the manifest fast count."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("_n_rows", T.LongType(), True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "own"), schema, ["k"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(i, i) for i in range(100)], "k long, _n_rows long")
+        .withColumn("op", F.lit("insert"))
+    )
+    # range read on the user column works (no {"n":...} clobber -> no KeyError)
+    assert t.read_between("_n_rows", 10, 20).count() == 11
+    assert t.row_count() is None  # fast count honestly unavailable
+    assert t.read().count() == 100

@@ -145,3 +145,49 @@ def test_compact_maintains_cluster_spec(spark, tmp_path):
     # dropping the clustered column retires the spec
     t.drop_columns(["ts"])
     assert t.current_snapshot().cluster_spec is None
+
+
+def test_rebucket_and_cow_merge_keep_clustering_effective(spark, tmp_path):
+    """The maintained-clustering contract must hold through BOTH
+    non-maintenance rewrites: rebucket (spec evolution) and CoW merges
+    (which leave buckets delta-free, so compact never revisits them).
+    Each must re-sort AND re-split — one wide sorted file per bucket
+    prunes nothing."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "rk"), schema, ["k"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(i, i * 10) for i in range(4000)], "k long, ts long")
+        .withColumn("op", F.lit("insert"))
+    )
+    t.cluster_by("ts", 500)
+    assert t.prune_report("ts", lo=100, hi=200)["pruned"] > 0
+    # spec evolution: pruning must survive the rebucket
+    t.rebucket(4)
+    rep = t.prune_report("ts", lo=100, hi=200)
+    assert rep["pruned"] > 0, f"rebucket flattened clustering: {rep}"
+    # CoW merge rewrites a touched bucket delta-free: still value-tight
+    t.merge(
+        spark.createDataFrame([(i, i * 10 + 1) for i in range(0, 4000, 3)], "k long, ts long")
+        .withColumn("op", F.lit("update"))
+    )
+    rep = t.prune_report("ts", lo=100, hi=200)
+    assert rep["pruned"] > 0, f"CoW merge flattened clustering: {rep}"
+    assert t.read().count() == 4000
+
+
+def test_zorder_boundaries_persisted_in_spec(spark, table):
+    table.cluster_by(["x", "y"], 400)
+    spec = table.current_snapshot().cluster_spec
+    assert spec["cols"] == ["x", "y"]
+    assert spec["boundaries"] is not None and len(spec["boundaries"]) == 2
+    assert all(len(b) > 0 for b in spec["boundaries"])
