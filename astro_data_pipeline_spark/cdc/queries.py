@@ -1728,6 +1728,91 @@ def cdc_replication_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
 
 
+_CASCADE_ORACLE = f"""
+WITH ev AS (
+{_EV_SQL}
+), w AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM ev
+), fin AS (
+    SELECT repo, lsn FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT repo,
+       count(*) AS n_files,
+       CAST(sum(lsn) AS BIGINT) AS sum_lsn
+FROM fin GROUP BY repo
+"""
+
+
+@query("cdc_cascaded_view_replica", oracle=_CASCADE_ORACLE)
+def cdc_cascaded_view_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full downstream cascade under one oracle: WAL replay → base
+    table → incremental matview (MoR write mode, so the VIEW keeps its
+    own row-level changelog) → logical REPLICA OF THE VIEW — three
+    exactly-once hops, each maintained in O(its own changed rows), each
+    under its own ledger. Phase 1 seeds all three; phase 2 replays in
+    two LSN-ordered slices with refresh+sync after each. In-query
+    asserts: the replica is byte-equal to the view's storage state, and
+    a second sync with no new view commits is a ledger no-op. The
+    DuckDB oracle computes the per-repo aggregate straight from the raw
+    events — a drift ANYWHERE in the three-hop chain (changelog
+    classification, retraction algebra, replication net diff) breaks
+    the value hash. This is the composition the engine exists for:
+    the CDC machinery consuming its own output."""
+    import tempfile as _tempfile
+
+    from ..lakehouse.matview import AggSpec, IncrementalAggView
+    from ..lakehouse.replicate import Replicator
+    from ..session import scratch_tmpdir_base
+    from .runner import CdcRunner, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    cut = int(meta["evolution_lsn"])
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    max_lsn = int(events.agg(F.max("lsn")).collect()[0][0])
+    cut2 = (cut + max_lsn) // 2
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        table = _scratch_lake(spark, td)
+        runner = CdcRunner(spark, table, run_id="e2e-cascade", mode="mor")
+        runner.replay(events.filter(F.col("lsn") <= cut), n_batches=2)
+        view = IncrementalAggView.create(
+            spark,
+            _os.path.join(td, "mv"),
+            table,
+            ["repo"],
+            [
+                AggSpec("count", None, "n_files"),
+                AggSpec("sum", "last_lsn", "sum_lsn"),
+            ],
+            n_buckets=8,
+            write_mode="mor",
+        )
+        repl = Replicator.create_replica(view.table, _os.path.join(td, "vrep"))
+        for lo, hi in ((cut, cut2), (cut2, None)):
+            batch = events.filter(F.col("lsn") > lo)
+            if hi is not None:
+                batch = batch.filter(F.col("lsn") <= hi)
+            runner.replay(batch, n_batches=2)
+            if view.refresh().get("noop"):
+                raise RuntimeError(f"view refresh ({lo}, {hi}] applied nothing")
+            if repl.sync().get("noop"):
+                raise RuntimeError(f"replica sync ({lo}, {hi}] applied nothing")
+        vt, rt = view.table.read(), repl.replica.read()
+        drift = vt.exceptAll(rt).count() + rt.exceptAll(vt).count()
+        if drift:
+            raise RuntimeError(f"replica drifted from view: {drift} rows")
+        if not repl.sync().get("noop"):
+            raise RuntimeError("sync with no new view commits must no-op")
+        out = rt.select(
+            "repo",
+            "n_files",
+            F.when(F.col("sum_lsn__n") > 0, F.col("sum_lsn__s")).alias("sum_lsn"),
+        )
+        return _materialize(spark, out)
+
+
 _WAL_ENVELOPE_SCHEMA = (
     "key BIGINT, op STRING, ts_ms BIGINT, "
     "after STRUCT<user_id: BIGINT, event_type: STRING, value: DOUBLE, props: STRING>"
