@@ -49,7 +49,26 @@ def main() -> None:
         "(row-count + null-sha checks on the branch view), then "
         "fast_forward main only if the audit passes",
     )
+    ap.add_argument(
+        "--matview-dir",
+        default=None,
+        metavar="DIR",
+        help="maintain a per-repo aggregate materialized view at DIR "
+        "(created on first run, O(changed rows) refresh after the "
+        "replay; survives across invocations for incremental tails)",
+    )
+    ap.add_argument(
+        "--replica-dir",
+        default=None,
+        metavar="DIR",
+        help="maintain a logical replica of the lake table at DIR "
+        "(sha+lsn columns only; net-diff sync after the replay)",
+    )
     args = ap.parse_args()
+    if args.mode == "cow" and (args.matview_dir or args.replica_dir):
+        # incremental consumers follow the table's row-level changelog,
+        # which only merge-on-read commits keep (changes() docstring)
+        ap.error("--matview-dir/--replica-dir need --mode mor")
 
     from pyspark.sql import types as T
 
@@ -135,6 +154,57 @@ def main() -> None:
         else:
             table.drop_branch(args.wap_branch)
             summary["wap"]["published_snapshot"] = None
+    if args.matview_dir:
+        # downstream consumer 1: per-repo aggregate view, created on the
+        # first run and refreshed in O(changed rows) on every later one
+        from astro_data_pipeline_spark.lakehouse.matview import (
+            AggSpec,
+            IncrementalAggView,
+        )
+
+        if os.path.exists(os.path.join(args.matview_dir, "mv.json")):
+            view = IncrementalAggView.load(spark, args.matview_dir, base=table)
+            stats = view.refresh()
+        else:
+            view = IncrementalAggView.create(
+                spark,
+                args.matview_dir,
+                table,
+                ["repo"],
+                [
+                    AggSpec("count", None, "n_files"),
+                    AggSpec("sum", "last_lsn", "sum_lsn"),
+                    AggSpec("max", "last_lsn", "max_lsn"),
+                ],
+                n_buckets=16,
+            )
+            stats = {"created": True}
+        summary["matview"] = {
+            "groups": view.read().count(),
+            **{k: v for k, v in stats.items() if isinstance(v, (int, bool, str))},
+        }
+    if args.replica_dir:
+        # downstream consumer 2: column-pruned logical replica
+        from astro_data_pipeline_spark.lakehouse.replicate import Replicator
+
+        if os.path.exists(
+            os.path.join(args.replica_dir, "metadata", "version-hint.txt")
+        ):
+            replica = LakeTable.load(spark, args.replica_dir)
+            repl = Replicator(table, replica, columns=["content_sha256", "last_lsn"])
+            stats = repl.sync()
+        else:
+            repl = Replicator.create_replica(
+                table,
+                args.replica_dir,
+                columns=["content_sha256", "last_lsn"],
+                n_buckets=16,
+            )
+            stats = {"created": True}
+        summary["replica"] = {
+            "rows": repl.replica.read().count(),
+            **{k: v for k, v in stats.items() if isinstance(v, (int, bool, str))},
+        }
     if args.mode == "mor":
         table.compact()
     summary["final_rows"] = table.read().count()
