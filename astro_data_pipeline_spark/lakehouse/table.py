@@ -1505,6 +1505,96 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def maintenance_report(self, snapshot: Snapshot | None = None) -> dict:
+        """Manifest-only health report (zero file opens, zero jobs): what
+        maintenance this table needs and why. The inputs are all in the
+        snapshot already — delta-file counts per bucket (read-time LWW
+        resolution cost), per-file row counts vs the cluster spec's
+        target (small-file fragmentation from CoW rewrites and
+        ``maxRecordsPerFile`` splits), retained-chain length (metadata
+        growth), live branch refs (they pin history). The reference runs
+        its maintenance blind on a timer (maintenance_dag); a 100-TB
+        table wants it driven by these numbers instead."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        spec = snap.cluster_spec
+        target = int(spec["target_rows_per_file"]) if spec else None
+        buckets = []
+        total_delta = 0
+        total_small = 0
+        for b in sorted(set(snap.files) | set(snap.delta_files), key=int):
+            base = snap.files.get(b, [])
+            n_delta = len(snap.delta_files.get(b, []))
+            total_delta += n_delta
+            small = None
+            if target is not None:
+                counts = [
+                    snap.file_stats.get(p, {}).get("_n_rows", {}).get("n")
+                    for p in base
+                ]
+                if all(c is not None for c in counts):
+                    # a file far below the clustering target is a seek's
+                    # worth of data behind a whole file open
+                    small = sum(1 for c in counts if c < target // 2)
+                    total_small += small
+            buckets.append(
+                {
+                    "bucket": int(b),
+                    "base_files": len(base),
+                    "delta_files": n_delta,
+                    "small_files": small,
+                }
+            )
+        return {
+            "snapshot_id": snap.snapshot_id,
+            "retained_snapshots": len(self.snapshot_chain()),
+            "branches": sorted(r for r in self.refs() if r != "main"),
+            "clustered": spec is not None,
+            "total_delta_files": total_delta,
+            "total_small_files": total_small if target is not None else None,
+            "buckets": buckets,
+        }
+
+    def auto_maintain(
+        self,
+        max_delta_files: int = 8,
+        keep_last: int = 20,
+        orphan_grace_s: float = 3600.0,
+    ) -> list[dict]:
+        """Threshold-driven maintenance off ``maintenance_report``:
+        compact buckets whose delta count reached ``max_delta_files``
+        (bounds read-time LWW resolution), then expire old snapshots
+        (skipped with a reason while branches exist — branch chains pin
+        shared history, and ``expire_snapshots`` refuses by design).
+        Returns the action list with outcomes; call it after each ingest
+        cycle and it stays O(changed buckets)."""
+        actions: list[dict] = []
+        rep = self.maintenance_report()
+        ripe = [b["bucket"] for b in rep["buckets"] if b["delta_files"] >= max_delta_files]
+        if ripe:
+            snap = self.compact(min_deltas=max_delta_files)
+            actions.append(
+                {
+                    "action": "compact",
+                    "buckets": ripe,
+                    "snapshot_id": snap.snapshot_id if snap else None,
+                }
+            )
+        if rep["branches"]:
+            actions.append(
+                {
+                    "action": "expire_snapshots",
+                    "skipped": f"live branches {rep['branches']} pin history",
+                }
+            )
+        else:
+            n = self.expire_snapshots(
+                keep_last=keep_last, orphan_grace_s=orphan_grace_s
+            )
+            actions.append({"action": "expire_snapshots", "expired": n})
+        return actions
+
     def row_count(self, snapshot: Snapshot | None = None) -> int | None:
         """Metadata-only ``COUNT(*)`` (Iceberg answers it from manifests;
         at 10^5-10^6 files a distributed count job for a number the

@@ -62,6 +62,10 @@ HEADLINE = [
     "dedup_substring_overlap_pairs",
     "agg_doclen_percentiles",
     "scalar_coordinate_transforms",
+    # sf-scaled lakehouse statement surface (declarative MERGE clauses;
+    # row-level UPDATE/DELETE WHERE over a MoR table)
+    "cdc_conditional_merge",
+    "cdc_row_level_ops",
 ]
 
 

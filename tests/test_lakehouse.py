@@ -587,3 +587,54 @@ def test_changes_null_key_classified_and_preimaged(spark, tmp_path):
     assert ch[None]["change_type"] == "delete"
     assert ch[None]["_pre_v"] == 1
     assert ch["a"]["change_type"] == "update" and ch["a"]["_pre_v"] == 2
+
+
+def test_maintenance_report_and_auto_maintain(spark, tmp_path):
+    """Manifest-only health report drives threshold maintenance: delta
+    counts trigger compaction of ripe buckets only; expiry skips with a
+    reason while a branch pins history, runs once it's gone."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.LongType(), True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "mt"), schema, ["k"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(i, i) for i in range(50)], "k long, v long")
+        .withColumn("op", F.lit("insert"))
+    )
+    for i in range(3):
+        t.merge_mor(
+            spark.createDataFrame([(1, 100 + i)], "k long, v long")
+            .withColumn("op", F.lit("update"))
+        )
+    rep = t.maintenance_report()
+    assert rep["total_delta_files"] == 3
+    assert rep["clustered"] is False and rep["total_small_files"] is None
+    # below threshold: no compact; no branches: expiry runs
+    acts = t.auto_maintain(max_delta_files=8, keep_last=3)
+    assert [a["action"] for a in acts] == ["expire_snapshots"]
+    assert t.maintenance_report()["total_delta_files"] == 3  # untouched
+    # a branch pins history
+    t.create_branch("wip")
+    acts = t.auto_maintain(max_delta_files=2, keep_last=3)
+    assert acts[0]["action"] == "compact"
+    assert any("skipped" in a for a in acts if a["action"] == "expire_snapshots")
+    assert t.maintenance_report()["total_delta_files"] == 0  # compacted
+    t.drop_branch("wip")
+    acts = t.auto_maintain(max_delta_files=2, keep_last=3)
+    assert acts == [{"action": "expire_snapshots", "expired": acts[0]["expired"]}]
+    assert {r["k"]: r["v"] for r in t.read().collect()}[1] == 102
+
+
+def test_maintenance_report_counts_small_files_when_clustered(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("ts", T.LongType(), True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "sm"), schema, ["k"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(i, i) for i in range(2000)], "k long, ts long")
+        .withColumn("op", F.lit("insert"))
+    )
+    t.cluster_by("ts", 400)
+    rep = t.maintenance_report()
+    assert rep["clustered"] is True
+    assert rep["total_small_files"] is not None  # counts known for every file
