@@ -319,6 +319,13 @@ class IncrementalAggView:
         # may double as an agg col)
         carry = gcols + [c for c in sorted(need) if c not in gcols]
         base_keys = set(base_snap.key_cols)
+        # one snapshot read for all storage-type lookups (each
+        # _storage_type call re-reads the snapshot json otherwise)
+        _vfields = {
+            f.name: f.dataType
+            for f in self.table.current_snapshot().schema.fields
+        }
+        _stype = lambda s: _vfields[f"{s.alias}__s"]  # noqa: E731
         # projected changelog: the base's payload columns (content blobs)
         # must never ride the refresh shuffle
         ch = self.base.changes(
@@ -347,7 +354,7 @@ class IncrementalAggView:
             if s.kind == "count":
                 aggs.append(F.sum("_w").alias(f"_d_{s.alias}"))
             elif s.kind in ("sum", "avg"):
-                st = self._storage_type(s)
+                st = _stype(s)
                 aggs.append(
                     F.coalesce(
                         F.sum(F.col("_w").cast(st) * F.col(s.col).cast(st)),
@@ -401,7 +408,7 @@ class IncrementalAggView:
                     .alias(s.alias)
                 )
             elif s.kind in ("sum", "avg"):
-                st = self._storage_type(s)
+                st = _stype(s)
                 out_cols.append(
                     (
                         F.coalesce(F.col(f"{s.alias}__s"), F.lit(0).cast(st))
