@@ -30,15 +30,15 @@ from astro_data_pipeline_spark import registry
 # missing or predates the current code; everything with a green
 # CORRECTNESS_r02 row on unchanged code sorts past the 50-row window,
 # where its r2 row remains the valid evidence. After this round the
-# union of CORRECTNESS_r{1,2,3} covers all 114 registered queries on
-# current code (the list now runs 65 long after the late-round
+# union of CORRECTNESS_r{1,2,3} covers all 115 registered queries on
+# current code (the list now runs 66 long after the late-round
 # cdc_type_widening/cdc_column_drop/img_quality_scores/
 # cdc_restore_rollback/cdc_stats_pruned_scan/cdc_concurrent_writers/
 # cdc_zorder_scan/cdc_wap_publish/dedup_incremental_index/
 # dedup_incremental_lsh/cdc_incremental_matview/cdc_conditional_merge/
-# cdc_row_level_ops/cdc_replication_sync/cdc_cascaded_view_replica
-# additions, so the LAST FIFTEEN section-5 names fall past the window —
-# audited
+# cdc_row_level_ops/cdc_replication_sync/cdc_cascaded_view_replica/
+# cdc_changelog_stream_source additions, so the LAST SIXTEEN section-5
+# names fall past the window — audited
 # per-function against the r1->r2 diff: every deferred name's
 # implementation is unchanged since round 1 (adjacent functions in the
 # same modules changed, e.g. keyset pagination next to sort_topk, but
@@ -69,6 +69,7 @@ _GATE_PRIORITY = [
     "cdc_row_level_ops",
     "cdc_replication_sync",
     "cdc_cascaded_view_replica",
+    "cdc_changelog_stream_source",
     "scalar_coordinate_transforms",
     "cdc_type_widening",
     "cdc_column_drop",

@@ -1813,6 +1813,71 @@ def cdc_cascaded_view_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
 
 
+@query("cdc_changelog_stream_source", oracle=_E2E_ORACLE)
+def cdc_changelog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake table as a ``readStream`` SOURCE (Spark 4 Python
+    DataSource API — Delta ``readChangeFeed`` analog): replay the full
+    WAL into a MoR table, then stream its ENTIRE commit history back out
+    through ``format("laketable_changes")`` (offsets = snapshot ids,
+    checkpointed to a parquet sink) and reconstruct the final state from
+    the streamed changelog alone — one LWW collapse by (key, max commit),
+    tombstone winners dropped. The DuckDB oracle is the same final-state
+    oracle the ingest path answers to: if the changelog stream dropped,
+    duplicated, or mis-stamped a single row anywhere in the history, the
+    reconstruction diverges and the value hash breaks. This closes the
+    CDC loop in the literal sense: the engine's own commits are a
+    binlog another pipeline can tail."""
+    import tempfile as _tempfile
+
+    from ..session import scratch_tmpdir_base
+    from ..streaming.source import register_changelog_source
+    from .runner import CdcRunner, read_event_log
+
+    meta = _ensure_e2e_fixture()
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    with _tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+        import os as _os
+
+        table = _scratch_lake(spark, td)
+        CdcRunner(spark, table, run_id="e2e-src", mode="mor").replay(
+            events, n_batches=4
+        )
+        fmt = register_changelog_source(spark)
+        out_dir = _os.path.join(td, "changelog")
+        q = (
+            spark.readStream.format(fmt)
+            .option("root", table.root)
+            .option("start_snapshot", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", _os.path.join(td, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ch = spark.read.parquet(out_dir)
+        w = F.max_by(
+            F.struct(*[c for c in _STATE_COLS if c not in ("repo", "path")], "_is_delete"),
+            F.col("_change_commit"),
+        )
+        state = (
+            ch.groupBy("repo", "path")
+            .agg(w.alias("w"))
+            .filter(~F.col("w._is_delete"))
+            .select(
+                "repo",
+                "path",
+                *[
+                    F.col(f"w.{c}").alias(c)
+                    for c in _STATE_COLS
+                    if c not in ("repo", "path")
+                ],
+            )
+        )
+        return _materialize(spark, state.select(*_STATE_COLS))
+
+
 _WAL_ENVELOPE_SCHEMA = (
     "key BIGINT, op STRING, ts_ms BIGINT, "
     "after STRUCT<user_id: BIGINT, event_type: STRING, value: DOUBLE, props: STRING>"

@@ -1505,6 +1505,37 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def files(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """Manifest as a DataFrame (Iceberg ``table.files`` metadata-table
+        analog): one row per referenced data file with bucket, kind
+        (base/delta), footer row count and JSON-encoded column ranges —
+        all from the snapshot, zero file opens. The observability
+        surface maintenance decisions and skew investigations read."""
+        import json as _json
+
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        rows = []
+        for kind, files in (("base", snap.files), ("delta", snap.delta_files)):
+            for b, paths in files.items():
+                for p in paths:
+                    st = dict(snap.file_stats.get(p, {}))
+                    n = st.pop("_n_rows", {}).get("n")
+                    rows.append(
+                        (
+                            p,
+                            int(b),
+                            kind,
+                            n,
+                            _json.dumps(st, sort_keys=True) if st else None,
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, kind string, n_rows long, col_stats string",
+        )
+
     def maintenance_report(self, snapshot: Snapshot | None = None) -> dict:
         """Manifest-only health report (zero file opens, zero jobs): what
         maintenance this table needs and why. The inputs are all in the
