@@ -218,15 +218,17 @@ class MergeBuilder:
         rows = joined.select(*out_cols, op.alias("_mb_op")).filter(
             F.col("_mb_op").isNotNull()
         )
-        # pin the routed rows: a CoW merge full-outer-joins its updates
-        # against the SAME stored buckets the clause join just read —
-        # unpinned, the clause join (and its stored scan) re-executes
-        # inside the merge, doubling the target read
-        from ..session import materialize_barrier
-
-        rows = materialize_barrier(rows, eager=False)
         merge_fn = self.table.merge if mode == "cow" else self.table.merge_mor
         kwargs = {"op_col": "_mb_op", "summary": summary}
         if mode == "cow":
+            # pin the routed rows: the CoW merge full-outer-joins its
+            # updates against the SAME stored buckets the clause join
+            # just read — unpinned, the clause join (and its stored
+            # scan) re-executes inside the merge, doubling the target
+            # read. MoR consumes the rows in ONE action (delta write +
+            # observed metrics), so pinning there would only add a copy.
+            from ..session import materialize_barrier
+
+            rows = materialize_barrier(rows, eager=False)
             kwargs["touched_buckets"] = tb
         return merge_fn(rows, **kwargs)

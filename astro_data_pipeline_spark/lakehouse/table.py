@@ -996,6 +996,12 @@ class LakeTable:
                     "changes() needs merge-on-read history; snapshot "
                     f"{snap.snapshot_id} is a copy-on-write merge"
                 )
+            # note on restore: NO special case needed. restore re-parents
+            # the chain onto its target, so undone commits are off this
+            # walk entirely (a `from` that was undone fails the ancestor
+            # check below), the restore commit itself carries no deltas,
+            # and the from-state probe reads real snapshot state — pinned
+            # by test_changes_across_restore.
             if snap.n_buckets != from_snap.n_buckets:
                 spec_stable = False
             if op == "merge-mor":
@@ -1516,12 +1522,22 @@ class LakeTable:
         snap = snapshot or self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        # when a REAL column owns the "_n_rows" name, the stats entry
+        # under that key is ITS range, not a file count — leave it in
+        # col_stats and report no count (mirrors row_count())
+        count_key_is_ours = not any(
+            f.name == "_n_rows" for f in snap.schema.fields
+        )
         rows = []
         for kind, files in (("base", snap.files), ("delta", snap.delta_files)):
             for b, paths in files.items():
                 for p in paths:
                     st = dict(snap.file_stats.get(p, {}))
-                    n = st.pop("_n_rows", {}).get("n")
+                    n = (
+                        st.pop("_n_rows", {}).get("n")
+                        if count_key_is_ours
+                        else None
+                    )
                     rows.append(
                         (
                             p,
@@ -1554,6 +1570,7 @@ class LakeTable:
         buckets = []
         total_delta = 0
         total_small = 0
+        small_known = True  # any bucket with unknown counts → total unknown
         for b in sorted(set(snap.files) | set(snap.delta_files), key=int):
             base = snap.files.get(b, [])
             n_delta = len(snap.delta_files.get(b, []))
@@ -1569,6 +1586,8 @@ class LakeTable:
                     # worth of data behind a whole file open
                     small = sum(1 for c in counts if c < target // 2)
                     total_small += small
+                else:
+                    small_known = False
             buckets.append(
                 {
                     "bucket": int(b),
@@ -1583,7 +1602,12 @@ class LakeTable:
             "branches": sorted(r for r in self.refs() if r != "main"),
             "clustered": spec is not None,
             "total_delta_files": total_delta,
-            "total_small_files": total_small if target is not None else None,
+            # None means "not known" (unclustered, or some files predate
+            # row-count stats) — never an undercount a caller could read
+            # as "no fragmentation"
+            "total_small_files": (
+                total_small if target is not None and small_known else None
+            ),
             "buckets": buckets,
         }
 

@@ -104,26 +104,93 @@ class _ChangelogReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: history lives in the table's snapshots
 
+    # operations that change no logical rows: safe to pass through.
+    # Anything NOT listed here and not "merge-mor" fails the stream —
+    # an unknown future operation must not be silently assumed row-free.
+    _TRANSPARENT_OPS = {
+        "create",
+        "compact",
+        "rebucket",
+        "cluster",
+        "add-columns",
+        "widen-columns",
+        "drop-columns",
+        "evolve",
+    }
+
+    def _range_chain(self, s0: int, s1: int) -> list[dict]:
+        """The commits in ``(s0, s1]`` ON THIS TABLE'S CHAIN, oldest
+        first — by walking parent links from ``s1``, never by iterating
+        raw ids: snapshot ids are allocated globally across refs, so id
+        iteration would emit OTHER branches' commits (e.g. an audit-
+        failed WAP batch that was never published) and trip over their
+        CoW merges. Failing to REACH ``s0`` means the offset's history
+        was expired out of the chain — that is data loss for a resuming
+        consumer and raises (Delta/Iceberg refuse an unretained start
+        version the same way)."""
+        chain: list[dict] = []
+        sid = int(s1)
+        while sid > int(s0):
+            snap = _read_snapshot_json(self.root, sid)
+            if snap is None:
+                raise RuntimeError(
+                    f"changelog offset {s0} is no longer retained: snapshot "
+                    f"{sid} on the path back from {s1} has been expired — "
+                    "the stream cannot prove it delivered those commits; "
+                    "restart from a live snapshot (or raise keep_last)"
+                )
+            chain.append(snap)
+            parent = snap.get("parent_id")
+            if parent is None:
+                # chain root reached: fine iff the root itself closes the
+                # range (start_snapshot=0 / "full history" lands here)
+                if int(snap["snapshot_id"]) <= int(s0) + 1:
+                    break
+                raise RuntimeError(
+                    f"changelog offset {s0} predates the retained chain "
+                    f"(oldest kept snapshot is {snap['snapshot_id']}) — "
+                    "history before it has been expired"
+                )
+            sid = int(parent)
+        chain.reverse()
+        return chain
+
     def _rows(self, s0: int, s1: int) -> list[tuple]:
         import pyarrow.parquet as pq
 
         out: list[tuple] = []
-        for sid in range(int(s0) + 1, int(s1) + 1):
-            snap = _read_snapshot_json(self.root, sid)
-            if snap is None:
-                # expired or another ref's id gap — ids are globally
-                # allocated across branches, so holes are expected
-                continue
+        for snap in self._range_chain(s0, s1):
+            sid = int(snap["snapshot_id"])
             op = snap.get("summary", {}).get("operation")
-            if op == "merge":
-                raise RuntimeError(
-                    f"snapshot {sid} is a copy-on-write merge: CoW keeps "
-                    "no row-level changelog, and skipping it would "
-                    "silently lose its rows — use merge-on-read ingest "
-                    "for streamed tables (LakeTable.changes contract)"
-                )
+            if op in self._TRANSPARENT_OPS:
+                continue  # folds/reshapes rows the stream already carries
+            if op == "restore":
+                # restore re-parents the chain onto its target, so the
+                # undone commits are off this walk. Whether THIS consumer
+                # is affected depends on its offset: at or before the
+                # target it never consumed an undone commit (transparent);
+                # past the target it holds rows the table has rewound,
+                # and no changelog can retract them — re-seed.
+                target = int(snap["summary"]["restored_from"])
+                if int(s0) > target:
+                    raise RuntimeError(
+                        f"snapshot {sid} restored the table to "
+                        f"{target}, but this stream's offset {s0} had "
+                        "already consumed commits past that point — the "
+                        "rewound rows cannot be retracted through a "
+                        "changelog; re-seed the consumer from the "
+                        "restored state"
+                    )
+                continue
             if op != "merge-mor":
-                continue  # create/evolve/compact/rebucket/cluster: no new logical rows
+                # CoW merge: no row-level changelog. Unknown op: assume
+                # nothing. Both would silently corrupt downstream state
+                # if skipped.
+                raise RuntimeError(
+                    f"snapshot {sid} is operation {op!r}, which keeps no "
+                    "row-level changelog — the stream cannot represent it; "
+                    "use merge-on-read ingest for streamed tables"
+                )
             stem = os.path.join("data", f"delta-{sid}")
             prefixes = (stem + "-", stem + os.sep)
             rels = sorted(

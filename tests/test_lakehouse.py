@@ -620,8 +620,11 @@ def test_maintenance_report_and_auto_maintain(spark, tmp_path):
     assert any("skipped" in a for a in acts if a["action"] == "expire_snapshots")
     assert t.maintenance_report()["total_delta_files"] == 0  # compacted
     t.drop_branch("wip")
-    acts = t.auto_maintain(max_delta_files=2, keep_last=3)
-    assert acts == [{"action": "expire_snapshots", "expired": acts[0]["expired"]}]
+    acts = t.auto_maintain(max_delta_files=2, keep_last=1, orphan_grace_s=0)
+    assert [a["action"] for a in acts] == ["expire_snapshots"]
+    # with the grace window off, the just-compacted deltas' superseded
+    # files are reclaimed — a concrete count, not a tautology
+    assert acts[0]["expired"] > 0
     assert {r["k"]: r["v"] for r in t.read().collect()}[1] == 102
 
 
@@ -638,3 +641,15 @@ def test_maintenance_report_counts_small_files_when_clustered(spark, tmp_path):
     rep = t.maintenance_report()
     assert rep["clustered"] is True
     assert rep["total_small_files"] is not None  # counts known for every file
+
+
+def test_changes_across_restore_target_is_empty_diff(spark, table):
+    """restore re-parents the chain onto its target, so changes(from the
+    target) across the restore is the EMPTY diff (state identical) — no
+    special-casing, no refusal; undone snapshots fail the ancestor check
+    (full coverage in test_restore.py::test_changes_across_restore)."""
+    table.merge_mor(_updates(spark, [("r1", "a", 1, "insert")]))
+    s1 = table.current_snapshot().snapshot_id
+    table.merge_mor(_updates(spark, [("r1", "a", 2, "update")]))
+    table.restore(s1)
+    assert table.changes(s1).count() == 0

@@ -101,7 +101,7 @@ def test_tail_from_now_sees_only_new_commits(spark, tmp_path, table):
 
 def test_cow_merge_fails_the_stream_loudly(spark, tmp_path, table):
     table.merge(_up(spark, [("x", 7, "insert")]))  # CoW: no changelog
-    with pytest.raises(Exception, match="copy-on-write"):
+    with pytest.raises(Exception, match="row-level changelog"):
         _drain(spark, table, str(tmp_path / "out"), str(tmp_path / "ck"), start=0)
 
 
@@ -114,3 +114,46 @@ def test_maintenance_commits_are_transparent(spark, tmp_path, table):
     # disk; no duplicate emission for the compact commit itself
     assert got.filter(F.col("_change_commit") == 5).count() == 0
     assert got.count() == 5
+
+
+def test_branch_commits_do_not_leak_into_the_stream(spark, tmp_path, table):
+    """Snapshot ids are global across refs: an audit-failed WAP branch's
+    commits live in the same metadata dir but are NOT on main's chain —
+    the stream must walk parents, not iterate ids."""
+    staging = table.create_branch("staging")
+    staging.merge_mor(_up(spark, [("EVIL", 666, "insert")]))
+    table.drop_branch("staging")
+    got = _drain(
+        spark, table, str(tmp_path / "out"), str(tmp_path / "ck"), start=0
+    )
+    assert got.filter(F.col("k") == "EVIL").count() == 0
+    assert got.count() == 5  # exactly main's history
+
+
+def test_restore_semantics_depend_on_consumer_offset(spark, tmp_path, table):
+    """A restore rewinds rows no changelog can retract — but only for
+    consumers that already consumed past the restore target. A consumer
+    caught up through the full history must fail loudly; a consumer at
+    or before the target never saw the undone commits and streams on."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, table, out, ck, start=0)  # consumed through commit 4
+    anchor = table.snapshot_chain()[-1].snapshot_id  # the create root
+    table.restore(anchor)
+    with pytest.raises(Exception, match="re-seed"):
+        _drain(spark, table, out, ck)
+    # a FRESH consumer from before the target is unaffected: the undone
+    # commits are off the re-parented chain, so it sees the (empty)
+    # restored state plus anything committed after
+    table.merge_mor(_up(spark, [("n", 1, "insert")]))
+    got = _drain(spark, table, str(tmp_path / "out2"), str(tmp_path / "ck2"), start=0)
+    assert [r["k"] for r in got.collect()] == ["n"]
+
+
+def test_expired_offset_fails_loudly_not_silently(spark, tmp_path, table):
+    """Resuming from an offset whose history was expired is data loss —
+    it must raise (Delta/Iceberg refuse unretained start versions), not
+    skip the missing commits."""
+    table.compact()
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(Exception, match="expired|retained"):
+        _drain(spark, table, str(tmp_path / "out"), str(tmp_path / "ck"), start=0)
