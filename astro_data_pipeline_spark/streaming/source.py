@@ -14,19 +14,32 @@ Semantics: this emits the EVENT-level changelog (one row per delta row,
 net per-key diff — downstream state reconstruction is one LWW collapse
 by ``(key, max _change_commit)``, the same primitive everything else in
 the engine uses (and the stateful streaming twin already implements).
-Maintenance commits (compact / rebucket / cluster) are skipped: they
-fold rows the stream already delivered. A copy-on-write ``merge`` in
-range FAILS the stream loudly — CoW keeps no row-level changelog, and
-skipping it would silently lose its data (same contract as
-``LakeTable.changes``).
 
-Scale shape: a ``SimpleDataSourceStreamReader`` reads on the driver —
-right for changelog tailing, where a micro-batch is one commit's delta
-rows (the ingest path bounds those by batch size), and honest about its
-ceiling: a fan-in of huge commits wants the partition-planning
-``DataSourceStreamReader`` variant, where each delta FILE becomes an
-``InputPartition`` read executor-side. The offset/planning logic below
-is the part that carries over unchanged.
+Safety contract (shared by both readers):
+
+- The commit range is resolved by WALKING PARENT LINKS from the head,
+  never by iterating raw snapshot ids — ids are allocated globally
+  across refs, so id iteration would emit other branches' commits (an
+  audit-failed WAP batch that was never published).
+- Expired history inside a resumed range RAISES (Delta/Iceberg refuse
+  an unretained start version the same way); genuine data loss is never
+  dressed up as a benign id gap.
+- Maintenance commits (compact / rebucket / cluster / schema metadata)
+  are transparent: they fold rows the stream already carries. A restore
+  is offset-aware: transparent for consumers at/before its target,
+  loud for consumers holding rows the table has rewound. A CoW merge —
+  or any unknown operation — fails the stream (no row-level changelog;
+  fail closed).
+
+Two readers behind one format:
+
+- default: a ``SimpleDataSourceStreamReader`` reading on the driver —
+  right for changelog tailing, where a micro-batch is one commit's
+  bounded delta set.
+- ``.option("partitioned", "true")``: a ``DataSourceStreamReader``
+  whose offset planning is identical but whose batches fan out one
+  ``InputPartition`` PER DELTA FILE, read executor-side — the scale
+  path for fan-in of large commits.
 
 Usage::
 
@@ -38,6 +51,7 @@ Usage::
         spark.readStream.format("laketable_changes")
         .option("root", table.root)
         .option("start_snapshot", "0")   # optional; default: tail from now
+        .option("partitioned", "true")   # optional; default: driver-side
         .load()
     )
 """
@@ -47,15 +61,35 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _FORMAT = "laketable_changes"
 _INTERNALS = [
     T.StructField("_change_commit", T.LongType(), False),
     T.StructField("_is_delete", T.BooleanType(), False),
 ]
+
+# operations that change no logical rows: safe to pass through. Anything
+# NOT listed here, not "restore", and not "merge-mor" fails the stream —
+# an unknown future operation must not be silently assumed row-free.
+_TRANSPARENT_OPS = {
+    "create",
+    "compact",
+    "rebucket",
+    "cluster",
+    "add-columns",
+    "widen-columns",
+    "drop-columns",
+    "evolve",
+}
 
 
 def _read_hint(root: str) -> int:
@@ -76,6 +110,95 @@ def _table_schema(root: str) -> T.StructType:
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     return T.StructType.fromJson(snap["schema"])
+
+
+def _range_chain(root: str, s0: int, s1: int) -> list[dict]:
+    """The commits in ``(s0, s1]`` on THIS table's chain, oldest first —
+    see the module docstring's safety contract."""
+    chain: list[dict] = []
+    sid = int(s1)
+    while sid > int(s0):
+        snap = _read_snapshot_json(root, sid)
+        if snap is None:
+            raise RuntimeError(
+                f"changelog offset {s0} is no longer retained: snapshot "
+                f"{sid} on the path back from {s1} has been expired — "
+                "the stream cannot prove it delivered those commits; "
+                "restart from a live snapshot (or raise keep_last)"
+            )
+        chain.append(snap)
+        parent = snap.get("parent_id")
+        if parent is None:
+            # chain root reached: fine iff the root itself closes the
+            # range (start_snapshot=0 / "full history" lands here)
+            if int(snap["snapshot_id"]) <= int(s0) + 1:
+                break
+            raise RuntimeError(
+                f"changelog offset {s0} predates the retained chain "
+                f"(oldest kept snapshot is {snap['snapshot_id']}) — "
+                "history before it has been expired"
+            )
+        sid = int(parent)
+    chain.reverse()
+    return chain
+
+
+def _range_delta_files(root: str, s0: int, s1: int) -> list[str]:
+    """Relative delta-file paths of the merge-on-read commits in
+    ``(s0, s1]``, commit order, applying the op safety rules."""
+    rels: list[str] = []
+    for snap in _range_chain(root, s0, s1):
+        sid = int(snap["snapshot_id"])
+        op = snap.get("summary", {}).get("operation")
+        if op in _TRANSPARENT_OPS:
+            continue  # folds/reshapes rows the stream already carries
+        if op == "restore":
+            # restore re-parents the chain onto its target, so the undone
+            # commits are off this walk. Whether THIS consumer is
+            # affected depends on its offset: at or before the target it
+            # never consumed an undone commit (transparent); past the
+            # target it holds rows the table has rewound, and no
+            # changelog can retract them — re-seed.
+            target = int(snap["summary"]["restored_from"])
+            if int(s0) > target:
+                raise RuntimeError(
+                    f"snapshot {sid} restored the table to {target}, but "
+                    f"this stream's offset {s0} had already consumed "
+                    "commits past that point — the rewound rows cannot "
+                    "be retracted through a changelog; re-seed the "
+                    "consumer from the restored state"
+                )
+            continue
+        if op != "merge-mor":
+            # CoW merge: no row-level changelog. Unknown op: assume
+            # nothing. Both would silently corrupt downstream state.
+            raise RuntimeError(
+                f"snapshot {sid} is operation {op!r}, which keeps no "
+                "row-level changelog — the stream cannot represent it; "
+                "use merge-on-read ingest for streamed tables"
+            )
+        stem = os.path.join("data", f"delta-{sid}")
+        prefixes = (stem + "-", stem + os.sep)
+        rels += sorted(
+            p
+            for paths in snap.get("delta_files", {}).values()
+            for p in paths
+            if p.startswith(prefixes)
+        )
+    return rels
+
+
+def _file_rows(root: str, rel: str, field_names: list[str]):
+    """One delta file's changelog tuples (schema-aligned: columns added
+    after the file was written null-fill)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(root, rel))
+    cols = set(tbl.column_names)
+    for row in tbl.to_pylist():
+        yield tuple(
+            row.get(c) if c in cols else None for c in field_names
+        ) + (int(row["_seq"]), bool(row.get("_tombstone") or False))
 
 
 class _ChangelogReader(SimpleDataSourceStreamReader):
@@ -104,113 +227,53 @@ class _ChangelogReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: history lives in the table's snapshots
 
-    # operations that change no logical rows: safe to pass through.
-    # Anything NOT listed here and not "merge-mor" fails the stream —
-    # an unknown future operation must not be silently assumed row-free.
-    _TRANSPARENT_OPS = {
-        "create",
-        "compact",
-        "rebucket",
-        "cluster",
-        "add-columns",
-        "widen-columns",
-        "drop-columns",
-        "evolve",
-    }
-
-    def _range_chain(self, s0: int, s1: int) -> list[dict]:
-        """The commits in ``(s0, s1]`` ON THIS TABLE'S CHAIN, oldest
-        first — by walking parent links from ``s1``, never by iterating
-        raw ids: snapshot ids are allocated globally across refs, so id
-        iteration would emit OTHER branches' commits (e.g. an audit-
-        failed WAP batch that was never published) and trip over their
-        CoW merges. Failing to REACH ``s0`` means the offset's history
-        was expired out of the chain — that is data loss for a resuming
-        consumer and raises (Delta/Iceberg refuse an unretained start
-        version the same way)."""
-        chain: list[dict] = []
-        sid = int(s1)
-        while sid > int(s0):
-            snap = _read_snapshot_json(self.root, sid)
-            if snap is None:
-                raise RuntimeError(
-                    f"changelog offset {s0} is no longer retained: snapshot "
-                    f"{sid} on the path back from {s1} has been expired — "
-                    "the stream cannot prove it delivered those commits; "
-                    "restart from a live snapshot (or raise keep_last)"
-                )
-            chain.append(snap)
-            parent = snap.get("parent_id")
-            if parent is None:
-                # chain root reached: fine iff the root itself closes the
-                # range (start_snapshot=0 / "full history" lands here)
-                if int(snap["snapshot_id"]) <= int(s0) + 1:
-                    break
-                raise RuntimeError(
-                    f"changelog offset {s0} predates the retained chain "
-                    f"(oldest kept snapshot is {snap['snapshot_id']}) — "
-                    "history before it has been expired"
-                )
-            sid = int(parent)
-        chain.reverse()
-        return chain
-
     def _rows(self, s0: int, s1: int) -> list[tuple]:
-        import pyarrow.parquet as pq
-
         out: list[tuple] = []
-        for snap in self._range_chain(s0, s1):
-            sid = int(snap["snapshot_id"])
-            op = snap.get("summary", {}).get("operation")
-            if op in self._TRANSPARENT_OPS:
-                continue  # folds/reshapes rows the stream already carries
-            if op == "restore":
-                # restore re-parents the chain onto its target, so the
-                # undone commits are off this walk. Whether THIS consumer
-                # is affected depends on its offset: at or before the
-                # target it never consumed an undone commit (transparent);
-                # past the target it holds rows the table has rewound,
-                # and no changelog can retract them — re-seed.
-                target = int(snap["summary"]["restored_from"])
-                if int(s0) > target:
-                    raise RuntimeError(
-                        f"snapshot {sid} restored the table to "
-                        f"{target}, but this stream's offset {s0} had "
-                        "already consumed commits past that point — the "
-                        "rewound rows cannot be retracted through a "
-                        "changelog; re-seed the consumer from the "
-                        "restored state"
-                    )
-                continue
-            if op != "merge-mor":
-                # CoW merge: no row-level changelog. Unknown op: assume
-                # nothing. Both would silently corrupt downstream state
-                # if skipped.
-                raise RuntimeError(
-                    f"snapshot {sid} is operation {op!r}, which keeps no "
-                    "row-level changelog — the stream cannot represent it; "
-                    "use merge-on-read ingest for streamed tables"
-                )
-            stem = os.path.join("data", f"delta-{sid}")
-            prefixes = (stem + "-", stem + os.sep)
-            rels = sorted(
-                p
-                for paths in snap.get("delta_files", {}).values()
-                for p in paths
-                if p.startswith(prefixes)
-            )
-            for rel in rels:
-                tbl = pq.read_table(os.path.join(self.root, rel))
-                cols = set(tbl.column_names)
-                for row in tbl.to_pylist():
-                    out.append(
-                        tuple(
-                            row.get(c) if c in cols else None
-                            for c in self.field_names
-                        )
-                        + (int(row["_seq"]), bool(row.get("_tombstone") or False))
-                    )
+        for rel in _range_delta_files(self.root, s0, s1):
+            out.extend(_file_rows(self.root, rel, self.field_names))
         return out
+
+
+class _DeltaFilePartition(InputPartition):
+    def __init__(self, rel: str | None):
+        self.rel = rel
+
+
+class _PartitionedChangelogReader(DataSourceStreamReader):
+    """Executor-side changelog reader: identical offset planning, but
+    each micro-batch fans out one InputPartition per delta file — the
+    rows never pass through the driver."""
+
+    def __init__(self, root: str, start_snapshot: int | None, field_names: list[str]):
+        self.root = root
+        self.start_snapshot = start_snapshot
+        self.field_names = field_names
+
+    def initialOffset(self) -> dict:
+        if self.start_snapshot is not None:
+            return {"snapshot_id": int(self.start_snapshot)}
+        return {"snapshot_id": _read_hint(self.root)}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot_id": _read_hint(self.root)}
+
+    def partitions(self, start: dict, end: dict):
+        rels = _range_delta_files(
+            self.root, start["snapshot_id"], end["snapshot_id"]
+        )
+        # an offsets-advanced-but-rowless batch (metadata commits) still
+        # needs ≥1 partition for the runner to plan the batch
+        return [_DeltaFilePartition(r) for r in rels] or [
+            _DeltaFilePartition(None)
+        ]
+
+    def read(self, partition: _DeltaFilePartition):
+        if partition.rel is None:
+            return iter(())
+        return _file_rows(self.root, partition.rel, self.field_names)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class LakeTableChangesDataSource(DataSource):
@@ -228,13 +291,24 @@ class LakeTableChangesDataSource(DataSource):
         # evolution mid-stream null-fills on restart with the new schema
         return T.StructType(list(_table_schema(root).fields) + _INTERNALS)
 
-    def simpleStreamReader(self, schema: T.StructType) -> _ChangelogReader:
+    def _reader_args(self, schema: T.StructType):
         root = self.options["root"]
         start = self.options.get("start_snapshot")
         field_names = [f.name for f in schema.fields[: -len(_INTERNALS)]]
-        return _ChangelogReader(
-            root, int(start) if start is not None else None, field_names
-        )
+        return root, (int(start) if start is not None else None), field_names
+
+    def streamReader(self, schema: T.StructType) -> _PartitionedChangelogReader:
+        if str(self.options.get("partitioned", "false")).lower() != "true":
+            # raising THIS error class is the documented fallback switch:
+            # the runner then asks for simpleStreamReader
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return _PartitionedChangelogReader(*self._reader_args(schema))
+
+    def simpleStreamReader(self, schema: T.StructType) -> _ChangelogReader:
+        return _ChangelogReader(*self._reader_args(schema))
 
 
 def register_changelog_source(spark: SparkSession) -> str:

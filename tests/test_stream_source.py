@@ -157,3 +157,38 @@ def test_expired_offset_fails_loudly_not_silently(spark, tmp_path, table):
     table.expire_snapshots(keep_last=1)
     with pytest.raises(Exception, match="expired|retained"):
         _drain(spark, table, str(tmp_path / "out"), str(tmp_path / "ck"), start=0)
+
+
+def test_partitioned_reader_matches_simple_mode(spark, tmp_path, table):
+    """option('partitioned','true') fans each micro-batch out one
+    InputPartition per delta file, read executor-side — same offsets,
+    same rows, same restart semantics as the driver-side reader."""
+    fmt = register_changelog_source(spark)
+
+    def drain(out, ck):
+        q = (
+            spark.readStream.format(fmt)
+            .option("root", table.root)
+            .option("start_snapshot", "0")
+            .option("partitioned", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    out, ck = str(tmp_path / "pout"), str(tmp_path / "pck")
+    got = drain(out, ck)
+    simple = _drain(spark, table, str(tmp_path / "sout"), str(tmp_path / "sck"), start=0)
+    assert got.exceptAll(simple).count() == 0
+    assert simple.exceptAll(got).count() == 0
+    assert got.count() == 5
+    # restart: only new commits, executor-side
+    table.merge_mor(_up(spark, [("p", 1, "insert")]))
+    got2 = drain(out, ck)
+    assert got2.count() == 6
+    assert got2.filter(F.col("k") == "p").count() == 1
