@@ -869,6 +869,78 @@ class LakeTable:
             pred = p if pred is None else (pred & p)
         return df.filter(pred)
 
+    def read_key_local(
+        self, key: dict, snapshot: Snapshot | None = None
+    ) -> dict | None:
+        """Point lookup WITHOUT a Spark job: the current row as a plain
+        dict, or None. The driver hashes the bucket (XXH64 twin), prunes
+        the bucket's base files through the manifest stats, and reads
+        the survivors plus the bucket's deltas with pyarrow (row-group
+        stats pushdown via ``filters``), resolving LWW by max ``_seq``
+        locally — microseconds of queue latency instead of a scheduled
+        Spark job per lookup, which is the whole cost of a point read
+        under concurrent load (reference analog: the <100 ms point-query
+        band db_performance_test.py holds Postgres to; a Spark job's
+        floor is the scheduler, not the data). Values needing a cast
+        fall back to ``read_key`` — Spark's cast semantics decide what
+        such a key means, exactly as the write path did."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        if set(key) != set(snap.key_cols):
+            raise ValueError(
+                f"key must bind exactly {snap.key_cols}, got {sorted(key)}"
+            )
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        from ..functions import xxhash as _xx
+
+        key_types = [types[c] for c in snap.key_cols]
+        vals = [key[c] for c in snap.key_cols]
+        exact = _xx.supports(key_types) and all(
+            isinstance(v, str)
+            if isinstance(dt, T.StringType)
+            else (isinstance(v, int) and not isinstance(v, bool))
+            for v, dt in zip(vals, key_types)
+        )
+        if exact:
+            try:
+                bucket = _xx.key_bucket(vals, key_types, snap.n_buckets)
+            except (ValueError, TypeError, OverflowError):
+                exact = False
+        if not exact:
+            rows = self.read_key(key, snapshot=snap).collect()
+            return rows[0].asDict() if rows else None
+
+        import pyarrow.parquet as pq
+
+        base_paths, _, _ = self._point_base_paths(snap, int(bucket), key, types)
+        delta_paths = [
+            os.path.join(self.root, p)
+            for p in snap.delta_files.get(str(int(bucket)), [])
+        ]
+        filters = [(c, "=", key[c]) for c in snap.key_cols]
+        best: tuple[int, dict] | None = None
+        for path in base_paths + delta_paths:
+            try:
+                tbl = pq.read_table(path, filters=filters)
+            except pq.lib.ArrowInvalid:
+                # a filter column absent from a pre-evolution file can
+                # only be a non-key column; key cols exist everywhere —
+                # treat as unreadable-for-filtering and scan plain
+                tbl = pq.read_table(path)
+            for row in tbl.to_pylist():
+                if any(row.get(c) != key[c] for c in snap.key_cols):
+                    continue  # plain-scanned fallback rows
+                seq = int(row.get(SEQ_COL) or 0)
+                if best is None or seq > best[0]:
+                    best = (seq, row)
+        if best is None:
+            return None
+        row = best[1]
+        if row.get(TOMBSTONE_COL):
+            return None
+        return {f.name: row.get(f.name) for f in snap.schema.fields}
+
     def _point_base_paths(
         self, snap: Snapshot, bucket: int, key: dict, types: dict
     ) -> tuple[list[str], int, int]:

@@ -30,6 +30,8 @@ Prints one JSON line; --md writes BENCH/CONCURRENT.md.
 from __future__ import annotations
 
 import argparse
+
+LOCAL_LOOKUPS = False
 import json
 import os
 import random
@@ -95,7 +97,13 @@ def _reader_loop(spark, table, keys, lsn_bounds, deadline: float, user_id: int,
         try:
             if op == "point_lookup":
                 repo, path = rng.choice(keys)
-                table.read_key({"repo": repo, "path": path}).collect()
+                if LOCAL_LOOKUPS:
+                    # Spark-job-free path: driver-side bucket hash +
+                    # manifest prune + pyarrow read — the point-query
+                    # latency is the data, not the job scheduler
+                    table.read_key_local({"repo": repo, "path": path})
+                else:
+                    table.read_key({"repo": repo, "path": path}).collect()
             elif op == "range_scan":
                 a = rng.randint(lo, hi)
                 b = min(hi, a + (hi - lo) // 20)
@@ -381,11 +389,19 @@ def main() -> None:
     ap.add_argument("--sf", type=float, default=0.01)
     ap.add_argument("--md", action="store_true", help="write BENCH/CONCURRENT.md")
     ap.add_argument(
+        "--local-lookups",
+        action="store_true",
+        help="serve point lookups via read_key_local (no Spark job)",
+    )
+    ap.add_argument(
         "--writers", type=int, default=1,
         help=">1: N independent racing writers (CAS storm) instead of one runner",
     )
     args = ap.parse_args()
+    global LOCAL_LOOKUPS
+    LOCAL_LOOKUPS = args.local_lookups
     res = run(args.users, args.duration, args.sf, writers=args.writers)
+    res["local_lookups"] = args.local_lookups
     print(json.dumps(res))
     if args.md:
         write_md(res, os.path.join(REPO, "BENCH", "CONCURRENT.md"))

@@ -123,3 +123,61 @@ def test_point_prune_string_key_keeps_all(spark, tmp_path):
     assert rep["pruned"] == 0
     got = t.read_key({"name": "key-7"}).collect()
     assert [(r["name"], r["v"]) for r in got] == [("key-7", 7)]
+
+
+def test_read_key_local_parity_and_latency(spark, tmp_path):
+    """read_key_local must agree with the Spark read_key on inserts,
+    MoR updates, tombstoned deletes, compacted state, evolution
+    null-fill, and absent keys — with zero Spark jobs on the hot path."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "pl"), schema, ["id"], n_buckets=8)
+    t.merge(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "id long, v string"
+        ).withColumn("op", F.lit("insert"))
+    )
+    assert t.read_key_local({"id": 7}) == {"id": 7, "v": "v7"}
+    assert t.read_key_local({"id": 9999}) is None
+    # MoR update + delete resolve locally by max _seq
+    t.merge_mor(
+        spark.createDataFrame([(7, "v7b"), (8, None)], "id long, v string")
+        .withColumn("op", F.when(F.col("id") == 8, "delete").otherwise("update"))
+    )
+    assert t.read_key_local({"id": 7}) == {"id": 7, "v": "v7b"}
+    assert t.read_key_local({"id": 8}) is None
+    t.compact()
+    assert t.read_key_local({"id": 7}) == {"id": 7, "v": "v7b"}
+    assert t.read_key_local({"id": 8}) is None
+    # evolution: a column added after the row was written null-fills
+    t.add_columns([T.StructField("extra", T.LongType(), True)])
+    assert t.read_key_local({"id": 7}) == {"id": 7, "v": "v7b", "extra": None}
+    # cast fallback path (string key literal over a long column) agrees
+    assert t.read_key_local({"id": "7"}) == {"id": 7, "v": "v7b", "extra": None}
+    # parity against the Spark path across a sample
+    for k in (0, 7, 8, 42, 199, 5000):
+        local = t.read_key_local({"id": k})
+        via_spark = [r.asDict() for r in t.read_key({"id": k}).collect()]
+        assert local == (via_spark[0] if via_spark else None)
+    # latency: local path must be far below a scheduled Spark job
+    t0 = time.time()
+    for k in range(20):
+        t.read_key_local({"id": k})
+    local_ms = (time.time() - t0) / 20 * 1000
+    t0 = time.time()
+    for k in range(5):
+        t.read_key({"id": k}).collect()
+    spark_ms = (time.time() - t0) / 5 * 1000
+    assert local_ms < spark_ms, (local_ms, spark_ms)
+    print(f"read_key_local {local_ms:.1f} ms vs read_key {spark_ms:.1f} ms")
