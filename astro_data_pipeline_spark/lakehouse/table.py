@@ -800,6 +800,35 @@ class LakeTable:
         """Scan only the named buckets (partition pruning by file list)."""
         return self.read(snapshot=snapshot, buckets=buckets)
 
+    def _local_bucket(self, vals, key_types, n_buckets: int) -> int | None:
+        """Driver-side XXH64 twin of ``bucket_expr`` — zero Spark jobs
+        for the prune step — or None when the literals are not
+        EXACT-typed for the key columns: a Python-side coercion like
+        ``str(True)='True'`` diverges from Spark's cast (``'true'``) and
+        would hash into the wrong bucket (the silent-miss hazard), so
+        anything needing a cast must take the Spark expression, which IS
+        the cast. Bit-equality with ``F.xxhash64`` pinned by
+        tests/test_xxhash_twin.py. ONE implementation for every local
+        lookup path — a drifted copy would send the two paths to
+        different buckets."""
+        from ..functions import xxhash as _xx
+
+        if not _xx.supports(key_types):
+            return None
+        if not all(
+            isinstance(v, str)
+            if isinstance(dt, T.StringType)
+            else (isinstance(v, int) and not isinstance(v, bool))
+            for v, dt in zip(vals, key_types)
+        ):
+            return None
+        try:
+            return _xx.key_bucket(vals, key_types, n_buckets)
+        except (ValueError, TypeError, OverflowError):
+            # e.g. an int out of the column type's range — Spark's cast
+            # semantics decide what that key means
+            return None
+
     def read_key(self, key: dict[str, str], snapshot: Snapshot | None = None) -> DataFrame:
         """Point lookup of one merge key: current row (0 or 1 rows).
 
@@ -821,32 +850,9 @@ class LakeTable:
         # when the column is a long lands in the wrong bucket and the
         # pruned scan silently misses an existing row
         types = {f.name: f.dataType for f in snap.schema.fields}
-        from ..functions import xxhash as _xx
-
         key_types = [types[c] for c in snap.key_cols]
         vals = [key[c] for c in snap.key_cols]
-        bucket = None
-        if _xx.supports(key_types) and all(
-            # EXACT-type literals only: a Python-side coercion like
-            # str(True)='True' diverges from Spark's cast ('true') and
-            # would hash into the wrong bucket — the silent-miss hazard
-            # the comment above warns about. Anything needing a cast
-            # falls back to the Spark expression, which IS the cast.
-            isinstance(v, str)
-            if isinstance(dt, T.StringType)
-            else (isinstance(v, int) and not isinstance(v, bool))
-            for v, dt in zip(vals, key_types)
-        ):
-            # driver-side XXH64 twin of bucket_expr — zero Spark jobs for
-            # the prune step (one scheduled job per lookup is pure queue
-            # latency under concurrent load); bit-equality with
-            # F.xxhash64 pinned by tests/test_xxhash_twin.py
-            try:
-                bucket = _xx.key_bucket(vals, key_types, snap.n_buckets)
-            except (ValueError, TypeError, OverflowError):
-                # e.g. an int out of the column type's range — Spark's
-                # cast semantics decide what that key means
-                bucket = None
+        bucket = self._local_bucket(vals, key_types, snap.n_buckets)
         if bucket is None:
             row = self.spark.range(1).select(
                 *[F.lit(key[c]).cast(types[c]).alias(c) for c in snap.key_cols]
@@ -892,25 +898,14 @@ class LakeTable:
                 f"key must bind exactly {snap.key_cols}, got {sorted(key)}"
             )
         types = {f.name: f.dataType for f in snap.schema.fields}
-        from ..functions import xxhash as _xx
-
         key_types = [types[c] for c in snap.key_cols]
         vals = [key[c] for c in snap.key_cols]
-        exact = _xx.supports(key_types) and all(
-            isinstance(v, str)
-            if isinstance(dt, T.StringType)
-            else (isinstance(v, int) and not isinstance(v, bool))
-            for v, dt in zip(vals, key_types)
-        )
-        if exact:
-            try:
-                bucket = _xx.key_bucket(vals, key_types, snap.n_buckets)
-            except (ValueError, TypeError, OverflowError):
-                exact = False
-        if not exact:
+        bucket = self._local_bucket(vals, key_types, snap.n_buckets)
+        if bucket is None:
             rows = self.read_key(key, snapshot=snap).collect()
             return rows[0].asDict() if rows else None
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         base_paths, _, _ = self._point_base_paths(snap, int(bucket), key, types)
@@ -923,10 +918,10 @@ class LakeTable:
         for path in base_paths + delta_paths:
             try:
                 tbl = pq.read_table(path, filters=filters)
-            except pq.lib.ArrowInvalid:
-                # a filter column absent from a pre-evolution file can
-                # only be a non-key column; key cols exist everywhere —
-                # treat as unreadable-for-filtering and scan plain
+            except pa.ArrowInvalid:
+                # key columns exist in every data file (every write path
+                # stamps them), so this is defensive against a malformed
+                # file only: scan unfiltered, refine row-by-row below
                 tbl = pq.read_table(path)
             for row in tbl.to_pylist():
                 if any(row.get(c) != key[c] for c in snap.key_cols):

@@ -30,8 +30,6 @@ Prints one JSON line; --md writes BENCH/CONCURRENT.md.
 from __future__ import annotations
 
 import argparse
-
-LOCAL_LOOKUPS = False
 import json
 import os
 import random
@@ -82,7 +80,8 @@ def _build_table(spark, sf: float, td: str):
 
 
 def _reader_loop(spark, table, keys, lsn_bounds, deadline: float, user_id: int,
-                 out_times: list, out_errs: list) -> None:
+                 out_times: list, out_errs: list,
+                 local_lookups: bool = False) -> None:
     from pyspark.sql import functions as F
 
     sc = spark.sparkContext
@@ -97,7 +96,7 @@ def _reader_loop(spark, table, keys, lsn_bounds, deadline: float, user_id: int,
         try:
             if op == "point_lookup":
                 repo, path = rng.choice(keys)
-                if LOCAL_LOOKUPS:
+                if local_lookups:
                     # Spark-job-free path: driver-side bucket hash +
                     # manifest prune + pyarrow read — the point-query
                     # latency is the data, not the job scheduler
@@ -195,7 +194,8 @@ def _storm_writer_loop(spark, table, batches, wid: int, result: dict) -> None:
     )
 
 
-def run(users: int, duration_s: float, sf: float, writers: int = 1) -> dict:
+def run(users: int, duration_s: float, sf: float, writers: int = 1,
+        local_lookups: bool = False) -> dict:
     from astro_data_pipeline_spark.session import get_spark, scratch_tmpdir_base
 
     spark = get_spark(
@@ -211,7 +211,8 @@ def run(users: int, duration_s: float, sf: float, writers: int = 1) -> dict:
         threads = [
             threading.Thread(
                 target=_reader_loop,
-                args=(spark, table, keys, lsn_bounds, deadline, i, times, errs),
+                args=(spark, table, keys, lsn_bounds, deadline, i, times, errs,
+                      local_lookups),
                 daemon=True,
             )
             for i in range(users)
@@ -398,9 +399,8 @@ def main() -> None:
         help=">1: N independent racing writers (CAS storm) instead of one runner",
     )
     args = ap.parse_args()
-    global LOCAL_LOOKUPS
-    LOCAL_LOOKUPS = args.local_lookups
-    res = run(args.users, args.duration, args.sf, writers=args.writers)
+    res = run(args.users, args.duration, args.sf, writers=args.writers,
+              local_lookups=args.local_lookups)
     res["local_lookups"] = args.local_lookups
     print(json.dumps(res))
     if args.md:
