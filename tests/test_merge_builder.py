@@ -155,3 +155,24 @@ def test_incompatible_source_key_type_refused(spark, tmp_path):
     stringy = spark.createDataFrame([("1", 5)], schema="id string, v long")
     with pytest.raises(ValueError, match="key column"):
         t.merge_builder(stringy).when_not_matched_insert().execute()
+
+
+def test_null_merge_key_matches_null_safely(spark, tmp_path):
+    """The clause join uses eqNullSafe: a NULL key row must MATCH its
+    stored NULL-key row (update), not be classified NOT MATCHED (which
+    would duplicate it)."""
+    schema = T.StructType(
+        [T.StructField("k", T.StringType(), True), T.StructField("v", T.LongType(), True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "nk"), schema, ["k"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(None, 1), ("a", 2)], "k string, v long")
+        .withColumn("op", F.lit("insert"))
+    )
+    src = spark.createDataFrame([(None, 100)], "k string, v long")
+    t.merge_builder(src).when_matched_update(
+        set={"v": F.col("s.v")}
+    ).when_not_matched_insert().execute()
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {None: 100, "a": 2}
+    assert t.read().count() == 2  # matched, not duplicated

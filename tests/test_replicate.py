@@ -169,3 +169,16 @@ def test_widened_column_widens_replica(spark, tmp_path):
     assert got == {"a": 1, "b": 2**40}
     n_type = [f.dataType for f in r.replica.current_snapshot().schema.fields if f.name == "n"][0]
     assert isinstance(n_type, T.LongType)
+
+
+def test_sync_across_base_rebucket(spark, tmp_path, source):
+    """A rebucket on the source (partition-spec evolution) is a logical
+    no-op the changelog tolerates; the next sync spans it and stays
+    exact."""
+    r = Replicator.create_replica(source, str(tmp_path / "rep"))
+    source.merge_mor(_up(spark, [("x", 9, "px", "insert")]))
+    source.rebucket(8)
+    source.merge_mor(_up(spark, [("a", 11, "pa2", "update")]))
+    stats = r.sync()
+    assert stats["noop"] is False
+    assert _state(r.replica) == _state(source)
