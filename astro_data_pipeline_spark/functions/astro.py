@@ -14,6 +14,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round_half_up_det(col: Column, decimals: int) -> Column:
+    """Engine-deterministic round-half-up: ``floor(x·10ⁿ + 0.5) / 10ⁿ``
+    as plain IEEE-double ops.
+
+    ``F.round`` converts the double to BigDecimal via its shortest string
+    representation before HALF_UP — DuckDB rounds the binary double
+    directly, so a value constructed from decimal-exact arithmetic that
+    lands exactly on a decimal half-boundary (e.g. 33.1003675) rounds UP
+    in Spark but to-nearest-binary in DuckDB.  Spelling the rounding as
+    floor arithmetic makes both engines execute the identical IEEE op
+    sequence on the identical input double, so the outputs are
+    bit-identical even on ties.  Use for any oracled column whose value
+    derives from exact decimal/integer arithmetic (transcendental
+    outputs never hit decimal ties and can keep ``F.round``)."""
+    scale = float(10**decimals)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def angular_distance_deg(ra1: Column, dec1: Column, ra2: Column, dec2: Column) -> Column:
     """Great-circle separation in degrees (haversine, numerically stable).
 

@@ -366,7 +366,8 @@ def _photometric_oracle() -> str:
         FROM obs o JOIN coeff c USING (filter)
     )
     SELECT event_id, filter,
-           round(inst_mag + zp + ext_corr + ap_corr + color_corr, 4)
+           floor((inst_mag + zp + ext_corr + ap_corr + color_corr)
+                 * 10000.0 + 0.5) / 10000.0
                AS calibrated_mag,
            round(greatest(0.001, sqrt(
                (1.0 / sqrt(pow(10.0, -0.4 * inst_mag) * exposure_s))
@@ -428,10 +429,17 @@ def scalar_photometric_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     err = photometric_error(
         F.col("inst_mag"), F.col("exposure_s"), F.col("airmass"), F.col("aperture_px")
     )
+    from ..functions.astro import round_half_up_det
+
     return j.select(
         "event_id",
         "filter",
-        F.round(calibrated, 4).alias("calibrated_mag"),
+        # calibrated_mag can be decimal-exact when the log10 aperture term
+        # lands on 0 (ratio exactly at a unity branch value), so round it
+        # with the tie-deterministic floor form — same sweep as the
+        # proper-motion columns.  mag_error keeps F.round: sqrt output is
+        # transcendental, never a decimal tie.
+        round_half_up_det(calibrated, 4).alias("calibrated_mag"),
         F.round(err, 4).alias("mag_error"),
     )
 
@@ -498,9 +506,11 @@ def _coord_transform_oracle() -> str:
            round(b_raw, 4) AS gal_b,
            round(ra_back_raw, 4) AS ra_back,
            round(dec_back_raw, 4) AS dec_back,
-           round((((ra + pm_ra / 3600000.0 * 24.5) % 360.0) + 360.0) % 360.0, 6)
+           floor((((ra + pm_ra / 3600000.0 * 24.5) % 360.0) + 360.0) % 360.0
+                 * 1000000.0 + 0.5) / 1000000.0
                AS pm_ra_applied,
-           round(greatest(-90.0, least(90.0, dec + pm_dec / 3600000.0 * 24.5)), 6)
+           floor(greatest(-90.0, least(90.0, dec + pm_dec / 3600000.0 * 24.5))
+                 * 1000000.0 + 0.5) / 1000000.0
                AS pm_dec_applied,
            round(1.0 / cos(radians(90.0 - alt)), 4) AS airmass_pp,
            round(1.0 / (sin(radians(alt))
@@ -556,6 +566,7 @@ def scalar_coordinate_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         equatorial_to_galactic,
         galactic_to_equatorial,
         precess_approx_ra,
+        round_half_up_det,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -574,8 +585,14 @@ def scalar_coordinate_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b, 4).alias("gal_b"),
         F.round(ra_back, 4).alias("ra_back"),
         F.round(dec_back, 4).alias("dec_back"),
-        F.round(pm_ra2, 6).alias("pm_ra_applied"),
-        F.round(pm_dec2, 6).alias("pm_dec_applied"),
+        # Deterministic floor-based rounding: the pm columns are the only
+        # ones built from decimal-exact linear arithmetic, so they can land
+        # exactly on 6th-decimal half-ties that F.round (string-mediated
+        # HALF_UP) and DuckDB (binary-double round) resolve differently —
+        # 40/100k rows at sf0.1 did.  floor(x·1e6+0.5)/1e6 executes the
+        # same IEEE ops in both engines → bit-identical on ties.
+        round_half_up_det(pm_ra2, 6).alias("pm_ra_applied"),
+        round_half_up_det(pm_dec2, 6).alias("pm_dec_applied"),
         F.round(airmass_plane_parallel(alt), 4).alias("airmass_pp"),
         F.round(airmass_kasten_young(alt), 4).alias("airmass_ky"),
         F.round(

@@ -1,0 +1,65 @@
+"""sf0.1 bit-level oracle checks for the decimal-tie query class.
+
+Round-3 lesson (VERDICT_r03 "What's wrong" #1): a column constructed
+from decimal-exact arithmetic on ``event_id`` can land exactly on a
+decimal half-boundary at one scale factor and not another —
+``pm_dec_applied`` tied on 40/100,000 rows at sf0.1 while sf0.01 (the
+default local oracle SF) was clean, so local pytest green did not imply
+a green driver row.  This module re-runs every query whose rounded
+columns derive from ``event_id`` arithmetic at the driver's own sf0.1,
+and compares BIT-LEVEL (joined on event_id, ``!=`` on the raw doubles)
+rather than through the 6-significant-digit canonicalizer in
+``oracle_utils`` — strictly stronger than the driver's hash.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from astro_data_pipeline_spark import registry
+from astro_data_pipeline_spark.sources.tables import TABLES
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# Queries whose oracled output includes rounded columns built from
+# decimal-exact (integer-modulo / fixed-decimal) arithmetic on event_id.
+# Transcendental outputs (trig/log/sqrt) cannot land on decimal ties and
+# are covered by the normal sf0.01 suite.
+_TIE_CLASS = [
+    "scalar_coordinate_transforms",
+    "scalar_photometric_calibration",
+]
+
+
+@pytest.mark.parametrize("name", _TIE_CLASS)
+def test_tie_class_query_bit_identical_at_sf01(spark, name):
+    qd = registry.get(name)
+    spark_pd = qd.fn(spark, SF01_DIR).toPandas().set_index("event_id").sort_index()
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'")
+        duck_pd = con.sql(qd.oracle).df().set_index("event_id").sort_index()
+    finally:
+        con.close()
+    assert len(spark_pd) == len(duck_pd)
+    assert sorted(spark_pd.columns) == sorted(duck_pd.columns)
+    for c in spark_pd.columns:
+        sv = spark_pd[c].to_numpy()
+        dv = duck_pd[c].to_numpy()
+        if sv.dtype.kind == "f":
+            neq = sv != dv  # bit-level: NaN never occurs in these columns
+        else:
+            neq = sv != dv
+        bad = int(np.count_nonzero(neq))
+        if bad:
+            idx = np.nonzero(neq)[0][:5]
+            detail = [
+                (spark_pd.index[i], repr(float(sv[i])), repr(float(dv[i])))
+                for i in idx
+            ]
+            raise AssertionError(
+                f"{name}.{c}: {bad} bit-level diffs at sf0.1; first: {detail}"
+            )
