@@ -124,13 +124,18 @@ def cdc_fixture_dir(sf: float) -> dict:
     return publish_fixture_dir(tmp, out, _read_valid)
 
 
-def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 3) -> dict:
+def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 5) -> dict:
     """Timed replay → committed, compacted snapshot; best of ``trials``.
 
     The sandbox host shows heavy episodic contention (identical runs
     vary 3-10x minute to minute), so a single timing is closer to a
     coin flip than a measurement; best-of-N reports the engine's
     sustained throughput when the machine is actually available.
+    Trials=5 since round 4: the round-3 "regression" (303k->185k) was
+    pure host contention — an interleaved A/B of r2 code vs HEAD found
+    HEAD faster at both sf0.1 and sf1.0 (BENCH/REPLAY_AB.md) — and two
+    extra ~2.5 s trials are cheap insurance against recording another
+    contention episode as an engine number.
     """
     from astro_data_pipeline_spark.cdc import apply as A
     from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
