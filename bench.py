@@ -46,7 +46,12 @@ HEADLINE = [
     "sim_cosine_topk_bruteforce",
     "text_quality_scores",
     "scalar_photometric_calibration",
+    # r4 note: img_quality_scores was re-scoped to the oracled golden
+    # sample (84 images; the driver-verifiable slice), so its r3 bench
+    # number (1.98 s) corresponds to img_quality_ranking below — the
+    # unchanged full-catalog worst-first kernel workload.
     "img_quality_scores",
+    "img_quality_ranking",
     "sample_balanced_mixture",
     "text_benchmark_contamination",
     "cdc_json_wal_source",

@@ -28,20 +28,26 @@ SF01_DIR = "/root/testdata/sf0.1"
 # Transcendental outputs (trig/log/sqrt) cannot land on decimal ties and
 # are covered by the normal sf0.01 suite.
 _TIE_CLASS = [
-    "scalar_coordinate_transforms",
-    "scalar_photometric_calibration",
+    ("scalar_coordinate_transforms", "event_id"),
+    ("scalar_photometric_calibration", "event_id"),
+    # golden-sample imaging oracles: values are inlined kernel outputs,
+    # so any kernel / catalog-derivation / literal-formatting drift must
+    # surface here bit-level before the driver sees it
+    ("img_quality_scores", "doc_id"),
+    ("img_calibration_pipeline", "doc_id"),
+    ("img_cosmic_ray_stats", "instrument"),
 ]
 
 
-@pytest.mark.parametrize("name", _TIE_CLASS)
-def test_tie_class_query_bit_identical_at_sf01(spark, name):
+@pytest.mark.parametrize("name,key", _TIE_CLASS)
+def test_tie_class_query_bit_identical_at_sf01(spark, name, key):
     qd = registry.get(name)
-    spark_pd = qd.fn(spark, SF01_DIR).toPandas().set_index("event_id").sort_index()
+    spark_pd = qd.fn(spark, SF01_DIR).toPandas().set_index(key).sort_index()
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'")
-        duck_pd = con.sql(qd.oracle).df().set_index("event_id").sort_index()
+        duck_pd = con.sql(qd.oracle).df().set_index(key).sort_index()
     finally:
         con.close()
     assert len(spark_pd) == len(duck_pd)
