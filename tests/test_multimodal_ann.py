@@ -93,6 +93,44 @@ def test_ivf_cells_partition_corpus(spark, sf_dir):
     assert cells["cell"].nunique() > 1  # centroids actually split the space
 
 
+def test_ivf_fitted_cells_balanced_and_bound_candidates(spark, sf_dir):
+    """The fitted (spherical-k-means) centroids must produce BALANCED
+    cells — the property that makes IVF's corpus/C scan-cost claim real.
+    HHI (Σ share²) is the expected same-cell probability; 1/C = 0.125 is
+    perfect balance, a single mega-cell would be ~1. Also pins the
+    candidate bound: the largest cell — the worst probe's candidate set
+    — must stay ≤ corpus/4, i.e. the fitted index cuts per-probe scan
+    cost at least 4× (≈8× in the balanced typical case)."""
+    from astro_data_pipeline_spark.textops.similarity import _N_CENTROIDS
+
+    cells = ivf_cell_assignments(spark, sf_dir).toPandas()
+    sizes = cells.groupby("cell").size()
+    assert len(sizes) == _N_CENTROIDS  # no cell collapsed empty
+    shares = sizes / sizes.sum()
+    assert (shares**2).sum() < 0.2, shares.to_dict()
+    assert sizes.max() <= len(cells) / 4
+
+
+def test_ivf_recall_equals_same_cell_truth(spark, sf_dir):
+    """Recall consistency: the IVF result must contain EVERY true top-k
+    neighbor that shares the probe's cell (the index may only lose
+    neighbors to cell boundaries, never inside a cell). On this
+    isotropic synthetic corpus the same-cell rate itself is ≈ HHI
+    (~0.125) — the information-theoretic ceiling for nprobe=1 — so the
+    meaningful pinned property is exactness-within-cell, with the
+    measured recall reported in COVERAGE.md."""
+    from astro_data_pipeline_spark import registry
+
+    res = registry.get("sim_ivf_topk_cell_search").fn(spark, sf_dir).toPandas()
+    cells = ivf_cell_assignments(spark, sf_dir).toPandas().set_index("vec_id")["cell"]
+    probes = sorted(res["probe_id"].unique())
+    truth = _brute_topk(spark, sf_dir, probes, k=3)
+    for p in probes:
+        got = set(res[res["probe_id"] == p]["neighbor_id"])
+        same_cell_truth = {n for n in truth[p] if cells[n] == cells[p]}
+        assert same_cell_truth <= got, (p, same_cell_truth, got)
+
+
 def test_lsh_single_table_bounds_candidates(spark, sf_dir):
     """One 8-plane table must cut candidate pairs far below n^2 (the
     census query's premise)."""
