@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..perf import phase
 from .table import LakeTable, bucket_expr, null_safe_join as _null_safe_join
 
 _KINDS = ("count", "sum", "avg", "min", "max")
@@ -302,15 +303,17 @@ class IncrementalAggView:
         ``full=True`` recomputes every group from the base head instead
         (the escape hatch for a lost horizon or a CoW/compacted range the
         changelog cannot replay)."""
-        base_snap = self.base.current_snapshot()
-        to = base_snap.snapshot_id
-        if full:
-            return self._refresh_full(base_snap)
-        frm = self.last_refresh_to()
-        if to == frm:
-            return {"from": frm, "to": to, "noop": True}
-        batch_id = f"mv:{frm}->{to}"
-        if batch_id in self.table.committed_batch_ids(run_scope=self._SCOPE):
+        with phase("mv.pre"):
+            base_snap = self.base.current_snapshot()
+            to = base_snap.snapshot_id
+            if full:
+                return self._refresh_full(base_snap)
+            frm = self.last_refresh_to()
+            if to == frm:
+                return {"from": frm, "to": to, "noop": True}
+            batch_id = f"mv:{frm}->{to}"
+            skip = batch_id in self.table.committed_batch_ids(run_scope=self._SCOPE)
+        if skip:
             return {"from": frm, "to": to, "noop": True, "ledger_skip": True}
 
         gcols = self.group_cols
@@ -328,12 +331,13 @@ class IncrementalAggView:
         _stype = lambda s: _vfields[f"{s.alias}__s"]  # noqa: E731
         # projected changelog: the base's payload columns (content blobs)
         # must never ride the refresh shuffle
-        ch = self.base.changes(
-            frm,
-            to,
-            with_preimage=True,
-            columns=[c for c in carry if c not in base_keys],
-        )
+        with phase("mv.changes_plan"):
+            ch = self.base.changes(
+                frm,
+                to,
+                with_preimage=True,
+                columns=[c for c in carry if c not in base_keys],
+            )
 
         def _pre_src(c: str) -> F.Column:
             # base KEY columns have no pre-image (a key cannot change
@@ -383,20 +387,23 @@ class IncrementalAggView:
         # re-running the changes() scan per consumer
         from ..session import materialize_barrier
 
-        delta = materialize_barrier(delta, eager=True)
+        with phase("mv.delta_barrier"):
+            delta = materialize_barrier(delta, eager=True)
 
         # stored state for exactly the touched groups: bucket-pruned read
         snap = self.table.current_snapshot()
-        tb = sorted(
-            r[0]
-            for r in delta.select(
-                bucket_expr(gcols, snap.n_buckets).alias("b")
+        with phase("mv.bucket_collect"):
+            tb = sorted(
+                r[0]
+                for r in delta.select(
+                    bucket_expr(gcols, snap.n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
-        stored = self.table.read_buckets(tb) if tb else self.table.read()
-        merged = _null_safe_join(delta, stored, gcols, "left")
+        with phase("mv.stored_plan"):
+            stored = self.table.read_buckets(tb) if tb else self.table.read()
+            merged = _null_safe_join(delta, stored, gcols, "left")
 
         n_new = F.coalesce(F.col(self._N), F.lit(0)) + F.col("_dn")
         out_cols = [F.col(c) for c in gcols] + [n_new.alias(self._N)]
@@ -445,7 +452,8 @@ class IncrementalAggView:
         if has_extremes and dirty_flags:
             # the dirty probe (count) and the merge both consume rows —
             # pin the stored-state join once
-            rows = materialize_barrier(rows, eager=True)
+            with phase("mv.rows_barrier"):
+                rows = materialize_barrier(rows, eager=True)
 
         n_dirty = 0
         if has_extremes and dirty_flags:
@@ -460,7 +468,8 @@ class IncrementalAggView:
             # groups, and the literal-predicate path only wants ≤1000;
             # limit(1001) proves which side we're on without ever
             # materializing an unbounded set on the driver
-            dirty_vals = dirty_groups.limit(1001).collect()
+            with phase("mv.dirty_probe"):
+                dirty_vals = dirty_groups.limit(1001).collect()
             n_dirty = (
                 len(dirty_vals) if len(dirty_vals) <= 1000 else dirty_groups.count()
             )
@@ -548,16 +557,19 @@ class IncrementalAggView:
             "run_scope": self._SCOPE,
             "mv_refresh_to": to,
         }
-        if self.write_mode == "mor":
-            # delta-append refresh: the view keeps its own changelog so
-            # cascaded consumers (replicas, views-over-views) can follow
-            _, metrics = self.table.merge_mor(rows, summary=refresh_summary)
-        else:
-            # the groups the merge touches are exactly the delta's groups,
-            # whose buckets the stored-state read already collected
-            _, metrics = self.table.merge(
-                rows, summary=refresh_summary, touched_buckets=tb
-            )
+        with phase("mv.merge"):
+            if self.write_mode == "mor":
+                # delta-append refresh: the view keeps its own changelog
+                # so cascaded consumers (replicas, views-over-views) can
+                # follow
+                _, metrics = self.table.merge_mor(rows, summary=refresh_summary)
+            else:
+                # the groups the merge touches are exactly the delta's
+                # groups, whose buckets the stored-state read already
+                # collected
+                _, metrics = self.table.merge(
+                    rows, summary=refresh_summary, touched_buckets=tb
+                )
         return {
             "from": frm,
             "to": to,

@@ -129,6 +129,23 @@ def cdc_fixture_dir(sf: float) -> dict:
     return publish_fixture_dir(tmp, out, _read_valid)
 
 
+def cdc_fixture_cached(sf: float) -> bool:
+    """True iff the SF's change-log fixture is already on disk and valid
+    — a probe that NEVER generates (used to decide whether the optional
+    cross-SF matview pair is affordable inside the driver's bench run)."""
+    from astro_data_pipeline_spark.cdc.fixtures import FIXTURE_VERSION
+
+    params_keys = max(int(1_200_000 * sf), 1000)
+    params_events = max(int(6_000_000 * sf), 5000)
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    out = os.path.join(root, f"sf{sf}-{params_keys}-{params_events}")
+    try:
+        with open(os.path.join(out, "meta.json")) as f:
+            return json.load(f).get("fixture_version") == FIXTURE_VERSION
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        return False
+
+
 def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 5) -> dict:
     """Timed replay → committed, compacted snapshot; best of ``trials``.
 
@@ -298,6 +315,24 @@ def main() -> None:
     mv = bench_matview_refresh(spark, sf)
     queries["mv_refresh"] = mv["mv_refresh_sec"]
 
+    # Incremental-vs-full matview crossover (VERDICT_r03 item 6): at
+    # sf0.1 the ~10% tail touches every bucket, so the incremental
+    # path's prior-existence probe is O(base) — same scan class as the
+    # full rebuild plus the changes machinery, and incremental loses by
+    # design at toy SF. The pair at sf1.0 shows the crossover (the full
+    # rebuild's aggregate+merge grows with the base, the incremental
+    # merge only with changed groups). Run it ONLY when the sf1.0
+    # fixture is already cached: the pair costs ~60-90 s on a cached
+    # fixture but minutes of generation on a cold cache.
+    mv_x: dict = {}
+    if sf != 1.0 and cdc_fixture_cached(1.0):
+        x = bench_matview_refresh(spark, 1.0, trials=1)
+        mv_x = {
+            "mv_refresh_sec_sf1": x["mv_refresh_sec"],
+            "mv_full_refresh_sec_sf1": x["mv_full_refresh_sec"],
+            "mv_refresh_events_per_sec_sf1": x["mv_refresh_events_per_sec"],
+        }
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "total_bench_sec",
@@ -311,6 +346,7 @@ def main() -> None:
         "cdc_events": cdc["cdc_events"],
         "cdc_final_rows": cdc["cdc_final_rows"],
         **mv,
+        **mv_x,
     }
     spark.stop()
     print(json.dumps(out))
