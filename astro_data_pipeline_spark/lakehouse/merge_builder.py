@@ -81,9 +81,14 @@ class MergeBuilder:
         self, set: dict, condition: Column | None = None
     ) -> "MergeBuilder":
         """WHEN MATCHED [AND cond] THEN UPDATE SET {col: expr}. Columns
-        absent from ``set`` keep their target value (partial update)."""
+        absent from ``set`` keep their target value (partial update).
+        Assignments to merge-key columns are refused (same guard as
+        ``update_where``): the compiled output always carries keys from
+        the source side, so a key SET would otherwise be silently
+        ignored — Delta raises here, and so do we."""
         if not set:
             raise ValueError("update clause needs at least one assignment")
+        self._refuse_key_assignments(set, "UPDATE SET")
         self._matched.append(_Clause("update", condition, dict(set)))
         return self
 
@@ -97,9 +102,25 @@ class MergeBuilder:
     ) -> "MergeBuilder":
         """WHEN NOT MATCHED [AND cond] THEN INSERT. ``values`` defaults
         to the source's same-named columns; table columns the source
-        lacks null-fill (the additive-evolution contract)."""
+        lacks null-fill (the additive-evolution contract). Explicit
+        VALUES for merge-key columns are refused — inserted rows always
+        take their key from the source row that failed to match, and a
+        differing explicit key would be silently dropped otherwise."""
+        if values:
+            self._refuse_key_assignments(values, "INSERT VALUES")
         self._not_matched.append(_Clause("insert", condition, dict(values or {})))
         return self
+
+    def _refuse_key_assignments(self, assignments: dict, where: str) -> None:
+        snap = self.table.current_snapshot()
+        keys = set(snap.key_cols) if snap is not None else set()
+        bad = sorted(k for k in assignments if k in keys)
+        if bad:
+            raise ValueError(
+                f"{where} assigns merge key column(s) {bad}; keys are "
+                "immutable in MERGE (the output row always carries the "
+                "source key) — delete+insert under a new key instead"
+            )
 
     # -- compile + execute ---------------------------------------------
 

@@ -236,7 +236,18 @@ def null_safe_join(
     its stored state. For non-semi joins the key columns are kept from
     the LEFT side; the two sides' non-key column names must be
     disjoint. ``<=>`` is still an equi-join key for the planner (no
-    fallback to a nested-loop join)."""
+    fallback to a nested-loop join).
+
+    ``how`` is restricted to join types where left-side keys are total:
+    an outer ``full``/``right`` join would give right-only rows NULL
+    keys here and silently corrupt them — refuse rather than corrupt."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"null_safe_join: unsupported how={how!r} (keys are taken "
+            "from the left side, so full/right outer joins would emit "
+            "NULL keys for right-only rows); coalesce keys explicitly "
+            "if an outer join is ever needed"
+        )
     l, r = left.alias("_l"), right.alias("_r")
     cond = functools.reduce(
         operator.and_,

@@ -139,6 +139,34 @@ def _range_chain(root: str, s0: int, s1: int) -> list[dict]:
                 "history before it has been expired"
             )
         sid = int(parent)
+    else:
+        # the walk must LAND on s0, not step past it: snapshot ids are
+        # allocated table-globally across refs, so a user-supplied
+        # start_snapshot that is a branch commit (or any non-ancestor id
+        # between two main-chain ids) would otherwise silently resolve
+        # to the nearest ancestor BELOW it — duplicating commits the
+        # caller believes it already consumed. Same ancestor contract as
+        # LakeTable.changes().
+        if sid != int(s0):
+            # a restore in the walked range re-parents the chain, which
+            # is the one legitimate way a previously-valid offset stops
+            # being an ancestor — keep that case's actionable message
+            # (same contract as the restore check in _range_delta_files)
+            if any(
+                s.get("summary", {}).get("operation") == "restore"
+                for s in chain
+            ):
+                raise RuntimeError(
+                    f"changelog offset {s0} was undone by a restore in "
+                    f"({sid}, {s1}]: those rows cannot be retracted "
+                    "through a changelog; re-seed the consumer from the "
+                    "restored state"
+                )
+            raise ValueError(
+                f"start snapshot {s0} is not an ancestor of {s1}: the "
+                f"parent walk steps from {chain[-1]['snapshot_id']} past "
+                f"it to {sid}"
+            )
     chain.reverse()
     return chain
 

@@ -653,3 +653,17 @@ def test_changes_across_restore_target_is_empty_diff(spark, table):
     table.merge_mor(_updates(spark, [("r1", "a", 2, "update")]))
     table.restore(s1)
     assert table.changes(s1).count() == 0
+
+
+def test_null_safe_join_refuses_outer_joins(spark):
+    """full/right outer joins would emit NULL keys for right-only rows
+    (keys are kept from the left side) — refused, not corrupted."""
+    import pytest
+
+    from astro_data_pipeline_spark.lakehouse.table import null_safe_join
+
+    a = spark.createDataFrame([("k1", 1)], "k string, v int")
+    b = spark.createDataFrame([("k2", 2)], "k string, w int")
+    for how in ("full", "right", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="unsupported how"):
+            null_safe_join(a, b, ["k"], how)

@@ -176,3 +176,22 @@ def test_null_merge_key_matches_null_safely(spark, tmp_path):
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got == {None: 100, "a": 2}
     assert t.read().count() == 2  # matched, not duplicated
+
+
+def test_key_assignment_in_update_set_refused(spark, table):
+    """A SET on a merge-key column was previously dropped silently (the
+    compiled output always carries source-side keys); Delta raises, and
+    now so do we — same guard as update_where."""
+    src = _src(spark, [("a", 100, "z", 20)])
+    with pytest.raises(ValueError, match="merge key"):
+        table.merge_builder(src).when_matched_update(
+            set={"k": F.lit("hijack"), "v": F.col("s.v")}
+        )
+
+
+def test_key_value_in_insert_values_refused(spark, table):
+    src = _src(spark, [("d", 7, "new", 20)])
+    with pytest.raises(ValueError, match="merge key"):
+        table.merge_builder(src).when_not_matched_insert(
+            values={"k": F.lit("other"), "v": F.col("s.v")}
+        )

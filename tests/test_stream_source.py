@@ -192,3 +192,22 @@ def test_partitioned_reader_matches_simple_mode(spark, tmp_path, table):
     got2 = drain(out, ck)
     assert got2.count() == 6
     assert got2.filter(F.col("k") == "p").count() == 1
+
+
+def test_branch_start_snapshot_refused_as_non_ancestor(spark, tmp_path, table):
+    """A start_snapshot that is a BRANCH commit id (or any non-ancestor
+    id between two main-chain ids) must raise, not silently resolve to
+    the nearest main-chain ancestor below it — that would re-deliver
+    commits the caller believes it already consumed."""
+    table.create_branch("side")
+    # branch commit: write through the branch ref so its id lands
+    # between main-chain ids
+    b = table.branch("side")
+    bsnap, _ = b.merge_mor(_up(spark, [("z", 99, "insert")]))
+    # advance main past the branch commit id
+    table.merge_mor(_up(spark, [("a", 20, "update")]))
+    from astro_data_pipeline_spark.streaming.source import _range_chain
+
+    head = table.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="not an ancestor"):
+        _range_chain(table.root, bsnap.snapshot_id, head)
