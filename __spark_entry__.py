@@ -25,120 +25,83 @@ from pyspark.sql import DataFrame, SparkSession
 
 from astro_data_pipeline_spark import registry
 
-# Round-3 gate order (VERDICT_r02 "Next round" item 1). The first 50
-# names below are exactly the queries whose latest driver row is either
-# missing or predates the current code; everything with a green
-# CORRECTNESS_r02 row on unchanged code sorts past the 50-row window,
-# where its r2 row remains the valid evidence. After this round the
-# union of CORRECTNESS_r{1,2,3} covers all 115 registered queries on
-# current code (the list now runs 66 long after the late-round
-# cdc_type_widening/cdc_column_drop/img_quality_scores/
-# cdc_restore_rollback/cdc_stats_pruned_scan/cdc_concurrent_writers/
-# cdc_zorder_scan/cdc_wap_publish/dedup_incremental_index/
-# dedup_incremental_lsh/cdc_incremental_matview/cdc_conditional_merge/
-# cdc_row_level_ops/cdc_replication_sync/cdc_cascaded_view_replica/
-# cdc_changelog_stream_source additions, so the LAST SIXTEEN section-5
-# names fall past the window — audited
-# per-function against the r1->r2 diff: every deferred name's
-# implementation is unchanged since round 1 (adjacent functions in the
-# same modules changed, e.g. keyset pagination next to sort_topk, but
-# not these bodies) and has a green r1 row; window_sessionize_events,
-# whose r2 µs-fix made its r1 row stale, moved INTO the window with
-# the other stale-evidence names).
-#   1. new this round (never gated anywhere)
-#   2. driver-dark pipeline_* control-plane set (implemented+oracled in
-#      round 2, deliberately past r2's window — zero driver rows yet)
-#   3. CDC-core queries whose latest rows are r1 rows of the OLD LWW
-#      tie rule (changed in round 2; VERDICT marks them `weak`)
-#   4. queries whose ENGINE PATH changed this round, making their r2
-#      rows stale: the 9 scratch-lake queries routed through the
-#      rewritten _materialize (parquet round-trip instead of a driver
-#      collect) and the 7 textops queries whose shared-subplan barrier
-#      moved to session.materialize_barrier
-#   5. the remaining r1-latest queries, most central first. The ones
-#      past the window (string/json/datetime scalars, setops, three
-#      windows, three aggs, two filters/routers) are byte-unchanged
-#      since round 1, so their r1 green rows remain valid evidence —
-#      the judge's own legend accepts pass(r1) for unchanged code,
-#      while an r2 row for changed code is NOT valid; the window
-#      spends its 50 slots accordingly.
+# Round-4 gate order (VERDICT_r03 "Next round" items 1 and 4). The
+# first 50 names are exactly the queries whose latest driver row is
+# missing, stale (implementation changed this round), or oldest
+# (r1-latest); everything past the window has a green r2/r3 row on
+# code unchanged since, which remains valid evidence. After this round
+# every query's latest green row is ≤2 rounds old: the 7 changed + 1
+# new queries get r4 rows, all 32 r1-latest names get r4 rows, 10 of
+# the r2-latest names refresh to r4, and the remaining r2/r3-latest
+# rows are at most two rounds old by construction.
+#   1. changed THIS round (their old rows are rows of old code):
+#      scalar_coordinate_transforms (tie-free floor rounding — the r3
+#      FAIL's fix, kept first per the verdict), scalar_photometric_
+#      calibration (same rounding sweep), the three imaging queries
+#      re-scoped onto the golden-sample oracle, img_quality_ranking
+#      (new name carrying the old full-catalog workload, rows-only),
+#      sim_ivf_topk_cell_search (fitted k-means centroids).
+#   2. all 32 r1-latest names — the verdict's rotation directive: no
+#      query's latest evidence may stay 3 rounds old.
+#   3. 10 r2-latest refreshes, most central first (tpch_q3, the WAL
+#      source, the dedup trio, ANN pair, grouped stats, text quality,
+#      hash split) — the start of the standing rotation.
 _GATE_PRIORITY = [
-    # -- 1. new this round ----------------------------------------------
-    "cdc_incremental_matview",
-    "cdc_conditional_merge",
-    "cdc_row_level_ops",
-    "cdc_replication_sync",
-    "cdc_cascaded_view_replica",
-    "cdc_changelog_stream_source",
+    # -- 1. changed this round -------------------------------------------
     "scalar_coordinate_transforms",
-    "cdc_type_widening",
-    "cdc_column_drop",
-    "cdc_restore_rollback",
-    "cdc_stats_pruned_scan",
-    "cdc_concurrent_writers",
-    "cdc_zorder_scan",
-    "cdc_wap_publish",
-    "dedup_incremental_index",
-    "dedup_incremental_lsh",
-    # -- 2. driver-dark control plane ------------------------------------
-    "pipeline_telescope_run",
-    "pipeline_quality_monitoring",
-    "pipeline_quality_metrics",
-    "pipeline_algorithm_comparison",
-    # -- 3. stale-evidence CDC core (LWW tie rule changed in r2) ---------
-    "cdc_lww_current_state",
-    "cdc_salted_lww",
-    "cdc_lww_window_variant",
-    "cdc_idempotent_replay_dedup",
-    "cdc_batch_ledger_stats",
-    # sessionize's µs-exactness fix landed in r2 but its only driver row
-    # is r1 — stale-evidence class, same as the CDC-core set above
-    "window_sessionize_events",
-    # -- 4a. changed this round: _materialize rewrite ---------------------
-    "cdc_replay_end_to_end",
-    "cdc_streaming_replay_end_to_end",
-    "cdc_streaming_windowed_op_mix",
-    "cdc_streaming_stateful_changelog",
-    "cdc_resume_from_checkpoint",
-    "cdc_schema_evolution_audit",
-    "cdc_incremental_changes",
-    "cdc_time_travel_read",
-    "cdc_workflow_activation",
-    # -- 4b. changed this round: materialize_barrier swap (plus
-    #        img_quality_scores, whose global sort moved behind a barrier
-    #        late in the round — its r2 row is a row of the old plan) ----
+    "scalar_photometric_calibration",
     "img_quality_scores",
-    "text_tfidf_top_terms",
-    "text_unigram_rarity_score",
-    "dedup_substring_overlap_pairs",
-    "dedup_duplicate_clusters",
-    "dedup_cluster_representatives",
-    "dedup_embedding_cosine_pairs",
+    "img_calibration_pipeline",
+    "img_cosmic_ray_stats",
+    "img_quality_ranking",
     "sim_ivf_topk_cell_search",
-    # -- 5. r1-latest rows to refresh, most central first -----------------
-    "join_fact_dim_revenue_by_brand",
-    "join_asof_last_click_before_purchase",
-    "join_range_within_radius",
-    "join_nearest_neighbor_within_radius",
-    "join_three_way_nation_revenue",
-    "tpch_q5_local_supplier_volume",
-    "join_grid_density_map",
+    # -- 2. r1-latest rotation (all of them) -----------------------------
+    "tpch_q1_pricing_summary",
+    "join_left_outer_order_counts",
     "join_anti_customers_without_orders",
     "join_semi_customers_with_orders",
-    "join_left_outer_order_counts",
-    "tpch_q1_pricing_summary",
-    "agg_weighted_mean_per_group",
+    "agg_conditional_count_pivot",
+    "agg_cube_status_priority",
+    "agg_duplicate_key_detection",
+    "agg_global_catalog_stats",
+    "agg_histogram_value_bins",
     "agg_quality_score_compound",
     "agg_rollup_status_priority",
+    "agg_weighted_mean_per_group",
     "window_top1_order_per_customer",
     "window_scd2_intervals",
+    "window_lag_order_gap_seconds",
+    "window_running_spend_per_customer",
+    "window_topk_parts_per_brand",
     "sort_topk_global_orders",
-    "filter_validate_split_documents",
+    "filter_null_and_validity_audit",
     "filter_time_window_recent_events",
-    "scalar_sha256_documents",
-    "scalar_astro_math_functions",
+    "filter_validate_split_documents",
     "project_derived_partition_key",
+    "route_events_by_type",
+    "scalar_astro_math_functions",
+    "scalar_datetime_functions",
+    "scalar_json_extract_props",
+    "scalar_sha256_documents",
+    "scalar_string_path_functions",
+    "setop_except_lapsed_customers",
+    "setop_intersect_retained_customers",
+    "union_split_reconcile",
     "dedup_exact_by_sha",
+    # -- 3. r2-latest refresh rotation (10 most central) -----------------
+    "tpch_q3_shipping_priority",
+    "cdc_json_wal_source",
+    "dedup_jaccard_shingle_pairs",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_hamming_buckets",
+    "sim_cosine_topk_bruteforce",
+    "sim_ann_lsh_bucket_census",
+    "grouped_series_stats_per_user",
+    "text_quality_scores",
+    "sample_hash_split_assignments",
+    # imaging module changed this round; this query's body did not, but
+    # it shares the catalog/kernel plumbing — cheap insurance re-gate
+    "img_fits_header_roundtrip",
 ]
 
 
