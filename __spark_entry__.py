@@ -45,7 +45,7 @@ from astro_data_pipeline_spark import registry
 #      query's latest evidence may stay 3 rounds old.
 #   3. 10 r2-latest refreshes, most central first (tpch_q3, the WAL
 #      source, the dedup trio, ANN pair, grouped stats, text quality,
-#      hash split) — the start of the standing rotation.
+#      FITS roundtrip) — the start of the standing rotation.
 _GATE_PRIORITY = [
     # -- 1. changed this round -------------------------------------------
     "scalar_coordinate_transforms",
@@ -55,6 +55,7 @@ _GATE_PRIORITY = [
     "img_cosmic_ray_stats",
     "img_quality_ranking",
     "sim_ivf_topk_cell_search",
+    "sim_ivf_multiprobe_topk",
     # -- 2. r1-latest rotation (all of them) -----------------------------
     "tpch_q1_pricing_summary",
     "join_left_outer_order_counts",
@@ -98,7 +99,6 @@ _GATE_PRIORITY = [
     "sim_ann_lsh_bucket_census",
     "grouped_series_stats_per_user",
     "text_quality_scores",
-    "sample_hash_split_assignments",
     # imaging module changed this round; this query's body did not, but
     # it shares the catalog/kernel plumbing — cheap insurance re-gate
     "img_fits_header_roundtrip",

@@ -455,6 +455,7 @@ _IVF_Q_SCALE = 500.0
 _IVF_FIT_MOD = 5
 _IVF_FIT_CAP = 10000
 _IVF_ITERS = 3
+_IVF_NPROBE = 2
 
 
 def _ivf_quantize_col(col) -> F.Column:
@@ -513,18 +514,7 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _ivf_quantize_col(F.col("embedding").cast("array<double>")).alias("qv"),
     )
-    na = F.aggregate(F.col("qv"), F.lit(0.0), lambda acc, v: acc + v * v)
-    cos_cols = []
-    for j in range(_N_CENTROIDS):
-        c_lit = F.array(*[F.lit(v) for v in cents[j]])
-        nb = sum(v * v for v in cents[j])  # python-exact integer in float64
-        dot = F.aggregate(
-            F.zip_with(F.col("qv"), c_lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cos_cols.append(dot / F.sqrt(na * F.lit(nb)))
-    cos_arr = F.array(*cos_cols)
+    cos_arr = _ivf_cos_array(F.col("qv"), cents)
     # array_position returns the FIRST index of the max — lowest cell on
     # exact ties, matching the oracle's (cos DESC, cell ASC) row_number
     cell = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
@@ -532,6 +522,24 @@ def ivf_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", cell.alias("cell"))
         .transform(materialize_barrier)
     )
+
+
+def _ivf_cos_array(qv: F.Column, cents: list[list[float]]) -> F.Column:
+    """cos(qv, centroid_j) for every cell as one array column — the
+    exact-arithmetic form shared by single-cell assignment (argmax) and
+    multiprobe cell ranking (posexplode + window)."""
+    na = F.aggregate(qv, F.lit(0.0), lambda acc, v: acc + v * v)
+    cos_cols = []
+    for j in range(_N_CENTROIDS):
+        c_lit = F.array(*[F.lit(v) for v in cents[j]])
+        nb = sum(v * v for v in cents[j])  # python-exact integer in float64
+        dot = F.aggregate(
+            F.zip_with(qv, c_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cos_cols.append(dot / F.sqrt(na * F.lit(nb)))
+    return F.array(*cos_cols)
 
 
 def _ivf_sql_parts() -> dict[str, str]:
@@ -550,7 +558,11 @@ def _ivf_sql_parts() -> dict[str, str]:
     return {"qv": qv, "nq": nq, "dot": dot, "nc": nc, "sums": sums, "carry": carry}
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle_prefix() -> str:
+    """The shared WITH-chain: quantize -> fit (chained Lloyd CTEs) ->
+    per-vector cell assignment. Ends after the ``assigned`` CTE so both
+    the single-cell and multiprobe oracles build on one restatement of
+    the fit."""
     p = _ivf_sql_parts()
     iters = []
     for t in range(_IVF_ITERS):
@@ -597,7 +609,11 @@ def _ivf_oracle() -> str:
                    ) AS rn
             FROM q s CROSS JOIN cn{_IVF_ITERS} c
         ) WHERE rn = 1
-    )
+    )"""
+
+
+def _ivf_oracle() -> str:
+    return f"""{_ivf_oracle_prefix()}
     SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank
     FROM (
         SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
@@ -610,6 +626,35 @@ def _ivf_oracle() -> str:
         JOIN assigned na ON na.cell = pa.cell AND na.vec_id <> pa.vec_id
         JOIN emb n ON n.vec_id = na.vec_id
         WHERE pa.vec_id IN {_IVF_PROBE_IDS}
+    ) WHERE rank <= {_TOP_K}
+    """
+
+
+def _ivf_multiprobe_oracle() -> str:
+    p = _ivf_sql_parts()
+    return f"""{_ivf_oracle_prefix()},
+    pcells AS (
+        SELECT vec_id, cell FROM (
+            SELECT s.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY ({p['dot']}) / sqrt(s.nq * c.nc) DESC, c.cell
+                   ) AS rn
+            FROM q s CROSS JOIN cn{_IVF_ITERS} c
+            WHERE s.vec_id IN {_IVF_PROBE_IDS}
+        ) WHERE rn <= {_IVF_NPROBE}
+    )
+    SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT pa.vec_id AS probe_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY pa.vec_id
+                   ORDER BY round(list_cosine_similarity(p.e, n.e), 4) DESC,
+                            n.vec_id) AS rank
+        FROM pcells pa
+        JOIN emb p ON p.vec_id = pa.vec_id
+        JOIN assigned na ON na.cell = pa.cell AND na.vec_id <> pa.vec_id
+        JOIN emb n ON n.vec_id = na.vec_id
     ) WHERE rank <= {_TOP_K}
     """
 
@@ -640,6 +685,78 @@ def sim_ivf_topk_cell_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     candidates = assigned.join(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("n_cell"),
+        F.col("embedding").alias("n_emb"),
+    )
+    pairs = candidates.join(
+        F.broadcast(probes),
+        (F.col("n_cell") == F.col("p_cell"))
+        & (F.col("neighbor_id") != F.col("probe_id")),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "probe_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("p_emb"), F.col("n_emb")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query("sim_ivf_multiprobe_topk", oracle=_ivf_multiprobe_oracle())
+def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multiprobe top-k (nprobe=2): each probe searches its TWO
+    nearest fitted cells — the standard recall/cost dial between the
+    single-cell search (corpus/C candidates) and brute force. On an
+    isotropic corpus this doubles the recall ceiling (same-cell
+    probability ~2x HHI) for 2x the candidate scan; on clustered data
+    it recovers the neighbors that straddle a cell boundary. Probe-cell
+    ranking reuses the exact quantized-integer cosine array
+    (``_ivf_cos_array``), so the DuckDB oracle replays fit + cell
+    ranking + search bit-level — same machinery as the single-probe
+    query, one extra window. The corpus is indexed once (rn=1); only
+    PROBES fan out to nprobe rows, so the join stays an equi-join on
+    cell with a broadcast probe side."""
+    cents = _ivf_fit_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        _ivf_quantize_col(F.col("embedding").cast("array<double>")).alias("qv"),
+    )
+    cos_arr = _ivf_cos_array(F.col("qv"), cents)
+    corpus_cell = (
+        (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+    )
+    assigned = emb.select("vec_id", corpus_cell.alias("cell")).transform(
+        materialize_barrier
+    )
+    probe_rows = (
+        emb.filter(F.col("vec_id").isin(*_IVF_PROBE_IDS))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("p_emb"),
+            F.posexplode(cos_arr).alias("cell", "c_cos"),
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    probes = (
+        probe_rows.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("cell").alias("p_cell"),
+            "p_emb",
+        )
+    )
+    candidates = assigned.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("n_cell"),
         F.col("embedding").alias("n_emb"),
