@@ -30,8 +30,8 @@ from astro_data_pipeline_spark import registry
 # missing, stale (implementation changed this round), or oldest
 # (r1-latest); everything past the window has a green r2/r3 row on
 # code unchanged since, which remains valid evidence. After this round
-# every query's latest green row is ≤2 rounds old: the 7 changed + 1
-# new queries get r4 rows, all 32 r1-latest names get r4 rows, 10 of
+# every query's latest green row is ≤2 rounds old: the 6 changed + 3
+# new queries get r4 rows, all 32 r1-latest names get r4 rows, 9 of
 # the r2-latest names refresh to r4, and the remaining r2/r3-latest
 # rows are at most two rounds old by construction.
 #   1. changed THIS round (their old rows are rows of old code):
@@ -56,6 +56,7 @@ _GATE_PRIORITY = [
     "img_quality_ranking",
     "sim_ivf_topk_cell_search",
     "sim_ivf_multiprobe_topk",
+    "sample_split_leakage_pairs",
     # -- 2. r1-latest rotation (all of them) -----------------------------
     "tpch_q1_pricing_summary",
     "join_left_outer_order_counts",
@@ -97,7 +98,6 @@ _GATE_PRIORITY = [
     "dedup_simhash_hamming_buckets",
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_bucket_census",
-    "grouped_series_stats_per_user",
     "text_quality_scores",
     # imaging module changed this round; this query's body did not, but
     # it shares the catalog/kernel plumbing — cheap insurance re-gate

@@ -75,10 +75,11 @@ def dedup_exact_by_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_jaccard_shingle_pairs",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+# Shared CTE body producing the near-dup pair set — reused verbatim by
+# the jaccard query's oracle and the cross-split leakage oracle, so the
+# two can never drift apart.
+_JACCARD_PAIRS_CTES = f"""
+    sh AS ({_SHINGLE_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     rare AS (
         SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {_DF_CAP}
@@ -89,13 +90,24 @@ def dedup_exact_by_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM posting a JOIN posting b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b,
-           round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= {_JACCARD_MIN}
+    ),
+    near_pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter)
+                  >= {_JACCARD_MIN}
+    )"""
+
+
+@query(
+    "dedup_jaccard_shingle_pairs",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM near_pairs
     """,
 )
 def dedup_jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,6 +147,107 @@ def dedup_jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return inter.filter(jac >= _JACCARD_MIN).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# ------------------------------------------------- cross-split leakage
+
+
+def _split_leakage_oracle() -> str:
+    from .sampling import _TRAIN_HI, _VAL_HI, _U32_MAX, _u32_sql  # noqa: F401
+
+    split_case = (
+        f"CASE WHEN {_u32_sql('doc_id')} < {_TRAIN_HI} THEN 'train' "
+        f"WHEN {_u32_sql('doc_id')} < {_VAL_HI} THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+    WITH {_JACCARD_PAIRS_CTES},
+    hashed AS (
+        SELECT doc_id, sha256(text) AS sha FROM documents
+        WHERE text IS NOT NULL
+    ),
+    exact_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM hashed a JOIN hashed b
+          ON a.sha = b.sha AND a.doc_id < b.doc_id
+    ),
+    all_pairs AS (
+        SELECT doc_a, doc_b, 'exact' AS kind, 1.0 AS jaccard
+        FROM exact_pairs
+        UNION ALL
+        SELECT n.doc_a, n.doc_b, 'near' AS kind, n.jaccard
+        FROM near_pairs n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM exact_pairs e
+            WHERE e.doc_a = n.doc_a AND e.doc_b = n.doc_b
+        )
+    ),
+    splits AS (SELECT doc_id, {split_case} AS split FROM documents)
+    SELECT p.doc_a, p.doc_b, p.kind, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM all_pairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+    """
+
+
+@query("sample_split_leakage_pairs", oracle=_split_leakage_oracle())
+def sample_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE detector: duplicate or near-duplicate document
+    pairs that straddle two different hash splits — the contamination
+    the per-document split and the whole-corpus dedup each miss on
+    their own (a duplicate pair fully inside ``train`` is waste; the
+    same pair split across ``train``/``test`` silently inflates eval).
+    Composes three existing primitives without recomputation drift:
+    exact pairs (sha256 equi-self-join; dup groups are small so the
+    within-group fan-out is bounded), near pairs (the df-capped shingle
+    inverted index of ``dedup_jaccard_shingle_pairs``), and the
+    deterministic 90/5/5 hash split (``sample_hash_split_assignments``).
+    Exact wins when a pair qualifies as both. At scale every stage is
+    an equi-join on a bounded-fan-out key; the quadratic all-pairs
+    comparison never exists. Reference analog: the reference dedups and
+    splits but never cross-checks the two (gap surface)."""
+    from ..functions.hashing import sha256_arrow as _sha
+    from .sampling import sample_hash_split_assignments
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", _sha(F.col("text")).alias("sha")
+    )
+    a = hashed.select(F.col("doc_id").alias("doc_a"), "sha")
+    b = hashed.select(F.col("doc_id").alias("doc_b"), "sha")
+    exact = (
+        a.join(b, "sha")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    near = dedup_jaccard_shingle_pairs(spark, sf_dir).join(
+        exact, ["doc_a", "doc_b"], "left_anti"
+    )
+    pairs = exact.select(
+        "doc_a",
+        "doc_b",
+        F.lit("exact").alias("kind"),
+        F.lit(1.0).alias("jaccard"),
+    ).unionByName(
+        near.select(
+            "doc_a", "doc_b", F.lit("near").alias("kind"), "jaccard"
+        )
+    )
+    splits = sample_hash_split_assignments(spark, sf_dir)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "kind", "jaccard", "split_a", "split_b")
     )
 
 
