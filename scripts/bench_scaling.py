@@ -244,6 +244,13 @@ def write_report(pairs: list[tuple[dict, dict]], sf: float, path: str) -> list[d
             else:
                 exec_note = "criterion.\n\n"
             f.write(
+                "Round-4 revalidation: the round-3 driver bench's apparent\n"
+                "throughput drop (303k → 185k ev/s at sf0.1) was attributed by\n"
+                "an interleaved r2-code-vs-HEAD A/B on this same harness — **no\n"
+                "engine regression; HEAD measured faster than the r2 code at\n"
+                "both sf0.1 (259k vs 251k) and sf1.0 (858k vs 798k ev/s, min\n"
+                "over ≥3 interleaved runs per arm); the drop was host\n"
+                "contention** (full table + method: `BENCH/REPLAY_AB.md`).\n\n"
                 "Companion evidence: `BENCH/BASELINE-executors.md` runs the\n"
                 "same ladder with EXECUTOR JVM COUNT as the scaled variable\n"
                 "(`--master local-cluster[N,C,M]`, separate executor\n"
