@@ -393,3 +393,24 @@ def test_coordinate_transforms_are_pure_map(spark):
     p = plan(registry.get("scalar_coordinate_transforms").fn(spark, SF))
     assert "Exchange" not in p, p
     assert "EvalPython" not in p, p
+
+
+def test_split_leakage_has_no_cartesian_product(spark):
+    """The leakage detector must stay equi-join-only at every stage:
+    sha self-join, shingle posting self-join, pair–split joins. A
+    CartesianProduct or BroadcastNestedLoopJoin here is the quadratic
+    all-pairs comparison the design exists to avoid."""
+    df = registry.get("sample_split_leakage_pairs").fn(spark, SF)
+    p = plan(df, "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_ivf_multiprobe_probe_side_broadcasts(spark):
+    """The multiprobe search's candidate join must broadcast the (tiny,
+    nprobe-fanned) probe side — the corpus never shuffles on cell."""
+    df = registry.get("sim_ivf_multiprobe_topk").fn(spark, SF)
+    p = plan(df, "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
