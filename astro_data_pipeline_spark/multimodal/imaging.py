@@ -904,12 +904,15 @@ def _values_sql(rows: list[tuple], cols: str) -> str:
 
 
 # SQL restatement of gain_correction — closed-form, kernel-independent
-# (op order matches the python exactly: (base * narrow_bump) * sqrt(t))
+# (op order matches the python exactly: (base * narrow_bump) * sqrt(t)).
+# e-notation literals force DOUBLE arithmetic: bare 1.5 * 1.2 is DECIMAL
+# in DuckDB and yields exactly 1.8, while IEEE doubles (the kernel, and
+# Spark) give 1.7999999999999998 — a ULP apart after the sqrt multiply.
 _GAIN_SQL = """
-    (CASE WHEN c.instrument IN ('WFC3','WFPC2') THEN 2.0
-          WHEN c.instrument IN ('NIRCAM','MIRI') THEN 1.5
-          ELSE 1.0 END
-     * CASE WHEN lower(c.filter) LIKE '%narrow%' THEN 1.2 ELSE 1.0 END)
+    (CASE WHEN c.instrument IN ('WFC3','WFPC2') THEN 2.0e0
+          WHEN c.instrument IN ('NIRCAM','MIRI') THEN 1.5e0
+          ELSE 1.0e0 END
+     * CASE WHEN lower(c.filter) LIKE '%narrow%' THEN 1.2e0 ELSE 1.0e0 END)
     * sqrt(c.exptime)
 """
 
@@ -952,7 +955,7 @@ def _cosmic_oracle() -> str:
     return f"""
     SELECT c.instrument,
            count(*) AS n_images,
-           sum(g.n_cosmic_rays) AS total_cosmic_rays,
+           CAST(sum(g.n_cosmic_rays) AS BIGINT) AS total_cosmic_rays,
            avg(g.cr_iterations) AS avg_iterations,
            avg(g.n_cosmic_rays) AS avg_crays_per_image
     FROM ({cat}) c JOIN {vals} ON c.doc_id = g.doc_id

@@ -502,15 +502,15 @@ def _coord_transform_oracle() -> str:
         FROM g
     )
     SELECT event_id,
-           round(l_raw, 4) AS gal_l,
-           round(b_raw, 4) AS gal_b,
-           round(ra_back_raw, 4) AS ra_back,
-           round(dec_back_raw, 4) AS dec_back,
+           round(l_raw, 4) + 0.0 AS gal_l,
+           round(b_raw, 4) + 0.0 AS gal_b,
+           round(ra_back_raw, 4) + 0.0 AS ra_back,
+           round(dec_back_raw, 4) + 0.0 AS dec_back,
            floor((((ra + pm_ra / 3600000.0 * 24.5) % 360.0) + 360.0) % 360.0
-                 * 1000000.0 + 0.5) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 + 0.0
                AS pm_ra_applied,
            floor(greatest(-90.0, least(90.0, dec + pm_dec / 3600000.0 * 24.5))
-                 * 1000000.0 + 0.5) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 + 0.0
                AS pm_dec_applied,
            round(1.0 / cos(radians(90.0 - alt)), 4) AS airmass_pp,
            round(1.0 / (sin(radians(alt))
@@ -579,20 +579,25 @@ def scalar_coordinate_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, b = equatorial_to_galactic(ra, dec)
     ra_back, dec_back = galactic_to_equatorial(l, b)
     pm_ra2, pm_dec2 = apply_proper_motion(ra, dec, pm_ra, pm_dec, F.lit(24.5))
+    # `+ 0.0` after every rounding that can land on ±0: IEEE defines
+    # -0.0 + 0.0 = +0.0 and x + 0.0 = x otherwise, so BOTH engines
+    # normalize the zero's sign — Spark's round returns 0.0 where
+    # DuckDB's keeps -0.0 (31 rows at sf0.1), invisible to numeric
+    # comparison but a different byte string to a hash gate.
     return ev.select(
         "event_id",
-        F.round(l, 4).alias("gal_l"),
-        F.round(b, 4).alias("gal_b"),
-        F.round(ra_back, 4).alias("ra_back"),
-        F.round(dec_back, 4).alias("dec_back"),
+        (F.round(l, 4) + F.lit(0.0)).alias("gal_l"),
+        (F.round(b, 4) + F.lit(0.0)).alias("gal_b"),
+        (F.round(ra_back, 4) + F.lit(0.0)).alias("ra_back"),
+        (F.round(dec_back, 4) + F.lit(0.0)).alias("dec_back"),
         # Deterministic floor-based rounding: the pm columns are the only
         # ones built from decimal-exact linear arithmetic, so they can land
         # exactly on 6th-decimal half-ties that F.round (string-mediated
         # HALF_UP) and DuckDB (binary-double round) resolve differently —
         # 40/100k rows at sf0.1 did.  floor(x·1e6+0.5)/1e6 executes the
         # same IEEE ops in both engines → bit-identical on ties.
-        round_half_up_det(pm_ra2, 6).alias("pm_ra_applied"),
-        round_half_up_det(pm_dec2, 6).alias("pm_dec_applied"),
+        (round_half_up_det(pm_ra2, 6) + F.lit(0.0)).alias("pm_ra_applied"),
+        (round_half_up_det(pm_dec2, 6) + F.lit(0.0)).alias("pm_dec_applied"),
         F.round(airmass_plane_parallel(alt), 4).alias("airmass_pp"),
         F.round(airmass_kasten_young(alt), 4).alias("airmass_ky"),
         F.round(

@@ -30,7 +30,7 @@ from multiprocessing import Pool
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-GOLDEN_SAMPLE_MOD = 60
+GOLDEN_SAMPLE_MOD = 51
 GOLDEN_MAX_DOC_ID = 4999  # ids present at the driver bench SF (sf0.1)
 
 INSTRUMENTS = ["WFC3", "NIRCAM", "MIRI", "GENERIC"]
@@ -61,7 +61,7 @@ def main() -> None:
     ids = [
         i
         for i in range(0, GOLDEN_MAX_DOC_ID + 1, GOLDEN_SAMPLE_MOD)
-        if i % 3 == 0  # the image stripe; mod 60 implies mod 3, kept explicit
+        if i % 3 == 0  # the image stripe; mod 51 implies mod 3, kept explicit
     ]
     with Pool(min(24, os.cpu_count() or 4)) as p:
         outs = p.map(_one, ids)

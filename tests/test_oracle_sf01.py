@@ -55,17 +55,22 @@ def test_tie_class_query_bit_identical_at_sf01(spark, name, key):
     for c in spark_pd.columns:
         sv = spark_pd[c].to_numpy()
         dv = duck_pd[c].to_numpy()
-        if sv.dtype.kind == "f":
-            neq = sv != dv  # bit-level: NaN never occurs in these columns
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            # repr-level, NOT numpy `!=`: IEEE compares -0.0 == 0.0, but
+            # a hash gate sees different byte strings — round-3's tie
+            # bug hid behind exactly this kind of invisible-to-numeric
+            # asymmetry (and signed zeros hid behind `!=` in round 4)
+            srep = [repr(float(v)) for v in sv]
+            drep = [repr(float(v)) for v in dv]
         else:
-            neq = sv != dv
-        bad = int(np.count_nonzero(neq))
-        if bad:
-            idx = np.nonzero(neq)[0][:5]
+            srep = [str(v) for v in sv]
+            drep = [str(v) for v in dv]
+        bad_idx = [i for i, (a, b) in enumerate(zip(srep, drep)) if a != b]
+        if bad_idx:
             detail = [
-                (spark_pd.index[i], repr(float(sv[i])), repr(float(dv[i])))
-                for i in idx
+                (spark_pd.index[i], srep[i], drep[i]) for i in bad_idx[:5]
             ]
             raise AssertionError(
-                f"{name}.{c}: {bad} bit-level diffs at sf0.1; first: {detail}"
+                f"{name}.{c}: {len(bad_idx)} repr-level diffs at sf0.1; "
+                f"first: {detail}"
             )
