@@ -30,22 +30,26 @@ from astro_data_pipeline_spark import registry
 # missing, stale (implementation changed this round), or oldest
 # (r1-latest); everything past the window has a green r2/r3 row on
 # code unchanged since, which remains valid evidence. After this round
-# every query's latest green row is ≤2 rounds old: the 6 changed + 3
-# new queries get r4 rows, all 32 r1-latest names get r4 rows, 9 of
+# every query's latest green row is ≤2 rounds old: the 8 changed + 3
+# new queries get r4 rows, all 32 r1-latest names get r4 rows, 7 of
 # the r2-latest names refresh to r4, and the remaining r2/r3-latest
 # rows are at most two rounds old by construction.
 #   1. changed THIS round (their old rows are rows of old code):
-#      scalar_coordinate_transforms (tie-free floor rounding — the r3
-#      FAIL's fix, kept first per the verdict), scalar_photometric_
-#      calibration (same rounding sweep), the three imaging queries
-#      re-scoped onto the golden-sample oracle, img_quality_ranking
-#      (new name carrying the old full-catalog workload, rows-only),
-#      sim_ivf_topk_cell_search (fitted k-means centroids).
+#      scalar_coordinate_transforms (tie-free floor rounding + signed-
+#      zero normalization — the r3 FAIL's fix, kept first per the
+#      verdict), scalar_photometric_calibration (same rounding sweep),
+#      the three imaging queries re-scoped onto the golden-sample
+#      oracle, img_quality_ranking (new name carrying the old
+#      full-catalog workload, rows-only), sim_ivf_topk_cell_search
+#      (fitted k-means centroids) + the new multiprobe and
+#      split-leakage queries, grouped_series_stats_per_user (tie-free
+#      kernel rounding) and dedup_incremental_index (oracle corrected
+#      to derive canonical ids relationally).
 #   2. all 32 r1-latest names — the verdict's rotation directive: no
 #      query's latest evidence may stay 3 rounds old.
-#   3. 10 r2-latest refreshes, most central first (tpch_q3, the WAL
-#      source, the dedup trio, ANN pair, grouped stats, text quality,
-#      FITS roundtrip) — the start of the standing rotation.
+#   3. 7 r2-latest refreshes, most central first (tpch_q3, the WAL
+#      source, the dedup trio, LSH census, FITS roundtrip) — the
+#      standing rotation.
 _GATE_PRIORITY = [
     # -- 1. changed this round -------------------------------------------
     "scalar_coordinate_transforms",
@@ -57,6 +61,8 @@ _GATE_PRIORITY = [
     "sim_ivf_topk_cell_search",
     "sim_ivf_multiprobe_topk",
     "sample_split_leakage_pairs",
+    "grouped_series_stats_per_user",
+    "dedup_incremental_index",
     # -- 2. r1-latest rotation (all of them) -----------------------------
     "tpch_q1_pricing_summary",
     "join_left_outer_order_counts",
@@ -96,9 +102,7 @@ _GATE_PRIORITY = [
     "dedup_jaccard_shingle_pairs",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_hamming_buckets",
-    "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_bucket_census",
-    "text_quality_scores",
     # imaging module changed this round; this query's body did not, but
     # it shares the catalog/kernel plumbing — cheap insurance re-gate
     "img_fits_header_roundtrip",

@@ -877,9 +877,19 @@ def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_incremental_index",
     oracle="""
-    SELECT CAST(doc_id + 1000000000 AS BIGINT) AS new_doc_id,
-           doc_id AS dup_of
-    FROM documents WHERE doc_id % 7 = 1
+    -- the canonical id must be derived RELATIONALLY (min doc_id per
+    -- sha), not assumed equal to the probe's own id: a probe doc that
+    -- is itself an exact duplicate inside the corpus (doc 4677 == doc
+    -- 1882 at sf0.1) dedups to its EARLIER twin — the engine got this
+    -- right and the round-3 oracle was wrong on exactly those rows
+    WITH canon AS (
+        SELECT sha256(text) AS sha, min(doc_id) AS canonical
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(d.doc_id + 1000000000 AS BIGINT) AS new_doc_id,
+           c.canonical AS dup_of
+    FROM documents d JOIN canon c ON sha256(d.text) = c.sha
+    WHERE d.doc_id % 7 = 1
     """,
 )
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,8 @@ The same harness runs non-SQL kernels (periodograms) unchanged.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -74,14 +76,24 @@ def _series_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     else:
         std = None
     amp = float(v.max() - v.min()) if k else None
+
+    def _r(x: float, nd: int) -> float:
+        # floor-based round-half-up, bit-identical to the oracle's
+        # floor(x*10^n + 0.5)/10^n: python's round() is banker's AND
+        # binary-exact while DuckDB's ROUND is decimal-string half-up,
+        # so a mean that is an exact 4th-decimal half (integer cents /
+        # 100k can be) rounds differently — 4 rows at sf0.1 did.
+        scale = float(10**nd)
+        return math.floor(x * scale + 0.5) / scale
+
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_obs": [n],
-            "mean_value": [None if mean is None else round(mean, 4)],
-            "std_value": [None if std is None else round(std, 4)],
-            "amplitude": [None if amp is None else round(amp, 4)],
-            "mean_interval_sec": [round(float((t.max() - t.min()) / (n - 1)), 2)],
+            "mean_value": [None if mean is None else _r(mean, 4)],
+            "std_value": [None if std is None else _r(std, 4)],
+            "amplitude": [None if amp is None else _r(amp, 4)],
+            "mean_interval_sec": [_r(float((t.max() - t.min()) / (n - 1)), 2)],
         }
     )
 
@@ -105,20 +117,24 @@ def per_key_series_stats(events: DataFrame, min_obs: int = _MIN_OBS) -> DataFram
     )
     SELECT user_id,
            COUNT(*) AS n_obs,
-           ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(value)), 4)
+           floor(CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(value))
+                 * 10000.0 + 0.5) / 10000.0
                AS mean_value,
            -- guard k >= 2 explicitly: with 0/1 non-null values DuckDB's
            -- x/0 -> NULL then greatest(NULL, 0.0) -> 0.0 would emit 0.0
            -- where the kernel emits NULL
            CASE WHEN COUNT(value) >= 2 THEN
-               ROUND(sqrt(greatest((CAST(SUM(cents * cents) AS DOUBLE)
+               floor(sqrt(greatest((CAST(SUM(cents * cents) AS DOUBLE)
                            - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)
                              / COUNT(value))
-                          / (COUNT(value) - 1), 0.0)) / 100.0, 4)
+                          / (COUNT(value) - 1), 0.0)) / 100.0
+                     * 10000.0 + 0.5) / 10000.0
            END AS std_value,
-           ROUND(MAX(value) - MIN(value), 4) AS amplitude,
-           ROUND(CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS DOUBLE)
-                 / 1e6 / (COUNT(*) - 1), 2) AS mean_interval_sec
+           floor((MAX(value) - MIN(value)) * 10000.0 + 0.5) / 10000.0
+               AS amplitude,
+           floor(CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS DOUBLE)
+                 / 1e6 / (COUNT(*) - 1) * 100.0 + 0.5) / 100.0
+               AS mean_interval_sec
     FROM c
     GROUP BY user_id
     HAVING COUNT(*) >= {_MIN_OBS}
