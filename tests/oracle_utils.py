@@ -28,9 +28,13 @@ def _canon_cell(v):
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        # full-precision repr since round 4: the 6-significant-digit form
+        # (and the int-valued-float collapse it came with) hid byte-level
+        # asymmetries a hash gate sees — signed zeros, DECIMAL-literal
+        # ULPs, banker's-rounding ties, HUGEINT-vs-long sum types. Every
+        # oracled query is repr-exact at both driver SFs
+        # (scripts/sweep_oracles_sf01.py), so pytest now holds that line.
+        return repr(float(v))
     return str(v)
 
 
