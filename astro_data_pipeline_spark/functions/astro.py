@@ -15,8 +15,13 @@ from pyspark.sql import functions as F
 
 
 def round_half_up_det(col: Column, decimals: int) -> Column:
-    """Engine-deterministic round-half-up: ``floor(x·10ⁿ + 0.5) / 10ⁿ``
-    as plain IEEE-double ops.
+    """Engine-deterministic half-toward-positive-infinity rounding:
+    ``floor(x·10ⁿ + 0.5) / 10ⁿ`` as plain IEEE-double ops.
+
+    NOTE this is NOT BigDecimal HALF_UP on negatives: -0.5 floors to 0,
+    not -1 (halves go toward +inf, not away from zero). Harmless for
+    oracle gating — both engines run the same formula — but do not
+    assume ``F.round`` parity on negative half-boundary inputs.
 
     ``F.round`` converts the double to BigDecimal via its shortest string
     representation before HALF_UP — DuckDB rounds the binary double

@@ -854,7 +854,7 @@ def img_fits_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate needs rows+schema+hash against a DuckDB
 # oracle, which can't express a pixel kernel. The P6 trick (return only
 # SQL-checkable facts) generalizes through a GOLDEN SAMPLE: for the
-# deterministic 1-in-60 image subset, the kernels' scalar outputs are
+# deterministic 1-in-17 image subset (doc_id % 51 == 0, 99 rows), the kernels' scalar outputs are
 # frozen at full double precision in ``golden.py`` (generated by
 # scripts/gen_img_golden.py; independently pinned component-by-component
 # in tests/test_imaging.py — hand-computed bias, the reference gain
@@ -890,7 +890,7 @@ def _values_sql(rows: list[tuple], cols: str) -> str:
     def lit(v) -> str:
         if isinstance(v, float):
             # exponent notation forces a DOUBLE literal: DuckDB parses a
-            # bare decimal literal as DECIMAL, and unifying 84 rows of
+            # bare decimal literal as DECIMAL, and unifying 99 rows of
             # mixed scales into one DECIMAL type rounds some values a
             # ULP off the golden double — e-notation round-trips exactly
             s = repr(v)

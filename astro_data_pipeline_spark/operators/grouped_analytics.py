@@ -58,7 +58,11 @@ def _series_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     excluded exactly as SQL aggregates exclude them (n_obs still counts
     every row, like COUNT(*))."""
     pdf = pdf.sort_values("ts", kind="stable")
-    t = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) / 1e6
+    # keep EXACT integer microseconds: differencing after a /1e6 per
+    # element (fl(a/1e6)-fl(b/1e6)) differs by ULPs from the oracle's
+    # (a-b)/1e6 and can flip a .xx5 floor boundary — same flake class
+    # the integer-cents trick below eliminates for the moments
+    t_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
     n = len(pdf)
     v = pdf["value"].to_numpy(dtype=np.float64)
     v = v[~np.isnan(v)]
@@ -93,7 +97,11 @@ def _series_stats(pdf: pd.DataFrame) -> pd.DataFrame:
             "mean_value": [None if mean is None else _r(mean, 4)],
             "std_value": [None if std is None else _r(std, 4)],
             "amplitude": [None if amp is None else _r(amp, 4)],
-            "mean_interval_sec": [_r(float((t.max() - t.min()) / (n - 1)), 2)],
+            # same op order as the SQL oracle: exact-integer µs span,
+            # then /1e6, then /(n-1) — bit-identical left-to-right
+            "mean_interval_sec": [
+                _r(float(t_us.max() - t_us.min()) / 1e6 / (n - 1), 2)
+            ],
         }
     )
 

@@ -162,6 +162,13 @@ def _range_chain(root: str, s0: int, s1: int) -> list[dict]:
                     "through a changelog; re-seed the consumer from the "
                     "restored state"
                 )
+            if not chain:
+                # s0 > s1: the while never ran, so there is no walked
+                # step to report — name the offsets directly
+                raise ValueError(
+                    f"start snapshot {s0} is not an ancestor of {s1}: "
+                    f"it is ahead of (or equal to) the end of the range"
+                )
             raise ValueError(
                 f"start snapshot {s0} is not an ancestor of {s1}: the "
                 f"parent walk steps from {chain[-1]['snapshot_id']} past "

@@ -47,7 +47,7 @@ HEADLINE = [
     "text_quality_scores",
     "scalar_photometric_calibration",
     # r4 note: img_quality_scores was re-scoped to the oracled golden
-    # sample (84 images; the driver-verifiable slice), so its r3 bench
+    # sample (99 images; the driver-verifiable slice), so its r3 bench
     # number (1.98 s) corresponds to img_quality_ranking below — the
     # unchanged full-catalog worst-first kernel workload.
     "img_quality_scores",
@@ -79,13 +79,11 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def cdc_fixture_dir(sf: float) -> dict:
-    """Deterministic CDC change log scaled to SF, cached across runs."""
-    from astro_data_pipeline_spark.cdc.fixtures import (
-        FIXTURE_VERSION,
-        generate_change_log,
-    )
-
+def _cdc_fixture_params(sf: float) -> tuple[dict, str]:
+    """SF → (generator params, on-disk cache path). ONE implementation:
+    cdc_fixture_dir (generates) and cdc_fixture_cached (probes) must
+    agree on the params and path format, else the probe silently reports
+    'not cached' — or matches a stale dir — after any params change."""
     params = dict(
         n_repos=max(int(200 * sf * 10), 20),
         n_keys=max(int(1_200_000 * sf), 1000),
@@ -93,7 +91,17 @@ def cdc_fixture_dir(sf: float) -> dict:
     )
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     tag = f"sf{sf}-{params['n_keys']}-{params['n_events']}"
-    out = os.path.join(root, tag)
+    return params, os.path.join(root, tag)
+
+
+def cdc_fixture_dir(sf: float) -> dict:
+    """Deterministic CDC change log scaled to SF, cached across runs."""
+    from astro_data_pipeline_spark.cdc.fixtures import (
+        FIXTURE_VERSION,
+        generate_change_log,
+    )
+
+    params, out = _cdc_fixture_params(sf)
 
     def _read_valid() -> dict | None:
         try:
@@ -135,10 +143,7 @@ def cdc_fixture_cached(sf: float) -> bool:
     cross-SF matview pair is affordable inside the driver's bench run)."""
     from astro_data_pipeline_spark.cdc.fixtures import FIXTURE_VERSION
 
-    params_keys = max(int(1_200_000 * sf), 1000)
-    params_events = max(int(6_000_000 * sf), 5000)
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
-    out = os.path.join(root, f"sf{sf}-{params_keys}-{params_events}")
+    _, out = _cdc_fixture_params(sf)
     try:
         with open(os.path.join(out, "meta.json")) as f:
             return json.load(f).get("fixture_version") == FIXTURE_VERSION
