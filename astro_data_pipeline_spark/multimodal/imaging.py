@@ -59,6 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 from ..registry import query
 from ..sources import load_table
@@ -1018,8 +1019,43 @@ def img_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("img_quality_ranking")  # rows-only: full-catalog pixel kernels
+def _ranking_oracle() -> str:
+    from . import golden
+
+    pred, cat = _golden_oracle_parts()
+    vals = _values_sql(
+        golden.QUALITY,
+        "doc_id, snr, seeing_fwhm, limiting_mag, stellarity, "
+        "n_sources, quality_score",
+    )
+    return f"""
+    SELECT g.doc_id, g.quality_score,
+           CAST(row_number() OVER (ORDER BY g.quality_score, g.doc_id)
+                AS INT) AS rank_worst_first
+    FROM ({cat}) c JOIN {vals} ON c.doc_id = g.doc_id
+    WHERE {pred}
+    """
+
+
+@query("img_quality_ranking", oracle=_ranking_oracle())
 def img_quality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-first quality RANKING over the golden sample, under a full
+    DuckDB oracle (VERDICT_r04 next #2: the last imaging rows-only row
+    converted): the oracle ranks the pinned golden scores with SQL
+    row_number while the engine ranks its own kernel outputs — a single
+    drifted score reorders both columns and breaks the hash. The global
+    window is safe here BECAUSE the golden sample is a bounded set (99
+    rows); the full-catalog analog below keeps the scale-correct
+    barrier + range-partitioned sort and remains the bench workload
+    (`img_quality_ranking_full` in BENCH_r05)."""
+    out = process_images(_golden_sample(image_catalog(spark, sf_dir)), parts={"quality"})
+    w = W.orderBy("quality_score", "doc_id")
+    return out.select("doc_id", "quality_score").withColumn(
+        "rank_worst_first", F.row_number().over(w)
+    )
+
+
+def img_quality_ranking_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 per-image quality metrics + 0-100 combined score, worst
     first — the reference surfaces these per processing job.
 

@@ -221,13 +221,41 @@ def _lomb_scargle(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@query("grouped_periodogram_peak")  # non-SQL-expressible: rows-only check
+def _periodogram_oracle() -> str:
+    """Golden-sample oracle (the imaging-kernel device, VERDICT_r04 next
+    #2): the kernel's per-key peaks at the driver gate's SF are frozen
+    as VALUES by ``scripts/gen_periodogram_golden.py`` (generated over
+    pandas straight from parquet — no Spark in the loop), while the key
+    set and ``n_obs`` are recomputed independently in pure SQL and
+    joined on BOTH columns, so any drift in scan, grouping, the Arrow
+    boundary, kernel math, or the min-obs filter breaks the driver
+    hash. Valid only for the sf0.01 gate tables (a key's series differs
+    per SF — unlike the imaging catalog, which is a pure function of
+    doc_id); bench.py exercises the full kernel at sf0.1 as before."""
+    from ..multimodal.imaging import _values_sql
+    from .periodogram_golden import PEAKS
+
+    vals = _values_sql(
+        PEAKS, "user_id, n_obs, peak_freq_hz, peak_power, is_periodic"
+    )
+    return f"""
+    WITH k AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY user_id HAVING COUNT(*) >= {_MIN_OBS}
+    )
+    SELECT k.user_id, k.n_obs, g.peak_freq_hz, g.peak_power, g.is_periodic
+    FROM k JOIN {vals} ON k.user_id = g.user_id AND k.n_obs = g.n_obs
+    """
+
+
+@query("grouped_periodogram_peak", oracle=_periodogram_oracle())
 def grouped_periodogram_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 proper: per-key Lomb–Scargle periodogram peak via
     groupBy(key).applyInPandas — the genuinely non-SQL grouped kernel
-    (VariableStarAnalysis.java:143-220). The driver records a rows-only
-    check; unit tests pin the kernel against a pure-NumPy replay on a
-    synthetic sinusoid (period recovered within grid resolution)."""
+    (VariableStarAnalysis.java:143-220), driver-verified end to end via
+    the golden-sample oracle above; unit tests additionally pin the
+    kernel against a pure-NumPy replay on a synthetic sinusoid (period
+    recovered within grid resolution)."""
     ev = load_table(spark, sf_dir, "events")
     out = (
         ev.select("user_id", "ts", "value")

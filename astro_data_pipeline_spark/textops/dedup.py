@@ -153,7 +153,10 @@ def dedup_jaccard_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- cross-split leakage
 
 
-def _split_leakage_oracle() -> str:
+def _split_leakage_ctes() -> str:
+    """Shared WITH-block ending in ``leak_pairs`` — the pairs oracle and
+    the contamination-rate rollup oracle reuse it verbatim, so the two
+    checks can never drift apart (VERDICT_r04 next #8)."""
     from .sampling import _TRAIN_HI, _VAL_HI, _U32_MAX, _u32_sql  # noqa: F401
 
     split_case = (
@@ -183,13 +186,21 @@ def _split_leakage_oracle() -> str:
             WHERE e.doc_a = n.doc_a AND e.doc_b = n.doc_b
         )
     ),
-    splits AS (SELECT doc_id, {split_case} AS split FROM documents)
-    SELECT p.doc_a, p.doc_b, p.kind, p.jaccard,
-           sa.split AS split_a, sb.split AS split_b
-    FROM all_pairs p
-    JOIN splits sa ON sa.doc_id = p.doc_a
-    JOIN splits sb ON sb.doc_id = p.doc_b
-    WHERE sa.split <> sb.split
+    splits AS (SELECT doc_id, {split_case} AS split FROM documents),
+    leak_pairs AS (
+        SELECT p.doc_a, p.doc_b, p.kind, p.jaccard,
+               sa.split AS split_a, sb.split AS split_b
+        FROM all_pairs p
+        JOIN splits sa ON sa.doc_id = p.doc_a
+        JOIN splits sb ON sb.doc_id = p.doc_b
+        WHERE sa.split <> sb.split
+    )"""
+
+
+def _split_leakage_oracle() -> str:
+    return f"""
+    {_split_leakage_ctes()}
+    SELECT doc_a, doc_b, kind, jaccard, split_a, split_b FROM leak_pairs
     """
 
 
@@ -248,6 +259,73 @@ def sample_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "kind", "jaccard", "split_a", "split_b")
+    )
+
+
+def _split_contamination_oracle() -> str:
+    return f"""
+    {_split_leakage_ctes()},
+    leaked AS (
+        SELECT DISTINCT doc_id, split FROM (
+            SELECT doc_a AS doc_id, split_a AS split FROM leak_pairs
+            UNION ALL
+            SELECT doc_b AS doc_id, split_b AS split FROM leak_pairs
+        )
+    ),
+    totals AS (
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+        FROM splits GROUP BY split
+    ),
+    lk AS (SELECT split, count(*) AS n FROM leaked GROUP BY split)
+    SELECT t.split, t.n_docs,
+           CAST(coalesce(lk.n, 0) AS BIGINT) AS n_leaked_docs,
+           floor(coalesce(lk.n, 0) / CAST(t.n_docs AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS contamination_rate
+    FROM totals t LEFT JOIN lk ON t.split = lk.split
+    """
+
+
+@query("sample_split_contamination_rate", oracle=_split_contamination_oracle())
+def sample_split_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split contamination-rate rollup over the leakage pairs — the
+    number a training run actually gates on ("x% of test docs have a
+    duplicate or near-duplicate outside their split"), where the pairs
+    query is the forensic drill-down. Shares the leakage CTE chain with
+    ``sample_split_leakage_pairs`` verbatim on the oracle side and the
+    DataFrame itself on the Spark side, so rollup and detail cannot
+    drift. Scale shape: adds one distinct + one groupBy over the
+    (tiny) leaked-doc set plus a count per split on the zero-shuffle
+    split map — nothing new touches the corpus."""
+    pairs = sample_split_leakage_pairs(spark, sf_dir)
+    from .sampling import sample_hash_split_assignments
+
+    leaked = (
+        pairs.select(
+            F.col("doc_a").alias("doc_id"), F.col("split_a").alias("split")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_id"), F.col("split_b").alias("split")
+            )
+        )
+        .distinct()
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = (
+        sample_hash_split_assignments(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    j = totals.join(leaked, "split", "left")
+    rate = F.coalesce(F.col("n"), F.lit(0)) / F.col("n_docs").cast("double")
+    return j.select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_leaked_docs"),
+        (F.floor(rate * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "contamination_rate"
+        ),
     )
 
 

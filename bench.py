@@ -48,10 +48,14 @@ HEADLINE = [
     "scalar_photometric_calibration",
     # r4 note: img_quality_scores was re-scoped to the oracled golden
     # sample (99 images; the driver-verifiable slice), so its r3 bench
-    # number (1.98 s) corresponds to img_quality_ranking below — the
-    # unchanged full-catalog worst-first kernel workload.
+    # number (1.98 s) corresponds to img_quality_ranking_full below —
+    # the unchanged full-catalog worst-first kernel workload. r5 note:
+    # the registered img_quality_ranking is now the golden-subset
+    # ranking under a full oracle; the full-catalog workload keeps its
+    # bench slot via the non-registered function (special-cased in
+    # main), renamed _full so the lineage of the number is explicit.
     "img_quality_scores",
-    "img_quality_ranking",
+    "img_quality_ranking_full",
     "sample_balanced_mixture",
     "text_benchmark_contamination",
     "cdc_json_wal_source",
@@ -302,8 +306,16 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     all_q = registry.all_queries()
+    # full-catalog ranking workload: not a registered gate query (its
+    # kernel outputs have no portable oracle at catalog scale) but kept
+    # on the bench so the full pixel-kernel scan cost stays visible
+    from astro_data_pipeline_spark.multimodal.imaging import (
+        img_quality_ranking_full,
+    )
+
+    extra = {"img_quality_ranking_full": img_quality_ranking_full}
     for name in HEADLINE:
-        fn = all_q[name]
+        fn = all_q[name] if name in all_q else extra[name]
         # noop sink materializes EVERY column (count() lets Catalyst prune
         # unaggregated computed columns — a timing of nothing); best-of-2
         # rides out the host's episodic contention and first-run codegen.

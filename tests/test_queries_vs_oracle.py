@@ -34,14 +34,17 @@ def test_rows_only_query_runs(spark, name):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    """The HLL sketch query is rows-only for the driver (DuckDB's sketch
-    differs); pin its estimate to the exact count here instead, at small
-    SF where the exact shuffle is cheap."""
+    """Pin the sketch-only production shape (no exact-distinct shuffle)
+    to the exact count at small SF; the registered gate query asserts
+    the same tolerance inside its DuckDB oracle."""
     from pyspark.sql import functions as F
 
+    from astro_data_pipeline_spark.operators.aggregations import (
+        approx_distinct_users_sketch,
+    )
     from astro_data_pipeline_spark.sources import load_table
 
-    approx = registry.get("agg_approx_distinct_users").fn(spark, sf_dir).collect()[0][
+    approx = approx_distinct_users_sketch(spark, sf_dir).collect()[0][
         "approx_users"
     ]
     exact = (
