@@ -25,87 +25,70 @@ from pyspark.sql import DataFrame, SparkSession
 
 from astro_data_pipeline_spark import registry
 
-# Round-4 gate order (VERDICT_r03 "Next round" items 1 and 4). The
-# first 50 names are exactly the queries whose latest driver row is
-# missing, stale (implementation changed this round), or oldest
-# (r1-latest); everything past the window has a green r2/r3 row on
-# code unchanged since, which remains valid evidence. After this round
-# every query's latest green row is ≤2 rounds old: the 8 changed + 3
-# new queries get r4 rows, all 32 r1-latest names get r4 rows, 7 of
-# the r2-latest names refresh to r4, and the remaining r2/r3-latest
-# rows are at most two rounds old by construction.
-#   1. changed THIS round (their old rows are rows of old code):
-#      scalar_coordinate_transforms (tie-free floor rounding + signed-
-#      zero normalization — the r3 FAIL's fix, kept first per the
-#      verdict), scalar_photometric_calibration (same rounding sweep),
-#      the three imaging queries re-scoped onto the golden-sample
-#      oracle, img_quality_ranking (new name carrying the old
-#      full-catalog workload, rows-only), sim_ivf_topk_cell_search
-#      (fitted k-means centroids) + the new multiprobe and
-#      split-leakage queries, grouped_series_stats_per_user (tie-free
-#      kernel rounding) and dedup_incremental_index (oracle corrected
-#      to derive canonical ids relationally).
-#   2. all 32 r1-latest names — the verdict's rotation directive: no
-#      query's latest evidence may stay 3 rounds old.
-#   3. 7 r2-latest refreshes, most central first (tpch_q3, the WAL
-#      source, the dedup trio, LSH census, FITS roundtrip) — the
-#      standing rotation.
+# The first 50 names are exactly the queries whose latest driver row
+# is missing, stale (implementation changed this round), or oldest;
+# everything past the window has a green row ≤2 rounds old on code
+# unchanged since, which remains valid evidence (verified mechanically
+# each round by replaying the CORRECTNESS_r*.json union).
 _GATE_PRIORITY = [
-    # -- 1. changed this round -------------------------------------------
-    "scalar_coordinate_transforms",
-    "scalar_photometric_calibration",
-    "img_quality_scores",
-    "img_calibration_pipeline",
-    "img_cosmic_ray_stats",
-    "img_quality_ranking",
-    "sim_ivf_topk_cell_search",
-    "sim_ivf_multiprobe_topk",
-    "sample_split_leakage_pairs",
-    "grouped_series_stats_per_user",
-    "dedup_incremental_index",
-    # -- 2. r1-latest rotation (all of them) -----------------------------
-    "tpch_q1_pricing_summary",
-    "join_left_outer_order_counts",
-    "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
-    "agg_conditional_count_pivot",
-    "agg_cube_status_priority",
-    "agg_duplicate_key_detection",
-    "agg_global_catalog_stats",
-    "agg_histogram_value_bins",
-    "agg_quality_score_compound",
-    "agg_rollup_status_priority",
-    "agg_weighted_mean_per_group",
-    "window_top1_order_per_customer",
-    "window_scd2_intervals",
-    "window_lag_order_gap_seconds",
-    "window_running_spend_per_customer",
-    "window_topk_parts_per_brand",
-    "sort_topk_global_orders",
-    "filter_null_and_validity_audit",
-    "filter_time_window_recent_events",
-    "filter_validate_split_documents",
-    "project_derived_partition_key",
-    "route_events_by_type",
-    "scalar_astro_math_functions",
-    "scalar_datetime_functions",
-    "scalar_json_extract_props",
-    "scalar_sha256_documents",
-    "scalar_string_path_functions",
-    "setop_except_lapsed_customers",
-    "setop_intersect_retained_customers",
-    "union_split_reconcile",
-    "dedup_exact_by_sha",
-    # -- 3. r2-latest refresh rotation (10 most central) -----------------
-    "tpch_q3_shipping_priority",
-    "cdc_json_wal_source",
-    "dedup_jaccard_shingle_pairs",
-    "dedup_minhash_lsh_candidates",
-    "dedup_simhash_hamming_buckets",
-    "sim_ann_lsh_bucket_census",
-    # imaging module changed this round; this query's body did not, but
-    # it shares the catalog/kernel plumbing — cheap insurance re-gate
-    "img_fits_header_roundtrip",
+    # Round-5 gate order (VERDICT_r04 "Next round" #6): after this round
+    # r3∪r4∪r5 must cover all queries with nothing older than r3. The 50
+    # slots: (1) the 9 queries changed or added this round, (2) all 20
+    # remaining r2-latest names (their rows would otherwise age to 3
+    # rounds), (3) 21 r3-latest refreshes, most central first.
+    # -- 1. changed/added this round --------------------------------------
+    "grouped_periodogram_peak",       # new golden-sample oracle
+    "agg_approx_distinct_users",      # tolerance-band oracle, new columns
+    "img_quality_ranking",            # re-scoped to oracled golden ranks
+    "sample_split_contamination_rate",  # new rollup query
+    "sample_split_leakage_pairs",     # oracle refactored into shared CTEs
+    "sim_ivf_sqrtn_multiprobe_topk",  # new √n operating point
+    "sim_ivf_topk_cell_search",       # fit/oracle helpers parameterized
+    "sim_ivf_multiprobe_topk",        # body extracted to shared helper
+    "grouped_series_stats_per_user",  # exact-µs interval kernel fix
+    # -- 2. r2-latest rotation (all 20 remaining) -------------------------
+    "agg_doclen_percentiles",
+    "mm_decode_feature_stub",
+    "mm_frame_sample_plan",
+    "mm_media_metadata_stats",
+    "sample_balanced_mixture",
+    "sample_hash_split_assignments",
+    "sample_pack_sequences",
+    "sample_token_budget_per_source",
+    "sim_cosine_topk_bruteforce",
+    "sort_keyset_pagination_page3",
+    "text_benchmark_contamination",
+    "text_chunk_sliding_windows",
+    "text_document_fingerprint",
+    "text_langid_heuristic",
+    "text_pii_redaction",
+    "text_quality_filter_verdict",
+    "text_quality_scores",
+    "text_repetition_filter",
+    "text_token_count_bpe_ish",
+    "text_winnowing_fingerprints",
+    # -- 3. r3-latest refresh rotation (21 most central) ------------------
+    "cdc_lww_current_state",
+    "cdc_replay_end_to_end",
+    "cdc_conditional_merge",
+    "cdc_row_level_ops",
+    "cdc_salted_lww",
+    "cdc_resume_from_checkpoint",
+    "cdc_schema_evolution_audit",
+    "cdc_incremental_matview",
+    "cdc_incremental_changes",
+    "cdc_time_travel_read",
+    "cdc_streaming_replay_end_to_end",
+    "cdc_streaming_stateful_changelog",
+    "cdc_changelog_stream_source",
+    "tpch_q5_local_supplier_volume",
+    "join_three_way_nation_revenue",  # r4 watch item: re-gate + re-time
+    "join_fact_dim_revenue_by_brand",
+    "join_asof_last_click_before_purchase",
+    "dedup_incremental_lsh",
+    "dedup_embedding_cosine_pairs",
+    "window_sessionize_events",
+    "text_tfidf_top_terms",
 ]
 
 
