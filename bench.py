@@ -294,6 +294,82 @@ def bench_matview_refresh(spark, sf: float, trials: int = 2) -> dict:
     }
 
 
+def bench_matview_refresh_skew(
+    spark, sf: float, trials: int = 2, hot_buckets: int = 4
+) -> dict:
+    """The matview pair under a REALISTIC skewed tail (VERDICT_r04 next
+    #3): same seed-at-90% harness as ``bench_matview_refresh``, but the
+    tail keeps only events whose key hashes into ``hot_buckets`` of the
+    base's 64 — the hot-repo shape production change streams actually
+    have (a few repos absorb most commits). The uniform-tail pair is the
+    worst case for the incremental path (every bucket touched, so the
+    prior-existence probe inside ``changes()`` is O(base)); here the
+    probe bucket-prunes to hot_buckets/64 of the base and the refresh
+    is genuinely O(changed), so the crossover arrives at small SF
+    instead of sf1.0. Both shapes are reported every round."""
+    from astro_data_pipeline_spark.cdc import apply as A
+    from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
+    from astro_data_pipeline_spark.lakehouse import LakeTable
+    from astro_data_pipeline_spark.lakehouse.table import bucket_expr
+    from astro_data_pipeline_spark.lakehouse.matview import (
+        AggSpec,
+        IncrementalAggView,
+    )
+    from astro_data_pipeline_spark.session import scratch_tmpdir_base
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    meta = cdc_fixture_dir(sf)
+    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
+    cut = int(
+        events.selectExpr("percentile(lsn, 0.9) AS c").collect()[0]["c"]
+    )
+    head = events.filter(F.col("lsn") <= cut)
+    tail = events.filter(F.col("lsn") > cut).filter(
+        bucket_expr(A.KEY_COLS, 64) < hot_buckets
+    )
+    n_tail = tail.count()
+    best_inc, best_full = None, None
+    for trial in range(trials):
+        with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
+            table = LakeTable.create(
+                spark,
+                os.path.join(td, "lake"),
+                T.StructType(A.BASE_TABLE_FIELDS),
+                A.KEY_COLS,
+                n_buckets=64,
+            )
+            runner = CdcRunner(spark, table, run_id=f"mvs{trial}", mode="mor")
+            runner.replay(head, n_batches=3)
+            specs = [
+                AggSpec("count", None, "n_files"),
+                AggSpec("sum", "last_lsn", "sum_lsn"),
+                AggSpec("max", "last_lsn", "max_lsn"),
+            ]
+            v_inc = IncrementalAggView.create(
+                spark, os.path.join(td, "mv-inc"), table, ["repo"], specs,
+                n_buckets=16,
+            )
+            v_full = IncrementalAggView.create(
+                spark, os.path.join(td, "mv-full"), table, ["repo"], specs,
+                n_buckets=16,
+            )
+            runner.replay(tail, n_batches=1)
+            t0 = time.time()
+            v_inc.refresh()
+            t1 = time.time()
+            v_full.refresh(full=True)
+            t2 = time.time()
+            best_inc = t1 - t0 if best_inc is None else min(best_inc, t1 - t0)
+            best_full = t2 - t1 if best_full is None else min(best_full, t2 - t1)
+    return {
+        "mv_skew_refresh_sec": round(best_inc, 3),
+        "mv_skew_full_refresh_sec": round(best_full, 3),
+        "mv_skew_tail_events": n_tail,
+        "mv_skew_hot_buckets": hot_buckets,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -331,6 +407,7 @@ def main() -> None:
     queries["cdc_replay"] = cdc["cdc_replay_sec"]
     mv = bench_matview_refresh(spark, sf)
     queries["mv_refresh"] = mv["mv_refresh_sec"]
+    mv_skew = bench_matview_refresh_skew(spark, sf)
 
     # Incremental-vs-full matview crossover (VERDICT_r03 item 6): at
     # sf0.1 the ~10% tail touches every bucket, so the incremental
@@ -349,6 +426,19 @@ def main() -> None:
             "mv_full_refresh_sec_sf1": x["mv_full_refresh_sec"],
             "mv_refresh_events_per_sec_sf1": x["mv_refresh_events_per_sec"],
         }
+        # sf1.0 replay throughput (VERDICT_r04 next #7): the sf0.1
+        # micro-batches are fixed-commit-cost-dominated (278k vs ~800k
+        # ev/s says more about batch size than the engine), so when the
+        # big fixture is already cached, report the scaling-regime
+        # number alongside — same job, 10x the events per batch.
+        x1 = bench_cdc_replay(spark, 1.0, trials=2)
+        mv_x.update(
+            {
+                "cdc_events_per_sec_sf1": x1["cdc_events_per_sec"],
+                "cdc_replay_sec_sf1": x1["cdc_replay_sec"],
+                "cdc_events_sf1": x1["cdc_events"],
+            }
+        )
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -363,6 +453,7 @@ def main() -> None:
         "cdc_events": cdc["cdc_events"],
         "cdc_final_rows": cdc["cdc_final_rows"],
         **mv,
+        **mv_skew,
         **mv_x,
     }
     spark.stop()
