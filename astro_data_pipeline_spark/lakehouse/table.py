@@ -2544,6 +2544,112 @@ class LakeTable:
             "delta_files": sum(len(v) for v in snap.delta_files.values()),
         }
 
+    def scan_advice(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot: Snapshot | None = None,
+        min_files: int = 8,
+    ) -> dict:
+        """Query-level layout advisor (the query half of the reference's
+        bottleneck→recommendation reports, system_optimizer.py:1-647;
+        ``maintenance_report`` is the table-health half): given a range
+        scan's shape, grade how well the CURRENT layout serves it and
+        name the maintenance op that would fix it. Manifest-only — zero
+        jobs, zero file opens — so an orchestrator can call it per query
+        and act on ``advice`` programmatically (each entry carries an
+        ``action`` token matching an engine method, plus the measured
+        numbers behind it)."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        rep = self.prune_report(col, lo, hi, snapshot=snap)
+        base, pruned = rep["base_files"], rep["pruned"]
+        spec = snap.cluster_spec
+        clustered_on = list(spec["cols"]) if spec else None
+        advice: list[dict] = []
+        bounded = lo is not None or hi is not None
+        prune_frac = (pruned / base) if base else 1.0
+        # how many base files even HAVE stats for this column — pruning
+        # can't work without them no matter how good the layout is
+        with_stats = sum(
+            1
+            for rels in snap.files.values()
+            for p in rels
+            if snap.file_stats.get(p, {}).get(col) is not None
+        )
+        # below min_files the table is too small for layout advice to
+        # mean anything (a 4-file table "pruning badly" is noise)
+        if bounded and base >= min_files and prune_frac < 0.25:
+            if with_stats < base:
+                advice.append(
+                    {
+                        "action": "compact",
+                        "reason": (
+                            f"only {with_stats}/{base} base files carry "
+                            f"min/max stats for {col!r} — they predate "
+                            "stats collection; a compact() rewrite "
+                            "refreshes every footer into the manifest"
+                        ),
+                    }
+                )
+            elif spec is None:
+                advice.append(
+                    {
+                        "action": "cluster_by",
+                        "reason": (
+                            f"range on {col!r} pruned {pruned}/{base} "
+                            "base files: hash bucketing scatters every "
+                            "value range across all files, so min/max "
+                            f"stats can't skip — cluster_by({col!r}, "
+                            "...) makes ranges file-contiguous"
+                        ),
+                    }
+                )
+            elif col not in clustered_on:
+                advice.append(
+                    {
+                        "action": "cluster_by",
+                        "reason": (
+                            f"table is clustered on {clustered_on} but "
+                            f"this scan ranges on {col!r} — re-cluster "
+                            "with it included (z-order for several "
+                            "range dimensions at once)"
+                        ),
+                    }
+                )
+            else:
+                advice.append(
+                    {
+                        "action": "compact",
+                        "reason": (
+                            f"clustered on {col!r} yet only "
+                            f"{pruned}/{base} files pruned — "
+                            "merge-on-read deltas since the last rewrite "
+                            "have re-scattered the range; compact() "
+                            "restores locality"
+                        ),
+                    }
+                )
+        if rep["delta_files"] > max(4, base // 4):
+            advice.append(
+                {
+                    "action": "compact",
+                    "reason": (
+                        f"{rep['delta_files']} delta files are never "
+                        "pruned and force LWW resolution on every read"
+                    ),
+                }
+            )
+        return {
+            "shape": {"col": col, "lo": lo, "hi": hi},
+            "prune_report": rep,
+            "clustered_on": clustered_on,
+            "files_with_stats": with_stats,
+            "advice": advice,
+        }
+
     def _append_lineage(self, snap: Snapshot, per_bucket: list[dict], summary: dict) -> None:
         """Append-only per-(batch, partition) lineage rows (reference:
         ProcessingContext.DataLineage, ProcessingContext.java:161-169)."""

@@ -805,10 +805,10 @@ _SQRTN_NPROBE = 8
 def sim_ivf_sqrtn_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF at the √n operating point (C=32 cells, nprobe=8) — the
     scaled-model answer to VERDICT_r04 next #4. At the SAME 25%
-    candidate budget as the C=8/nprobe=2 query it lifts recall@3 from
-    0.40 to 0.60 (all-probe measure 0.53→0.60; full surface in
-    BENCH/IVF.md via scripts/ivf_recall_curve.py): finer cells dominate
-    coarser ones at equal scan cost. The measured frontier on this
+    candidate budget as the C=8/nprobe=2 query it lifts all-probe
+    recall@3 from 0.494 to 0.613 at sf0.1 (0.525 to 0.595 at sf0.01;
+    full surface in BENCH/IVF.md via scripts/ivf_recall_curve.py):
+    finer cells dominate coarser ones at equal scan cost. The measured frontier on this
     corpus is recall ≈ √(candidate fraction) — the intrinsic geometry of
     an isotropic embedding set, which no partition-based index can beat;
     0.7 recall costs ~50% of the corpus here regardless of (C, nprobe).

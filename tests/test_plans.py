@@ -331,6 +331,14 @@ def test_quality_verdict_has_no_shuffle(spark):
 # probe×corpus cross join. Everything else must justify itself here.
 _BNLJ_ALLOWED = {"sample_balanced_mixture", "sim_cosine_topk_bruteforce"}
 
+# Intentional unpartitioned ordered windows: the golden-subset quality
+# ranking ranks a set bounded by CONSTRUCTION (doc_id % 51 == 0 and
+# doc_id <= 4999 → ≤99 rows at any corpus size), so the single-task
+# window is a driver-bounded op, not a global sort over the catalog —
+# the full-catalog ranking (img_quality_ranking_full, bench-only) keeps
+# the range-partitioned sort. Everything else must justify itself here.
+_GLOBAL_WINDOW_ALLOWED = {"img_quality_ranking"}
+
 
 def test_registry_wide_plan_red_flags(spark):
     """Every registered query's physical plan, swept for the three
@@ -378,7 +386,7 @@ def test_registry_wide_plan_red_flags(spark):
                 break
         for m in re.finditer(r"windowspecdefinition\(", p):
             first = _first_window_arg(p, m.end()).strip()
-            if order_tail.search(first):
+            if order_tail.search(first) and name not in _GLOBAL_WINDOW_ALLOWED:
                 f.append("unpartitioned ordered window")
                 break
         if f:

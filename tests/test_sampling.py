@@ -99,3 +99,40 @@ def test_ngrams_empty_for_short_docs(spark):
     assert 1 not in cnt
     assert cnt[2] == 1
     assert cnt[3] == 3
+
+
+def test_split_contamination_rate_consistent_with_pairs(spark, sf_dir):
+    """The rollup must be EXACTLY the pairs query rolled up: recompute
+    n_leaked_docs and the rate from the pairs DataFrame in-test and
+    compare row-for-row (the shared-CTE oracle guards the DuckDB side;
+    this guards the Spark side against the two queries drifting)."""
+    from astro_data_pipeline_spark import registry
+
+    pairs = registry.get("sample_split_leakage_pairs").fn(spark, sf_dir).toPandas()
+    roll = (
+        registry.get("sample_split_contamination_rate")
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("split")
+        .sort_index()
+    )
+    splits = (
+        registry.get("sample_hash_split_assignments")
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    import math
+
+    totals = splits.groupby("split").size()
+    leaked: dict[str, set] = {}
+    for r in pairs.itertuples():
+        leaked.setdefault(r.split_a, set()).add(r.doc_a)
+        leaked.setdefault(r.split_b, set()).add(r.doc_b)
+    assert set(roll.index) == set(totals.index)
+    for split, n_docs in totals.items():
+        row = roll.loc[split]
+        n_leak = len(leaked.get(split, set()))
+        assert row["n_docs"] == n_docs
+        assert row["n_leaked_docs"] == n_leak
+        expect = math.floor(n_leak / float(n_docs) * 1e6 + 0.5) / 1e6
+        assert row["contamination_rate"] == expect, (split, row, expect)
