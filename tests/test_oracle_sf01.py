@@ -36,6 +36,9 @@ _TIE_CLASS = [
     ("img_quality_scores", "doc_id"),
     ("img_calibration_pipeline", "doc_id"),
     ("img_cosmic_ray_stats", "instrument"),
+    # round 5: the golden-subset ranking — same inlined values plus a
+    # SQL row_number both engines must order identically
+    ("img_quality_ranking", "doc_id"),
 ]
 
 
