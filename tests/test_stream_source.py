@@ -211,3 +211,15 @@ def test_branch_start_snapshot_refused_as_non_ancestor(spark, tmp_path, table):
     head = table.current_snapshot().snapshot_id
     with pytest.raises(ValueError, match="not an ancestor"):
         _range_chain(table.root, bsnap.snapshot_id, head)
+
+
+def test_reversed_offset_range_raises_value_error_not_index_error(spark, table):
+    """s0 ahead of (or equal to) s1: the ancestor walk never runs, so
+    the non-ancestor branch must not index into the empty chain — the
+    round-4 advisory's IndexError path. The caller still gets the
+    actionable not-an-ancestor message naming both offsets."""
+    from astro_data_pipeline_spark.streaming.source import _range_chain
+
+    head = table.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="not an ancestor"):
+        _range_chain(table.root, head + 10, head)
