@@ -210,6 +210,13 @@ def _membw_decomposition(summaries: list[dict]) -> str:
         )
     out += [
         "\n",
+        "(The P=2 control bests were sampled in windows with visible\n",
+        "co-tenant bandwidth depression — even P=1 triad read 25% below\n",
+        "its best there — so the 2 -> 8 triad ratio is approximate; the\n",
+        "load-bearing 4 -> 16 row was measured in a verified-quiet\n",
+        "window. At 2 -> 8 the replay's 0.83 PASS sits below the triad\n",
+        "ceiling because its serialized per-batch commit term is visible\n",
+        "at small core counts; the criterion only asks for >= 0.8.)\n\n",
         "Reading the 4 -> 16 row: the CPU control is ~1.0 (the cores and\n",
         "scheduler scale perfectly), the bandwidth control is the box's\n",
         "ceiling for memory-bound work at this shape, and the replay lands\n",
