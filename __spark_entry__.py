@@ -33,9 +33,9 @@ from astro_data_pipeline_spark import registry
 _GATE_PRIORITY = [
     # Round-5 gate order (VERDICT_r04 "Next round" #6): after this round
     # r3∪r4∪r5 must cover all queries with nothing older than r3. The 50
-    # slots: (1) the 9 queries changed or added this round, (2) all 20
+    # slots: (1) the 10 queries changed or added this round, (2) all 20
     # remaining r2-latest names (their rows would otherwise age to 3
-    # rounds), (3) 21 r3-latest refreshes, most central first.
+    # rounds), (3) 20 r3-latest refreshes, most central first.
     # -- 1. changed/added this round --------------------------------------
     "grouped_periodogram_peak",       # new golden-sample oracle
     "agg_approx_distinct_users",      # tolerance-band oracle, new columns
@@ -46,6 +46,7 @@ _GATE_PRIORITY = [
     "sim_ivf_topk_cell_search",       # fit/oracle helpers parameterized
     "sim_ivf_multiprobe_topk",        # body extracted to shared helper
     "grouped_series_stats_per_user",  # exact-µs interval kernel fix
+    "dedup_duplicate_passage_fraction",  # new passage-level dedup gate
     # -- 2. r2-latest rotation (all 20 remaining) -------------------------
     "agg_doclen_percentiles",
     "mm_decode_feature_stub",
@@ -88,7 +89,6 @@ _GATE_PRIORITY = [
     "dedup_incremental_lsh",
     "dedup_embedding_cosine_pairs",
     "window_sessionize_events",
-    "text_tfidf_top_terms",
 ]
 
 

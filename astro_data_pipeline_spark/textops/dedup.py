@@ -329,6 +329,90 @@ def sample_split_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_PASSAGE_WORDS = 16
+
+
+@query(
+    "dedup_duplicate_passage_fraction",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (SELECT doc_id, ws,
+                 CAST(floor(len(ws) / {_PASSAGE_WORDS}) AS INT) AS np
+          FROM w),
+    p AS (
+        SELECT doc_id,
+               array_to_string(list_slice(
+                   ws, p * {_PASSAGE_WORDS} + 1,
+                   p * {_PASSAGE_WORDS} + {_PASSAGE_WORDS}), ' ') AS passage
+        FROM d, UNNEST(generate_series(0, np - 1)) AS t(p)
+        WHERE np >= 1
+    ),
+    occ AS (
+        SELECT md5(passage) AS h, COUNT(DISTINCT doc_id) AS ndocs
+        FROM p GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN o.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_passages,
+           floor(CAST(SUM(CASE WHEN o.ndocs >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+               AS dup_passage_fraction
+    FROM p JOIN occ o ON md5(p.passage) = o.h
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_duplicate_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-level) cross-corpus dedup gate: per doc, the
+    fraction of its disjoint 16-word passages that also
+    appear verbatim in at least one OTHER document — the quality signal
+    whole-document dedup misses (boilerplate headers, license blocks,
+    quoted chunks shared across otherwise-distinct docs; the
+    passage-granularity analog of RefinedWeb/Gopher duplicate-line
+    fractions). Distinct from ``text_repetition_filter`` (within-doc
+    repetition) and ``dedup_substring_overlap_pairs`` (pairwise
+    winnowing): this is the per-document rollup a filtering pass
+    thresholds on.
+
+    Scale shape: passage construction is a zero-shuffle map
+    (split → slice → explode); one groupBy on the passage hash (bounded
+    fan-out: a passage's copy count), one equi-join back, one per-doc
+    agg. The passage text itself never shuffles twice — the join carries
+    (hash, doc_id) pairs. md5 keeps the oracle portable (same digest
+    function on both engines, like the md5-twin LSH paths)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = F.split(F.col("text"), " ")
+    n_pass = F.floor(F.size(words) / _PASSAGE_WORDS).cast("int")
+    docs = docs.select("doc_id", words.alias("ws"), n_pass.alias("np")).filter(
+        F.col("np") >= 1
+    )
+    passages = F.transform(
+        F.sequence(F.lit(0), F.col("np") - 1),
+        lambda p: F.array_join(
+            F.slice(F.col("ws"), p * _PASSAGE_WORDS + 1, _PASSAGE_WORDS), " "
+        ),
+    )
+    pdf = docs.select(
+        "doc_id", F.explode(passages).alias("passage")
+    ).select("doc_id", F.md5("passage").alias("h"))
+    occ = pdf.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    j = pdf.join(occ, "h")
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_passages"),
+        dup.cast("long").alias("n_dup_passages"),
+        (
+            F.floor(dup.cast("double") / F.count("*") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("dup_passage_fraction"),
+    )
+
+
 # ---------------------------------------------------------------- MinHash
 
 
