@@ -68,7 +68,7 @@ _GATE_PRIORITY = [
     "text_repetition_filter",
     "text_token_count_bpe_ish",
     "text_winnowing_fingerprints",
-    # -- 3. r3-latest refresh rotation (21 most central) ------------------
+    # -- 3. r3-latest refresh rotation (20 most central) ------------------
     "cdc_lww_current_state",
     "cdc_replay_end_to_end",
     "cdc_conditional_merge",

@@ -1010,7 +1010,9 @@ def img_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form in SQL, the six kernel metrics against the pinned golden
     block (see the golden-sample note above). The full-catalog
     worst-first ranking this query carried through round 3 lives on as
-    ``img_quality_ranking`` (rows-only by nature). Reference:
+    ``img_quality_ranking_full`` (bench-only; the registered
+    ``img_quality_ranking`` is the golden-subset ranking under a full
+    oracle since round 5). Reference:
     FitsProcessingService.java:761-802, :985-1000."""
     out = process_images(_golden_sample(image_catalog(spark, sf_dir)), parts={"quality"})
     return out.select(

@@ -98,9 +98,15 @@ def _series_stats(pdf: pd.DataFrame) -> pd.DataFrame:
             "std_value": [None if std is None else _r(std, 4)],
             "amplitude": [None if amp is None else _r(amp, 4)],
             # same op order as the SQL oracle: exact-integer µs span,
-            # then /1e6, then /(n-1) — bit-identical left-to-right
+            # then /1e6, then /(n-1) — bit-identical left-to-right.
+            # n == 1 guard: the min-obs filter runs DOWNSTREAM of this
+            # kernel, so a single-observation key must yield NULL here
+            # (as the oracle's x/0 does in SQL), not ZeroDivisionError
+            # in the executor.
             "mean_interval_sec": [
-                _r(float(t_us.max() - t_us.min()) / 1e6 / (n - 1), 2)
+                None
+                if n < 2
+                else _r(float(t_us.max() - t_us.min()) / 1e6 / (n - 1), 2)
             ],
         }
     )

@@ -164,10 +164,12 @@ def _range_chain(root: str, s0: int, s1: int) -> list[dict]:
                 )
             if not chain:
                 # s0 > s1: the while never ran, so there is no walked
-                # step to report — name the offsets directly
+                # step to report — name the offsets directly (s0 == s1
+                # never reaches here: the equality check above passes
+                # and the caller gets a legitimately empty range)
                 raise ValueError(
                     f"start snapshot {s0} is not an ancestor of {s1}: "
-                    f"it is ahead of (or equal to) the end of the range"
+                    f"it is ahead of the end of the range"
                 )
             raise ValueError(
                 f"start snapshot {s0} is not an ancestor of {s1}: the "

@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.astro import round_half_up_det
 from ..functions.hashing import sha256_arrow
 from ..registry import query
+from ..session import materialize_barrier
 from ..sources import load_table
 from .sampling import _ngram_array
 
@@ -299,6 +301,9 @@ def sample_split_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFra
     pairs = sample_split_leakage_pairs(spark, sf_dir)
     from .sampling import sample_hash_split_assignments
 
+    # the pairs plan (sha self-join + jaccard posting join) is consumed
+    # twice via the a/b-side projections below — pin it once
+    pairs = materialize_barrier(pairs)
     leaked = (
         pairs.select(
             F.col("doc_a").alias("doc_id"), F.col("split_a").alias("split")
@@ -323,9 +328,7 @@ def sample_split_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFra
         "split",
         "n_docs",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_leaked_docs"),
-        (F.floor(rate * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-            "contamination_rate"
-        ),
+        round_half_up_det(rate, 6).alias("contamination_rate"),
     )
 
 
@@ -400,15 +403,20 @@ def dedup_duplicate_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFr
     pdf = docs.select(
         "doc_id", F.explode(passages).alias("passage")
     ).select("doc_id", F.md5("passage").alias("h"))
+    # pdf feeds BOTH the occurrence groupBy and the join probe side;
+    # Spark does not dedupe common subtrees, so without the barrier the
+    # corpus scan + passage construction + md5 run twice — the most
+    # expensive stage doubled at 10^10 docs (same device as
+    # ivf_cell_assignments' twice-joined cell table)
+    pdf = materialize_barrier(pdf)
     occ = pdf.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
     j = pdf.join(occ, "h")
     dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
     return j.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_passages"),
         dup.cast("long").alias("n_dup_passages"),
-        (
-            F.floor(dup.cast("double") / F.count("*") * F.lit(1e6) + F.lit(0.5))
-            / F.lit(1e6)
+        round_half_up_det(
+            dup.cast("double") / F.count("*"), 6
         ).alias("dup_passage_fraction"),
     )
 

@@ -806,7 +806,7 @@ def sim_ivf_sqrtn_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     """IVF at the √n operating point (C=32 cells, nprobe=8) — the
     scaled-model answer to VERDICT_r04 next #4. At the SAME 25%
     candidate budget as the C=8/nprobe=2 query it lifts all-probe
-    recall@3 from 0.494 to 0.613 at sf0.1 (0.525 to 0.595 at sf0.01;
+    recall@3 from 0.494 to 0.612 at sf0.1 (0.525 to 0.595 at sf0.01;
     full surface in BENCH/IVF.md via scripts/ivf_recall_curve.py):
     finer cells dominate coarser ones at equal scan cost. The measured frontier on this
     corpus is recall ≈ √(candidate fraction) — the intrinsic geometry of

@@ -217,7 +217,9 @@ def bench_cdc_replay(spark, sf: float, n_batches: int = 4, trials: int = 5) -> d
     }
 
 
-def bench_matview_refresh(spark, sf: float, trials: int = 2) -> dict:
+def bench_matview_refresh(
+    spark, sf: float, trials: int = 2, hot_buckets: int | None = None
+) -> dict:
     """Incremental-matview maintenance vs the full rebuild it replaces,
     apples to apples: replay the first ~90% of the change log, seed TWO
     identical per-repo aggregate views (untimed), apply the ~10% tail,
@@ -245,6 +247,8 @@ def bench_matview_refresh(spark, sf: float, trials: int = 2) -> dict:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from astro_data_pipeline_spark.lakehouse.table import bucket_expr
+
     meta = cdc_fixture_dir(sf)
     events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
     cut = int(
@@ -252,6 +256,11 @@ def bench_matview_refresh(spark, sf: float, trials: int = 2) -> dict:
     )
     head = events.filter(F.col("lsn") <= cut)
     tail = events.filter(F.col("lsn") > cut)
+    if hot_buckets is not None:
+        # skewed-tail variant: keep only events whose key hashes into
+        # the first hot_buckets of the base's 64 — the hot-repo shape
+        # real change streams have (VERDICT_r04 next #3)
+        tail = tail.filter(bucket_expr(A.KEY_COLS, 64) < hot_buckets)
     n_tail = tail.count()
     best_inc, best_full = None, None
     for trial in range(trials):
@@ -263,7 +272,8 @@ def bench_matview_refresh(spark, sf: float, trials: int = 2) -> dict:
                 A.KEY_COLS,
                 n_buckets=64,
             )
-            runner = CdcRunner(spark, table, run_id=f"mvb{trial}", mode="mor")
+            tag = "mvs" if hot_buckets is not None else "mvb"
+            runner = CdcRunner(spark, table, run_id=f"{tag}{trial}", mode="mor")
             runner.replay(head, n_batches=3)
             specs = [
                 AggSpec("count", None, "n_files"),
@@ -297,75 +307,19 @@ def bench_matview_refresh(spark, sf: float, trials: int = 2) -> dict:
 def bench_matview_refresh_skew(
     spark, sf: float, trials: int = 2, hot_buckets: int = 4
 ) -> dict:
-    """The matview pair under a REALISTIC skewed tail (VERDICT_r04 next
-    #3): same seed-at-90% harness as ``bench_matview_refresh``, but the
-    tail keeps only events whose key hashes into ``hot_buckets`` of the
-    base's 64 — the hot-repo shape production change streams actually
-    have (a few repos absorb most commits). The uniform-tail pair is the
-    worst case for the incremental path (every bucket touched, so the
-    prior-existence probe inside ``changes()`` is O(base)); here the
-    probe bucket-prunes to hot_buckets/64 of the base and the refresh
-    is genuinely O(changed), so the crossover arrives at small SF
-    instead of sf1.0. Both shapes are reported every round."""
-    from astro_data_pipeline_spark.cdc import apply as A
-    from astro_data_pipeline_spark.cdc.runner import CdcRunner, read_event_log
-    from astro_data_pipeline_spark.lakehouse import LakeTable
-    from astro_data_pipeline_spark.lakehouse.table import bucket_expr
-    from astro_data_pipeline_spark.lakehouse.matview import (
-        AggSpec,
-        IncrementalAggView,
-    )
-    from astro_data_pipeline_spark.session import scratch_tmpdir_base
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    meta = cdc_fixture_dir(sf)
-    events = read_event_log(spark, meta["v1_path"], meta["v2_path"])
-    cut = int(
-        events.selectExpr("percentile(lsn, 0.9) AS c").collect()[0]["c"]
-    )
-    head = events.filter(F.col("lsn") <= cut)
-    tail = events.filter(F.col("lsn") > cut).filter(
-        bucket_expr(A.KEY_COLS, 64) < hot_buckets
-    )
-    n_tail = tail.count()
-    best_inc, best_full = None, None
-    for trial in range(trials):
-        with tempfile.TemporaryDirectory(dir=scratch_tmpdir_base()) as td:
-            table = LakeTable.create(
-                spark,
-                os.path.join(td, "lake"),
-                T.StructType(A.BASE_TABLE_FIELDS),
-                A.KEY_COLS,
-                n_buckets=64,
-            )
-            runner = CdcRunner(spark, table, run_id=f"mvs{trial}", mode="mor")
-            runner.replay(head, n_batches=3)
-            specs = [
-                AggSpec("count", None, "n_files"),
-                AggSpec("sum", "last_lsn", "sum_lsn"),
-                AggSpec("max", "last_lsn", "max_lsn"),
-            ]
-            v_inc = IncrementalAggView.create(
-                spark, os.path.join(td, "mv-inc"), table, ["repo"], specs,
-                n_buckets=16,
-            )
-            v_full = IncrementalAggView.create(
-                spark, os.path.join(td, "mv-full"), table, ["repo"], specs,
-                n_buckets=16,
-            )
-            runner.replay(tail, n_batches=1)
-            t0 = time.time()
-            v_inc.refresh()
-            t1 = time.time()
-            v_full.refresh(full=True)
-            t2 = time.time()
-            best_inc = t1 - t0 if best_inc is None else min(best_inc, t1 - t0)
-            best_full = t2 - t1 if best_full is None else min(best_full, t2 - t1)
+    """The matview pair under a REALISTIC skewed tail: the same harness
+    as ``bench_matview_refresh`` (one implementation — a tweak to trial
+    count, specs, or batching cannot silently diverge the two numbers
+    the comparison exists to make) with the tail filtered to
+    ``hot_buckets`` of the base's 64. The uniform-tail pair is the
+    incremental path's worst case (prior-existence probe O(base));
+    here the probe bucket-prunes to hot_buckets/64 and the crossover
+    arrives at small SF (BENCH/MATVIEW.md)."""
+    r = bench_matview_refresh(spark, sf, trials=trials, hot_buckets=hot_buckets)
     return {
-        "mv_skew_refresh_sec": round(best_inc, 3),
-        "mv_skew_full_refresh_sec": round(best_full, 3),
-        "mv_skew_tail_events": n_tail,
+        "mv_skew_refresh_sec": r["mv_refresh_sec"],
+        "mv_skew_full_refresh_sec": r["mv_full_refresh_sec"],
+        "mv_skew_tail_events": r["mv_tail_events"],
         "mv_skew_hot_buckets": hot_buckets,
     }
 

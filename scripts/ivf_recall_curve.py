@@ -78,6 +78,12 @@ def brute_topk(V: np.ndarray, k: int) -> np.ndarray:
     n = (V * V).sum(axis=1)
     cos = (V @ V.T) / np.sqrt(n[:, None] * n[None, :])
     np.fill_diagonal(cos, -np.inf)
+    # the registered queries and their oracles rank by
+    # round(cos, 4) DESC, vec_id ASC — mirror that tie-break here so
+    # the truth set matches what the engine actually returns on
+    # near-tie neighbors (ids are sorted ascending, stable argsort on
+    # the rounded value preserves id order within a tie)
+    cos = np.round(cos, 4)
     return np.argsort(-cos, axis=1, kind="stable")[:, :k]
 
 

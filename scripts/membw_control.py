@@ -52,7 +52,7 @@ TRIAD_N = 24_000_000
 CPU_N = 4_096
 
 
-def _worker(mode: str, secs: float, start_evt, out_q) -> None:
+def _worker(mode: str, secs: float, ready_q, start_evt, out_q) -> None:
     if mode == "triad":
         b = np.ones(TRIAD_N)
         c = np.ones(TRIAD_N)
@@ -62,6 +62,7 @@ def _worker(mode: str, secs: float, start_evt, out_q) -> None:
         # 3 streams so the efficiency RATIO, which is what we use, is
         # exact even if the absolute GB/s is a lower bound)
         bytes_per_pass = 3 * 8 * TRIAD_N
+        ready_q.put(1)  # allocation done — sound barrier, not a sleep
         start_evt.wait()
         t0 = time.perf_counter()
         passes = 0
@@ -75,6 +76,7 @@ def _worker(mode: str, secs: float, start_evt, out_q) -> None:
         acc = np.arange(CPU_N, dtype=np.uint64)
         mix = np.uint64(0x9E3779B97F4A7C15)
         sh = np.uint64(13)
+        ready_q.put(1)
         start_evt.wait()
         t0 = time.perf_counter()
         iters = 0
@@ -91,14 +93,19 @@ def _worker(mode: str, secs: float, start_evt, out_q) -> None:
 def run_level(mode: str, procs: int, secs: float) -> dict:
     ctx = mp.get_context("spawn")  # fresh interpreters, like executor JVMs
     start_evt = ctx.Event()
+    ready_q = ctx.Queue()
     out_q = ctx.Queue()
     ps = [
-        ctx.Process(target=_worker, args=(mode, secs, start_evt, out_q))
+        ctx.Process(target=_worker, args=(mode, secs, ready_q, start_evt, out_q))
         for _ in range(procs)
     ]
     for p in ps:
         p.start()
-    time.sleep(3.0)  # let every worker finish allocating before the gun
+    # readiness handshake, not a fixed sleep: a straggler still importing
+    # numpy or zero-filling its arrays when the gun fires would run its
+    # window partly alone and inflate the aggregate (sum(units)/mean(dt))
+    for _ in ps:
+        ready_q.get()
     start_evt.set()
     results = [out_q.get() for _ in ps]
     for p in ps:

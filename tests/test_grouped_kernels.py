@@ -167,3 +167,17 @@ def test_periodogram_spark_path_recovers_injected_periods(spark):
         rel = abs(out.loc[uid, "peak_freq_hz"] - 1.0 / period) * period
         assert rel < 0.25, f"user {uid}: peak {out.loc[uid, 'peak_freq_hz']} vs {1.0/period}"
         assert bool(out.loc[uid, "is_periodic"])
+
+
+def test_series_stats_single_observation_key_yields_nulls_not_crash():
+    """The min-obs filter runs downstream of the kernel, so a key with
+    exactly one event must produce a NULL-interval row (like the
+    oracle's x/0 -> NULL), not a ZeroDivisionError in the executor."""
+    from astro_data_pipeline_spark.operators.grouped_analytics import (
+        _series_stats,
+    )
+
+    out = _series_stats(_series(7, 60.0, n=1))
+    assert out["n_obs"].iloc[0] == 1
+    assert out["mean_interval_sec"].iloc[0] is None
+    assert out["std_value"].iloc[0] is None

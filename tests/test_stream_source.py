@@ -214,7 +214,7 @@ def test_branch_start_snapshot_refused_as_non_ancestor(spark, tmp_path, table):
 
 
 def test_reversed_offset_range_raises_value_error_not_index_error(spark, table):
-    """s0 ahead of (or equal to) s1: the ancestor walk never runs, so
+    """s0 strictly ahead of s1: the ancestor walk never runs, so
     the non-ancestor branch must not index into the empty chain — the
     round-4 advisory's IndexError path. The caller still gets the
     actionable not-an-ancestor message naming both offsets."""
