@@ -179,16 +179,16 @@ def _membw_decomposition(summaries: list[dict]) -> str:
         return None
 
     out = [
-        "## Round 5: the 4 -> 16 rung decomposed — engine vs memory bus\n",
+        "## Round 5: every rung decomposed — engine vs memory bus\n",
         "\n",
-        "The one rung below the 0.8 bar is bracketed by two controls run\n",
-        "at the SAME process counts in a quiet window\n",
-        "(`scripts/membw_control.py`, best-of-rounds, separate spawned\n",
-        "processes like executor JVMs): a pure-ALU loop over an\n",
-        "L1-resident buffer (zero bus pressure — what the box's CORES can\n",
-        "do) and a STREAM-triad over arrays ~30x L3 (pure bus pressure —\n",
-        "what the box's MEMORY SYSTEM can do). Scaling efficiency of the\n",
-        "aggregate rate:\n\n",
+        "Each ladder rung is bracketed by two controls run at the SAME\n",
+        "process counts (`scripts/membw_control.py` — readiness-handshake\n",
+        "start barrier, best-of-interleaved-windows like every other BENCH\n",
+        "number, separate spawned processes like executor JVMs): a\n",
+        "pure-ALU loop over an L1-resident buffer (zero bus pressure —\n",
+        "what the box's CORES can do) and a STREAM-triad over arrays\n",
+        "~30x L3 (pure bus pressure — what the box's MEMORY SYSTEM can\n",
+        "do). Scaling efficiency of the aggregate rate:\n\n",
         "| procs | pure-CPU control | STREAM-triad control | CDC replay |\n",
         "|---|---|---|---|\n",
     ]
@@ -210,23 +210,15 @@ def _membw_decomposition(summaries: list[dict]) -> str:
         )
     out += [
         "\n",
-        "(The P=2 control bests were sampled in windows with visible\n",
-        "co-tenant bandwidth depression — even P=1 triad read 25% below\n",
-        "its best there — so the 2 -> 8 triad ratio is approximate; the\n",
-        "load-bearing 4 -> 16 row was measured in a verified-quiet\n",
-        "window. At 2 -> 8 the replay's 0.83 PASS sits below the triad\n",
-        "ceiling because its serialized per-batch commit term is visible\n",
-        "at small core counts; the criterion only asks for >= 0.8.)\n\n",
-        "Reading the 4 -> 16 row: the CPU control is ~1.0 (the cores and\n",
-        "scheduler scale perfectly), the bandwidth control is the box's\n",
-        "ceiling for memory-bound work at this shape, and the replay lands\n",
-        "AT that ceiling within measurement noise — i.e. the engine's\n",
-        "efficiency equals what ANY workload of its memory intensity can\n",
-        "achieve on one socket, and the residual vs 0.8 is entirely the\n",
-        "documented single-box bus wall, not plan structure. The 8 -> 32\n",
-        "row makes the same point more strongly: the replay (0.47) scales\n",
-        "BETTER than pure-bandwidth work (0.36) because its compute\n",
-        "fraction keeps scaling. On a real cluster the denominator\n",
+        "Reading the table: the CPU control stays ~0.95 at every rung (the\n",
+        "cores and scheduler scale), the bandwidth control is the box's\n",
+        "ceiling for memory-bound work at each shape, and the replay\n",
+        "tracks THAT ceiling within a few points at every rung — 0.830 vs\n",
+        "0.834 at 2->8, 0.699 vs 0.697 at 4->16, 0.465 vs 0.491 at 8->32.\n",
+        "The engine's efficiency equals what ANY workload of its memory\n",
+        "intensity can achieve on one socket; the residual vs 0.8 on the\n",
+        "two saturated rungs is entirely the documented single-box bus\n",
+        "wall, not plan structure. On a real cluster the denominator\n",
         "changes: 4N EXECUTORS bring 4x memory buses, and in every region\n",
         "where bandwidth scales with cores the engine measures 0.83-0.99.\n\n",
     ]
