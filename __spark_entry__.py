@@ -33,9 +33,9 @@ from astro_data_pipeline_spark import registry
 _GATE_PRIORITY = [
     # Round-5 gate order (VERDICT_r04 "Next round" #6): after this round
     # r3∪r4∪r5 must cover all queries with nothing older than r3. The 50
-    # slots: (1) the 10 queries changed or added this round, (2) all 20
+    # slots: (1) the 11 queries changed or added this round, (2) all 20
     # remaining r2-latest names (their rows would otherwise age to 3
-    # rounds), (3) 20 r3-latest refreshes, most central first.
+    # rounds), (3) 19 r3-latest refreshes, most central first.
     # -- 1. changed/added this round --------------------------------------
     "grouped_periodogram_peak",       # new golden-sample oracle
     "agg_approx_distinct_users",      # tolerance-band oracle, new columns
@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "sim_ivf_multiprobe_topk",        # body extracted to shared helper
     "grouped_series_stats_per_user",  # exact-µs interval kernel fix
     "dedup_duplicate_passage_fraction",  # new passage-level dedup gate
+    "text_boilerplate_passages",      # new boilerplate census (shared CTEs)
     # -- 2. r2-latest rotation (all 20 remaining) -------------------------
     "agg_doclen_percentiles",
     "mm_decode_feature_stub",
@@ -68,7 +69,7 @@ _GATE_PRIORITY = [
     "text_repetition_filter",
     "text_token_count_bpe_ish",
     "text_winnowing_fingerprints",
-    # -- 3. r3-latest refresh rotation (20 most central) ------------------
+    # -- 3. r3-latest refresh rotation (19 most central) ------------------
     "cdc_lww_current_state",
     "cdc_replay_end_to_end",
     "cdc_conditional_merge",
@@ -88,7 +89,6 @@ _GATE_PRIORITY = [
     "join_asof_last_click_before_purchase",
     "dedup_incremental_lsh",
     "dedup_embedding_cosine_pairs",
-    "window_sessionize_events",
 ]
 
 

@@ -335,10 +335,12 @@ def sample_split_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFra
 _PASSAGE_WORDS = 16
 
 
-@query(
-    "dedup_duplicate_passage_fraction",
-    oracle=f"""
-    WITH w AS (
+# Shared passage CTE chain (split -> disjoint 16-word slices -> md5
+# occurrence counts) — the per-doc fraction gate and the boilerplate
+# census reuse it verbatim, so the two views of the same construction
+# cannot drift.
+_PASSAGE_CTES = f"""
+    w AS (
         SELECT doc_id, string_split(text, ' ') AS ws
         FROM documents WHERE text IS NOT NULL
     ),
@@ -356,7 +358,13 @@ _PASSAGE_WORDS = 16
     occ AS (
         SELECT md5(passage) AS h, COUNT(DISTINCT doc_id) AS ndocs
         FROM p GROUP BY 1
-    )
+    )"""
+
+
+@query(
+    "dedup_duplicate_passage_fraction",
+    oracle=f"""
+    WITH {_PASSAGE_CTES}
     SELECT p.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_passages,
            CAST(SUM(CASE WHEN o.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -418,6 +426,82 @@ def dedup_duplicate_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFr
         round_half_up_det(
             dup.cast("double") / F.count("*"), 6
         ).alias("dup_passage_fraction"),
+    )
+
+
+_BOILERPLATE_TOP_K = 20
+
+
+@query(
+    "text_boilerplate_passages",
+    oracle=f"""
+    WITH {_PASSAGE_CTES},
+    ranked AS (
+        SELECT p.passage,
+               CAST(o.ndocs AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(p.doc_id) AS BIGINT) AS first_doc_id
+        FROM p JOIN occ o ON md5(p.passage) = o.h
+        WHERE o.ndocs >= 2
+        GROUP BY p.passage, o.ndocs
+    )
+    SELECT passage, n_docs, n_occurrences, first_doc_id
+    FROM ranked
+    ORDER BY n_docs DESC, n_occurrences DESC, passage
+    LIMIT {_BOILERPLATE_TOP_K}
+    """,
+)
+def text_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate census: the top cross-document duplicated passages —
+    the actionable half of the passage-level gate (the fraction query
+    says HOW contaminated each doc is; this says WHAT the shared text
+    actually is, so a cleaning pass can strip it — headers, license
+    blocks, navigation chrome). Shares the passage CTE chain verbatim
+    with ``dedup_duplicate_passage_fraction`` on the oracle side and
+    the same Spark construction here. Deterministic top-k ordering
+    (doc count, occurrence count, passage text); ties cannot flip the
+    driver hash. Scale shape: the census aggregates the already-bounded
+    duplicate set — one groupBy over (hash, passage) pairs whose
+    fan-out the ndocs>=2 filter has pruned, then TakeOrdered k."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = F.split(F.col("text"), " ")
+    n_pass = F.floor(F.size(words) / _PASSAGE_WORDS).cast("int")
+    docs = docs.select("doc_id", words.alias("ws"), n_pass.alias("np")).filter(
+        F.col("np") >= 1
+    )
+    passages = F.transform(
+        F.sequence(F.lit(0), F.col("np") - 1),
+        lambda p: F.array_join(
+            F.slice(F.col("ws"), p * _PASSAGE_WORDS + 1, _PASSAGE_WORDS), " "
+        ),
+    )
+    pdf = materialize_barrier(
+        docs.select("doc_id", F.explode(passages).alias("passage")).select(
+            "doc_id", "passage", F.md5("passage").alias("h")
+        )
+    )
+    occ = pdf.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    ranked = (
+        pdf.join(occ.filter(F.col("n_docs") >= 2), "h")
+        .groupBy("passage", "n_docs")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+    )
+    return (
+        ranked.orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("passage")
+        )
+        .limit(_BOILERPLATE_TOP_K)
+        .select(
+            "passage",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_occurrences",
+            "first_doc_id",
+        )
     )
 
 
