@@ -2571,6 +2571,30 @@ class LakeTable:
         advice: list[dict] = []
         bounded = lo is not None or hi is not None
         prune_frac = (pruned / base) if base else 1.0
+        col_type = {f.name: f.dataType for f in snap.schema.fields}[col]
+        if bounded and not isinstance(col_type, _stats._ELIGIBLE):
+            # a type the manifest can't carry min/max for: no rewrite
+            # will ever make this range prunable — say so instead of
+            # recommending compact() forever (stats would stay absent)
+            return {
+                "shape": {"col": col, "lo": lo, "hi": hi},
+                "prune_report": rep,
+                "clustered_on": clustered_on,
+                "files_with_stats": 0,
+                "advice": [
+                    {
+                        "action": "none",
+                        "reason": (
+                            f"{col!r} is {col_type.simpleString()} — the "
+                            "manifest carries min/max only for "
+                            "numeric/date/timestamp columns, so file "
+                            "pruning cannot apply to this range; filter "
+                            "on an eligible column, or derive one (e.g. "
+                            "a numeric prefix key) and cluster on it"
+                        ),
+                    }
+                ],
+            }
         # how many base files even HAVE stats for this column — pruning
         # can't work without them no matter how good the layout is
         with_stats = sum(

@@ -308,6 +308,12 @@ def test_scan_advice_recommends_cluster_then_clears(spark, table):
     adv = table.scan_advice("ts", lo=None, hi=None)
     assert adv["advice"] == []  # unbounded scans never draw advice
 
+    # a type the manifest can't carry stats for: the advisor must say
+    # pruning CANNOT apply (action "none"), never recommend a compact
+    # that would leave the stats absent forever
+    adv = table.scan_advice("s", lo="s1", hi="s2", min_files=2)
+    assert [a["action"] for a in adv["advice"]] == ["none"], adv
+
     # (d) delta pile-up -> compact advice
     for i in range(6):
         table.merge_mor(_rows(spark, 100).withColumn("v", F.col("v") + i))
